@@ -1,0 +1,305 @@
+"""Schema-driven key-value extraction with word-id provenance.
+
+The reference delegates this to an LLM: the prompt instructs the model to find
+each schema field in the OCR words and return value + word ids
+(``lambda/api/app/utils/prompts.py:97-143``, worked example at
+``lambda/api/app/extraction.py:159-207``). This module is the deterministic
+batch replacement (SURVEY.md §2 J4): label-proximity matching over the laid-out
+words, preserving the reference's output contract exactly —
+
+  * every field yields ``(value, word_ids)``; missing → ``("", [])``
+    (``prompts.py:113``)
+  * provenance ids index the document's global word list
+    (``extraction.py:191-206``, consumed by ``web/src/pages/OCRResult.tsx:162-169``)
+  * plus a ``confidence`` score for downstream human verification
+    (new; BASELINE.json north_star).
+
+Matching rules (deterministic, in schema order; longest display_name first to
+avoid prefix collisions):
+
+  1. inline label  — a word ``"<display_name>：<value>"`` (fullwidth or ASCII
+     colon) → value is the remainder, provenance that word, confidence 1.0.
+     This is how the reference's canonical example encodes scalars
+     (``extraction.py:160-174``: "注文日：2023年5月1日" → "2023年5月1日", [0]).
+  2. adjacent label — a word exactly equal to the display name → value is the
+     nearest word to its right on the same line, else the nearest word below
+     with horizontal overlap; confidence 0.9.
+  3. list fields    — table semantics (app_schema.py:280-330 calls list "表形式
+     のデータ"): candidate rows are lines no word of which was consumed by a
+     label match; if a header line whose cells are the item display names
+     exists, cells map to columns by x-proximity to the header cells,
+     otherwise positionally in schema order (the reference example has no
+     header: cells A001/東京/大阪 fill the first three item fields in schema
+     order, ``extraction.py:191-206``). Confidence 0.8 per filled cell.
+  4. anything unmatched → ``("", [])``, confidence 0.0.
+
+Executed as one ``applyInPandas`` grouped by ``doc_id`` (the reference also
+extracts per document). The kernel is NumPy/pandas over one doc's words —
+vectorized per Arrow batch, no per-row Python at the Spark level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import AppSchema, FieldSpec
+
+SEPARATORS = ("：", ":")
+
+#: long-format output (FIXTURES.md §5)
+EXTRACTED_SCHEMA = (
+    "doc_id string, field_path string, value string, "
+    "word_ids array<int>, confidence double"
+)
+
+
+def _split_inline(content: str, label: str) -> str | None:
+    """'<label><sep><value>' → value, else None."""
+    if not content.startswith(label):
+        return None
+    rest = content[len(label) :]
+    for sep in SEPARATORS:
+        if rest.startswith(sep):
+            return rest[len(sep) :].strip()
+    return None
+
+
+def _extract_one_doc(words: pd.DataFrame, schema: AppSchema) -> list[dict]:
+    """Kernel: one document's ordered words → long-format field rows."""
+    words = words.sort_values("word_id", kind="stable").reset_index(drop=True)
+    text_mask = words["kind"].to_numpy() == "text"
+    contents = words["content"].to_numpy(dtype=object)
+    word_ids = words["word_id"].to_numpy()
+    x0 = words["x0"].to_numpy()
+    x1 = words["x1"].to_numpy()
+    y0 = words["y0"].to_numpy()
+    y1 = words["y1"].to_numpy()
+    line_key = list(
+        zip(words["page"].to_numpy(), words["block_id"].to_numpy(), words["line_id"].to_numpy())
+    )
+
+    consumed = np.zeros(len(words), dtype=bool)
+    consumed |= ~text_mask  # media spans never participate in KV matching
+    rows: list[dict] = []
+
+    scalar_specs = schema.string_and_map_specs()
+    # longest display name first so "委託業務内容" wins over a hypothetical "委託"
+    match_order = sorted(
+        range(len(scalar_specs)),
+        key=lambda i: -len(scalar_specs[i].display_name),
+    )
+    results: dict[str, tuple[str, list[int], float]] = {}
+
+    for si in match_order:
+        spec = scalar_specs[si]
+        label = spec.display_name
+        hit: tuple[str, list[int], float] | None = None
+        for i in range(len(words)):
+            if consumed[i] or not text_mask[i]:
+                continue
+            c = contents[i]
+            inline = _split_inline(c, label)
+            if inline is not None:
+                hit = (inline, [int(word_ids[i])], 1.0)
+                consumed[i] = True
+                break
+            if c == label:
+                # nearest right on same line, else nearest below w/ x overlap
+                cand_right, cand_below = None, None
+                for j in range(len(words)):
+                    if j == i or consumed[j] or not text_mask[j]:
+                        continue
+                    if line_key[j] == line_key[i] and x0[j] >= x1[i]:
+                        if cand_right is None or x0[j] < x0[cand_right]:
+                            cand_right = j
+                    elif y0[j] >= y1[i] and min(x1[i], x1[j]) > max(x0[i], x0[j]):
+                        if cand_below is None or (y0[j], x0[j]) < (y0[cand_below], x0[cand_below]):
+                            cand_below = j
+                v = cand_right if cand_right is not None else cand_below
+                if v is not None:
+                    hit = (str(contents[v]), [int(word_ids[v])], 0.9)
+                    consumed[i] = True
+                    consumed[v] = True
+                break
+        results[spec.path] = hit or ("", [], 0.0)
+
+    for spec in scalar_specs:  # emit in schema order
+        v, ids, conf = results[spec.path]
+        rows.append(
+            {
+                "field_path": spec.path,
+                "value": v,
+                "word_ids": ids,
+                "confidence": conf,
+            }
+        )
+
+    # ---- list fields: table rows from unconsumed lines -------------------
+    for list_name, item_specs in schema.list_specs().items():
+        # group unconsumed text words by line, in reading order
+        line_order: list[tuple] = []
+        line_members: dict[tuple, list[int]] = {}
+        for i in range(len(words)):
+            if consumed[i] or not text_mask[i]:
+                continue
+            k = line_key[i]
+            if k not in line_members:
+                line_members[k] = []
+                line_order.append(k)
+            line_members[k].append(i)
+
+        display_names = [s.display_name for s in item_specs]
+        header_xc: list[float] | None = None
+        data_lines: list[list[int]] = []
+        for k in line_order:
+            members = sorted(line_members[k], key=lambda i: (x0[i], word_ids[i]))
+            cells = [str(contents[i]) for i in members]
+            if header_xc is None and set(cells) <= set(display_names) and len(cells) > 1:
+                # header row: remember column centers, consume it
+                by_name = {str(contents[i]): (x0[i] + x1[i]) / 2.0 for i in members}
+                header_xc = [by_name.get(d, np.inf) for d in display_names]
+                for i in members:
+                    consumed[i] = True
+                continue
+            data_lines.append(members)
+
+        for item_idx, members in enumerate(data_lines):
+            members = sorted(members, key=lambda i: (x0[i], word_ids[i]))
+            assignment: dict[int, int] = {}  # item field idx -> word idx
+            if header_xc is not None:
+                for i in members:
+                    xc = (x0[i] + x1[i]) / 2.0
+                    col = int(np.argmin([abs(xc - h) for h in header_xc]))
+                    if col not in assignment:
+                        assignment[col] = i
+            else:
+                for col, i in enumerate(members[: len(item_specs)]):
+                    assignment[col] = i
+            for col, spec in enumerate(item_specs):
+                i = assignment.get(col)
+                path = spec.path.replace("[]", f"[{item_idx}]")
+                if i is not None:
+                    consumed[i] = True
+                    rows.append(
+                        {
+                            "field_path": path,
+                            "value": str(contents[i]),
+                            "word_ids": [int(word_ids[i])],
+                            "confidence": 0.8,
+                        }
+                    )
+                else:
+                    rows.append(
+                        {"field_path": path, "value": "", "word_ids": [], "confidence": 0.0}
+                    )
+        if not data_lines:
+            # contract: the template always contains one (empty) item
+            # (utils/template.py:35-89 emits a single example item)
+            for spec in item_specs:
+                rows.append(
+                    {
+                        "field_path": spec.path.replace("[]", "[0]"),
+                        "value": "",
+                        "word_ids": [],
+                        "confidence": 0.0,
+                    }
+                )
+    return rows
+
+
+def extract_fields(ordered_words: DataFrame, schema: AppSchema) -> DataFrame:
+    """Ordered words (from ``layout.order_words``) → long-format extraction.
+
+    One row per leaf field per document: ``(doc_id, field_path, value,
+    word_ids, confidence)`` (FIXTURES.md §5). Grouped by doc_id — documents
+    are independent, so this scales embarrassingly; the group size is bounded
+    by the page cap at ingest (the reference enforces ≤10 pages,
+    ``pdf.py:122-124``).
+    """
+    schema_json = schema.to_json()
+    schema_name = schema.name
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        app = AppSchema.from_json(schema_json, name=schema_name)
+        out: list[dict] = []
+        for doc_id, grp in pdf.groupby("doc_id", sort=True):
+            for row in _extract_one_doc(grp, app):
+                row["doc_id"] = doc_id
+                out.append(row)
+        cols = ["doc_id", "field_path", "value", "word_ids", "confidence"]
+        return pd.DataFrame(out, columns=cols)
+
+    return ordered_words.groupBy("doc_id").applyInPandas(kernel, schema=EXTRACTED_SCHEMA)
+
+
+def nested_result(extracted: DataFrame, schema: AppSchema) -> DataFrame:
+    """Long format → one row per doc with ``extracted_json`` +
+    ``indices_json`` — the reference's unified output shape
+    (``utils/template.py:12-148``, filled example ``extraction.py:176-206``).
+
+    JSON strings rather than structs so arbitrary schemas need no DDL; callers
+    wanting typed columns apply ``from_json`` with a derived StructType.
+    """
+    schema_json = schema.to_json()
+
+    out_schema = "doc_id string, extracted_json string, indices_json string"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json
+
+        app = AppSchema.from_json(schema_json)
+        rows = []
+        for doc_id, grp in pdf.groupby("doc_id", sort=True):
+            values = app.unified_template()
+            indices = app.indices_template()
+            by_path = {
+                r.field_path: (r.value, [int(w) for w in r.word_ids])
+                for r in grp.itertuples()
+            }
+
+            def fill(fields: list[dict], vnode: dict, inode: dict, prefix: str) -> None:
+                for f in fields:
+                    ftype = f.get("type", "string")
+                    path = f"{prefix}{f['name']}"
+                    if ftype == "string":
+                        v, ids = by_path.get(path, ("", []))
+                        vnode[f["name"]] = v
+                        inode[f["name"]] = ids
+                    elif ftype == "map":
+                        fill(f.get("fields", []), vnode[f["name"]], inode[f["name"]], path + ".")
+                    elif ftype == "list":
+                        item_fields = f.get("items", {}).get("fields", [])
+                        vitems, iitems = [], []
+                        i = 0
+                        while True:
+                            keys = [f"{path}[{i}].{c['name']}" for c in item_fields]
+                            if not any(k in by_path for k in keys):
+                                break
+                            vit, iit = {}, {}
+                            for c in item_fields:
+                                v, ids = by_path.get(f"{path}[{i}].{c['name']}", ("", []))
+                                vit[c["name"]] = v
+                                iit[c["name"]] = ids
+                            vitems.append(vit)
+                            iitems.append(iit)
+                            i += 1
+                        if not vitems:  # template keeps one empty item
+                            vitems = vnode[f["name"]]
+                            iitems = inode[f["name"]]
+                        vnode[f["name"]] = vitems
+                        inode[f["name"]] = iitems
+
+            fill(app.fields, values, indices, "")
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "extracted_json": json.dumps(values, ensure_ascii=False, sort_keys=True),
+                    "indices_json": json.dumps(indices, ensure_ascii=False, sort_keys=True),
+                }
+            )
+        return pd.DataFrame(rows, columns=["doc_id", "extracted_json", "indices_json"])
+
+    return extracted.groupBy("doc_id").applyInPandas(kernel, schema=out_schema)

@@ -1,0 +1,285 @@
+"""Layout engine: word boxes → deterministic reading order → spans.
+
+The reference never computes reading order — it trusts PaddleOCR's emission
+order (``lambda/api/app/ocr.py:53-68`` preserves it; SURVEY.md §2.4 W3). For a
+batch engine the order must be explicit and deterministic, or two runs at
+different parallelism could serialize spans differently. This module
+implements the classic recipe the north_star prescribes:
+
+  1. axis-aligned boxes from the 4-point quads the OCR shape carries
+     (``ocr-containers/paddle-ocr/inference.py:109-115``; min/max corner fold,
+     same as the UI's ``getBoundingBox`` at ``web/src/pages/OCRResult.tsx:95-108``)
+  2. recursive XY-cut block segmentation (Nagy-style projection-profile
+     splitting on whitespace valleys) — SURVEY.md §2 P5
+  3. line clustering inside each block by vertical-overlap ≥ 0.5 of the
+     smaller box — SURVEY.md §2 P4
+  4. emission: blocks in cut order, lines top-to-bottom, words left-to-right;
+     ties broken by the producer's ``word_seq`` so the order is total and
+     deterministic.
+
+Everything is NumPy inside ``applyInPandas`` grouped by ``(doc_id, page)`` —
+pages are independent reading units (the reference also processes per page,
+``ocr.py:157-175``), so a pathological mega-document parallelizes across its
+pages instead of stalling one task (skew policy, SURVEY.md §4 item 1). The
+only full-document operation is the global offset window (SURVEY.md §2 W1),
+a single range shuffle on ``doc_id``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Gap thresholds, in units of the page's median box height (the only robust
+# scale available without page dimensions). Deterministic constants — never
+# data-dependent randomness.
+Y_GAP_FACTOR = 0.7  # horizontal cut: whitespace band taller than this
+X_GAP_FACTOR = 2.0  # vertical cut: column gutter wider than this
+X_MIN_EXTENT = 2.0  # only x-cut regions taller than this many median heights
+LINE_OVERLAP = 0.5  # same line iff vertical overlap ≥ 0.5 * min(heights)
+
+
+# ----------------------------------------------------------------------
+# pure-NumPy core (unit-testable without Spark)
+# ----------------------------------------------------------------------
+def boxes_from_points(points: np.ndarray) -> np.ndarray:
+    """(n, 4, 2) corner quads → (n, 4) [x0, y0, x1, y1]."""
+    pts = np.asarray(points, dtype=np.float64)
+    if pts.size == 0:
+        return np.zeros((0, 4))
+    x0 = pts[:, :, 0].min(axis=1)
+    x1 = pts[:, :, 0].max(axis=1)
+    y0 = pts[:, :, 1].min(axis=1)
+    y1 = pts[:, :, 1].max(axis=1)
+    return np.stack([x0, y0, x1, y1], axis=1)
+
+
+def _projection_gaps(lo: np.ndarray, hi: np.ndarray, min_gap: float) -> list[float]:
+    """Midpoints of whitespace gaps ≥ min_gap in the 1-D projection of
+    [lo, hi] intervals. Sorted ascending — deterministic."""
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    gaps: list[float] = []
+    cover_end = hi[0]
+    for i in range(1, len(lo)):
+        if lo[i] - cover_end >= min_gap:
+            gaps.append(float((lo[i] + cover_end) / 2.0))
+        cover_end = max(cover_end, hi[i])
+    return gaps
+
+
+def xy_cut(
+    boxes: np.ndarray, y_gap: float, x_gap: float, min_x_extent: float = 0.0
+) -> list[np.ndarray]:
+    """Recursive XY-cut. Returns index groups (blocks) in reading order:
+    horizontal cuts top-to-bottom first, then vertical cuts left-to-right.
+
+    Trying y before x at every level makes a spanning header split off
+    before the column cut beneath it — the standard top-down variant.
+    ``min_x_extent`` guards single text lines from being cut at inter-word
+    gaps: a region is only a column-split candidate if its vertical extent
+    exceeds it (a one-line region is always a leaf after y-cuts fail).
+    """
+    n = len(boxes)
+    if n == 0:
+        return []
+
+    def rec(idx: np.ndarray) -> list[np.ndarray]:
+        if len(idx) <= 1:
+            return [idx]
+        b = boxes[idx]
+        cuts = _projection_gaps(b[:, 1], b[:, 3], y_gap)
+        axis = 1  # y
+        if not cuts and (b[:, 3].max() - b[:, 1].min()) > min_x_extent:
+            cuts = _projection_gaps(b[:, 0], b[:, 2], x_gap)
+            axis = 0  # x
+        if not cuts:
+            return [idx]
+        centers = (b[:, axis] + b[:, axis + 2]) / 2.0
+        bounds = [-np.inf] + cuts + [np.inf]
+        out: list[np.ndarray] = []
+        for k in range(len(bounds) - 1):
+            mask = (centers >= bounds[k]) & (centers < bounds[k + 1])
+            if mask.any():
+                out.extend(rec(idx[mask]))
+        return out
+
+    return rec(np.arange(n))
+
+
+def cluster_lines(boxes: np.ndarray) -> np.ndarray:
+    """Line ids (0..k-1 top-to-bottom) for boxes within one block.
+
+    Greedy sweep over boxes sorted by y-center: a box joins the current line
+    iff its vertical overlap with the line's running band is ≥ LINE_OVERLAP of
+    the smaller height; otherwise it starts a new line.
+    """
+    n = len(boxes)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    yc = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    order = np.argsort(yc, kind="stable")
+    line_ids = np.zeros(n, dtype=np.int64)
+    cur = 0
+    band_y0, band_y1 = boxes[order[0], 1], boxes[order[0], 3]
+    for j in order[1:]:
+        y0, y1 = boxes[j, 1], boxes[j, 3]
+        overlap = min(band_y1, y1) - max(band_y0, y0)
+        min_h = max(min(band_y1 - band_y0, y1 - y0), 1e-9)
+        if overlap >= LINE_OVERLAP * min_h:
+            band_y0, band_y1 = min(band_y0, y0), max(band_y1, y1)
+        else:
+            cur += 1
+            band_y0, band_y1 = y0, y1
+        line_ids[j] = cur
+    return line_ids
+
+
+def page_reading_order(
+    boxes: np.ndarray, tiebreak: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full per-page ordering.
+
+    Returns (perm, block_id, line_id) where ``perm`` lists word indices in
+    reading order, and block/line ids are aligned with the *input* order.
+    """
+    n = len(boxes)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    if tiebreak is None:
+        tiebreak = np.arange(n)
+    heights = boxes[:, 3] - boxes[:, 1]
+    med_h = float(np.median(heights)) if n else 1.0
+    med_h = max(med_h, 1e-9)
+    blocks = xy_cut(
+        boxes, Y_GAP_FACTOR * med_h, X_GAP_FACTOR * med_h, X_MIN_EXTENT * med_h
+    )
+
+    block_id = np.zeros(n, dtype=np.int64)
+    line_id = np.zeros(n, dtype=np.int64)
+    perm_parts: list[np.ndarray] = []
+    for b_i, idx in enumerate(blocks):
+        block_id[idx] = b_i
+        lines = cluster_lines(boxes[idx])
+        line_id[idx] = lines
+        # order within block: (line, x0, tiebreak) — total and deterministic
+        key = np.lexsort((tiebreak[idx], boxes[idx, 0], lines))
+        perm_parts.append(idx[key])
+    perm = np.concatenate(perm_parts) if perm_parts else np.zeros(0, dtype=np.int64)
+    return perm, block_id, line_id
+
+
+# ----------------------------------------------------------------------
+# Spark stage
+# ----------------------------------------------------------------------
+#: output schema of the per-page layout stage
+LAYOUT_SCHEMA = (
+    "doc_id string, page int, seq int, kind string, content string, "
+    "media_ref string, rec_score double, x0 double, y0 double, "
+    "x1 double, y1 double, block_id int, line_id int"
+)
+
+
+def _layout_one_page(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (doc_id, page) group → ordered rows."""
+    n = len(pdf)
+    if n:
+        # Arrow hands nested lists back as object-dtype arrays of arrays;
+        # flatten via concatenate (vectorized) rather than per-row casts.
+        flat = np.concatenate([np.concatenate(p) for p in pdf["points"]])
+        boxes = boxes_from_points(flat.astype(np.float64).reshape(n, 4, 2))
+    else:
+        boxes = np.zeros((0, 4))
+    seq_in = pdf["word_seq"].to_numpy()
+    perm, block_id, line_id = page_reading_order(boxes, tiebreak=seq_in)
+    kind = (
+        pdf["kind"].to_numpy()
+        if "kind" in pdf.columns
+        else np.full(n, "text", dtype=object)
+    )
+    media = (
+        pdf["media_ref"].to_numpy()
+        if "media_ref" in pdf.columns
+        else np.full(n, None, dtype=object)
+    )
+    out = pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy()[perm],
+            "page": pdf["page"].to_numpy()[perm].astype("int32"),
+            "seq": np.arange(n, dtype="int32"),
+            "kind": kind[perm],
+            "content": pdf["content"].to_numpy()[perm],
+            "media_ref": media[perm],
+            "rec_score": pdf["rec_score"].to_numpy()[perm]
+            if "rec_score" in pdf.columns
+            else np.ones(n),
+            "x0": boxes[perm, 0],
+            "y0": boxes[perm, 1],
+            "x1": boxes[perm, 2],
+            "y1": boxes[perm, 3],
+            "block_id": block_id[perm].astype("int32"),
+            "line_id": line_id[perm].astype("int32"),
+        }
+    )
+    return out
+
+
+def order_words(ocr_words: DataFrame) -> DataFrame:
+    """``ocr_words(doc_id, page, word_seq, content, rec_score, points[, kind,
+    media_ref])`` → ordered words with global ``word_id``.
+
+    Empty/whitespace-only text words are dropped before layout — the
+    reference's producer-side rule (``inference.py:108`` ``if text.strip()``),
+    here a JVM-side filter so the UDF never sees them.
+
+    Scale shape: one ``applyInPandas`` grouped by (doc_id, page) — group
+    size bounded by page word count, so mega-documents spread across tasks —
+    then one window over doc_id for the global id (the single shuffle of the
+    pipeline; SURVEY.md §2 W1 replaces the reference's O(n²) re-match at
+    ``ocr.py:311-322``).
+    """
+    cleaned = ocr_words.where(
+        (F.col("kind") != F.lit("text")) | (F.length(F.trim(F.col("content"))) > 0)
+        if "kind" in ocr_words.columns
+        else F.length(F.trim(F.col("content"))) > 0
+    )
+    laid_out = cleaned.groupBy("doc_id", "page").applyInPandas(
+        _layout_one_page, schema=LAYOUT_SCHEMA
+    )
+    w = Window.partitionBy("doc_id").orderBy("page", "seq")
+    return laid_out.withColumn("word_id", (F.row_number().over(w) - 1).cast("int"))
+
+
+def assemble_spans(ordered_words: DataFrame) -> DataFrame:
+    """Ordered words → canonical ``documents(doc_id, spans)`` table.
+
+    Pure built-in aggregation: collect (offset-first) structs, sort_array for
+    the deterministic serialization the invariant demands (never rely on UDF
+    emission order across shuffles), then reshape to (kind, text, media_ref,
+    offset). Text spans carry NULL media_ref and vice versa (FIXTURES.md §1).
+    """
+    span_struct = F.struct(
+        F.col("word_id").alias("offset"),
+        F.col("kind").alias("kind"),
+        F.when(F.col("kind") == "text", F.col("content")).alias("text"),
+        F.when(F.col("kind") == "media", F.col("media_ref")).alias("media_ref"),
+    )
+    return (
+        ordered_words.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(span_struct)).alias("_s"))
+        .select(
+            "doc_id",
+            F.transform(
+                "_s",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+One place to set the scale-relevant knobs so tests, bench and the CLI all run
+the same engine configuration. Mirrors what a production spark-submit would set
+via --conf (SURVEY.md §7 stage 0).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+# Arrow batch size for pandas UDF stages: large enough to amortize the
+# Python/Arrow hop, small enough that a batch of documents (each potentially
+# thousands of words) fits comfortably in worker memory.
+ARROW_MAX_RECORDS_PER_BATCH = 2048
+
+
+def get_spark(
+    app_name: str = "autoextract",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    ``parallelism`` selects ``local[N]`` — the bench harness uses this to run
+    the identical job at two core counts (local[8] vs local[32]) as the
+    sandbox stand-in for the N vs 4N executor scaling criterion
+    (BASELINE.json north_rule).
+    """
+    cores = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle = shuffle_partitions or int(
+        os.environ.get("AUTOEXTRACT_SHUFFLE_PARTITIONS", str(max(cores, DEFAULT_SHUFFLE_PARTITIONS)))
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        # AQE: runtime coalescing + skew-join splitting; free insurance at scale.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Arrow everywhere Python touches data — the engine's hot path is
+        # pandas/Arrow UDFs, never row-at-a-time Python.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        # Idempotent partition-granular re-writes (resume path).
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Keep timestamps deterministic across JVM/duckdb comparisons.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("AUTOEXTRACT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,102 @@
+"""End-to-end span-sequence equality on the generated corpus (the
+BASELINE.json per-row invariant: (kind, text, media_ref, order) per doc),
+plus the FIXTURES.md §1 structural invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from autoextract import corpus
+from autoextract.operators.layout import assemble_spans, order_words
+
+
+@pytest.fixture(scope="module")
+def gen(spark):
+    df = corpus.gen_corpus(spark, 60, seed=42, mega_doc=True).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def got_spans(spark, gen):
+    df = assemble_spans(order_words(corpus.ocr_words_view(gen))).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_span_sequence_equality(spark, gen, got_spans):
+    exp = corpus.expected_spans(gen)
+    joined = got_spans.alias("g").join(exp.alias("e"), "doc_id", "full_outer")
+    bad = joined.where(
+        F.col("g.spans").isNull()
+        | F.col("e.spans").isNull()
+        | ~(F.col("g.spans") == F.col("e.spans"))
+    )
+    assert bad.count() == 0
+
+
+def test_offsets_dense_and_increasing(got_spans):
+    bad = got_spans.where(
+        ~(
+            F.col("spans")
+            == F.transform(
+                F.col("spans"),
+                lambda s, i: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            )
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_no_empty_text_spans(got_spans):
+    bad = got_spans.where(
+        F.exists(
+            "spans",
+            lambda s: (s["kind"] == "text")
+            & (F.length(F.trim(s["text"])) == 0),
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_media_refs_unique_per_doc(got_spans):
+    refs = got_spans.select(
+        "doc_id",
+        F.filter("spans", lambda s: s["kind"] == "media").alias("m"),
+    ).select("doc_id", F.size("m").alias("n"), F.size(F.array_distinct("m.media_ref")).alias("d"))
+    assert refs.where(F.col("n") != F.col("d")).count() == 0
+
+
+def test_kind_fields_exclusive(got_spans):
+    bad = got_spans.where(
+        F.exists(
+            "spans",
+            lambda s: ((s["kind"] == "text") & (s["media_ref"].isNotNull() | s["text"].isNull()))
+            | ((s["kind"] == "media") & (s["text"].isNotNull() | s["media_ref"].isNull())),
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_idempotence(spark, gen, got_spans):
+    """Running the pipeline twice yields an identical table (SURVEY.md §5.3)."""
+    again = assemble_spans(order_words(corpus.ocr_words_view(gen)))
+    diff = got_spans.exceptAll(again).union(again.exceptAll(got_spans))
+    assert diff.count() == 0
+
+
+def test_mega_doc_present_and_correct(spark, gen, got_spans):
+    """The skew fixture (~100× median words) flows through the page-parallel
+    layout path and still satisfies the invariant."""
+    sizes = got_spans.select("doc_id", F.size("spans").alias("n"))
+    mx = sizes.orderBy(F.desc("n")).first()
+    med = sizes.approxQuantile("n", [0.5], 0.0)[0]
+    assert mx["n"] > 50 * med
