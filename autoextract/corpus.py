@@ -355,3 +355,137 @@ def expected_spans(gen: DataFrame) -> DataFrame:
             ).alias("spans"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# HTML corpus (axis A: boilerplate-strip inputs, FIXTURES.md §3)
+# ----------------------------------------------------------------------
+HTML_DOC_ID = "html-001"
+
+#: expected main-content span stream for the hand-written fixture below
+HTML_EXPECTED = [
+    ("text", "The Rise of Batch Engines", None),
+    ("text", "Batch processing engines trade latency for throughput.", None),
+    ("media", None, "https://cdn.example.com/fig1.png"),
+    ("text", "Figure one shows the scaling curve discussed above.", None),
+    ("media", None, "table:html-001:1"),
+    ("text", "In conclusion, throughput wins at scale.", None),
+]
+
+HTML_FIXTURE = """<!DOCTYPE html>
+<html><head><title>post</title><script>var x=1;</script>
+<style>.a{color:red}</style></head>
+<body>
+<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/blog">Blog</a></nav>
+<header><h1>Site Title</h1><a href="/login">Login</a></header>
+<div class="layout">
+  <article>
+    <h1>The Rise of Batch Engines</h1>
+    <p>Batch processing engines trade <b>latency</b> for throughput.</p>
+    <img src="https://cdn.example.com/fig1.png" alt="scaling curve">
+    <p>Figure one shows the scaling curve discussed above.</p>
+    <table><tr><td>sf</td><td>docs/sec</td></tr><tr><td>1</td><td>100</td></tr></table>
+    <p>In conclusion, throughput wins at scale.</p>
+  </article>
+  <div class="sidebar">
+    <ul>
+      <li><a href="/p1">Related post one</a></li>
+      <li><a href="/p2">Related post two</a></li>
+      <li><a href="/p3">Related post three</a></li>
+    </ul>
+  </div>
+</div>
+<footer>Copyright 2023 Example Corp. <a href="/tos">Terms</a></footer>
+</body></html>"""
+
+
+def html_fixture_pdf() -> pd.DataFrame:
+    return pd.DataFrame([{"doc_id": HTML_DOC_ID, "html": HTML_FIXTURE}])
+
+
+_HTML_TOPICS = [
+    ("distributed systems", "Consensus protocols coordinate replicas."),
+    ("query optimization", "Cost models guide join ordering decisions."),
+    ("columnar storage", "Column pruning reduces bytes scanned."),
+    ("stream processing", "Watermarks bound event-time lateness."),
+]
+
+
+def _gen_one_html(doc_idx: int, seed: int) -> tuple[dict, list[dict]]:
+    """One synthetic article page. Returns (html_docs row, expected span rows).
+
+    The expected spans are derived from the generation plan (construction
+    order), independent of the stripper under test. Boilerplate text is
+    drawn from a disjoint vocabulary so leakage is detectable.
+    """
+    rng = np.random.RandomState((seed * 2_000_003 + doc_idx) % (2**31 - 1))
+    doc_id = f"html-{seed}-{doc_idx:09d}"
+    topic, sent = _HTML_TOPICS[rng.randint(len(_HTML_TOPICS))]
+    n_paras = int(rng.randint(2, 6))
+    title = f"Notes on {topic} #{doc_idx}"
+    expected: list[dict] = [
+        {"doc_id": doc_id, "kind": "text", "text": title, "media_ref": None}
+    ]
+    body_parts: list[str] = [f"<h1>{title}</h1>"]
+    media_n = 0
+    for p in range(n_paras):
+        text = f"Paragraph {p}: {sent} It repeats deterministically {int(rng.randint(100))} times."
+        body_parts.append(f"<p>{text}</p>")
+        expected.append({"doc_id": doc_id, "kind": "text", "text": text, "media_ref": None})
+        if rng.rand() < 0.4:
+            ref = f"https://img.example.com/{doc_id}/{media_n}.png"
+            body_parts.append(f'<img src="{ref}">')
+            expected.append({"doc_id": doc_id, "kind": "media", "text": None, "media_ref": ref})
+            media_n += 1
+    nav_links = "".join(f'<a href="/s{k}">Section {k}</a> ' for k in range(5))
+    sidebar = "".join(f'<li><a href="/rel{k}">BOILER related {k}</a></li>' for k in range(4))
+    html = (
+        "<html><head><script>BOILER()</script></head><body>"
+        f"<nav>{nav_links}</nav><header><h1>BOILER SITE</h1></header>"
+        f'<div><article>{"".join(body_parts)}</article>'
+        f'<div class="side"><ul>{sidebar}</ul></div></div>'
+        "<footer>BOILER copyright</footer></body></html>"
+    )
+    return {"doc_id": doc_id, "html": html}, expected
+
+
+HTML_DOCS_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.StringType()), T.StructField("html", T.StringType())]
+)
+
+HTML_EXPECTED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("seq", T.IntegerType()),
+    ]
+)
+
+
+def gen_html_corpus(
+    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed HTML corpus → (html_docs, expected flat spans)."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+    rng_range = spark.range(n_docs).repartition(parts)
+
+    def docs_kernel(batches):
+        for pdf in batches:
+            rows = [_gen_one_html(int(i), seed)[0] for i in pdf["id"].tolist()]
+            yield pd.DataFrame(rows, columns=["doc_id", "html"])
+
+    def expected_kernel(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for i in pdf["id"].tolist():
+                exp = _gen_one_html(int(i), seed)[1]
+                for seq, r in enumerate(exp):
+                    r["seq"] = seq
+                    rows.append(r)
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "text", "media_ref", "seq"])
+
+    docs = rng_range.mapInPandas(docs_kernel, schema=HTML_DOCS_SCHEMA)
+    expected = rng_range.mapInPandas(expected_kernel, schema=HTML_EXPECTED_SCHEMA)
+    return docs, expected

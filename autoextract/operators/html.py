@@ -1,0 +1,256 @@
+"""HTML main-content extraction via DOM text-density heuristics (SURVEY.md §2 P6).
+
+Absent in the reference (it reads images/PDFs only) but demanded by the
+north rule's axis A: strip boilerplate from HTML documents and emit the main
+content as interleaved text + media spans. The heuristic is the published
+Content-Extraction-via-Text-Density / Arc90-readability family:
+
+  1. parse the markup (stdlib ``html.parser`` — pure Python, vectorized per
+     Arrow batch inside ``mapInPandas``; no external deps)
+  2. drop tag-level boilerplate outright: ``script/style/noscript/template/
+     nav/header/footer/aside`` and HTML comments
+  3. score each container by text length × (1 − link density); link-heavy
+     subtrees (menus, related-links sidebars) score ≈ 0
+  4. the best-scoring container (``<article>``/``<main>`` preferred, then any
+     block container) is the main-content subtree
+  5. walk that subtree in document order: block-level text chunks → text
+     spans (whitespace collapsed, empty blocks dropped); ``<img>/<figure>/
+     <table>/<video>/<audio>`` → media spans carrying ``src`` when present,
+     else a deterministic ``<tag>:<doc_id>:<n>`` ref
+  6. link-dense blocks inside the winner (link_density > 0.6) are dropped.
+
+Everything is deterministic: no randomness, stable tie-breaks (first node in
+document order wins ties).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+BOILERPLATE_TAGS = {"script", "style", "noscript", "template", "nav", "header", "footer", "aside"}
+MEDIA_TAGS = {"img", "figure", "table", "video", "audio", "iframe", "embed"}
+BLOCK_TAGS = {
+    "p", "div", "section", "article", "main", "body", "li", "ul", "ol",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "td", "th",
+    "tr", "dl", "dt", "dd",
+}
+VOID_TAGS = {"img", "br", "hr", "meta", "link", "input", "source", "area", "base", "col", "wbr"}
+CONTAINER_TAGS = {"article", "main", "body", "div", "section", "td"}
+LINK_DENSITY_MAX = 0.6
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict | None = None, parent: "_Node | None" = None):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list[object] = []  # _Node | str
+        self.parent = parent
+
+
+class _TreeBuilder(HTMLParser):
+    """Minimal DOM: elements + text, boilerplate tags skipped during parse."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.cur = self.root
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if self._skip_depth:
+            if tag not in VOID_TAGS:
+                self._skip_depth += 1
+            return
+        if tag in BOILERPLATE_TAGS:
+            self._skip_depth = 1
+            return
+        node = _Node(tag, dict(attrs), self.cur)
+        self.cur.children.append(node)
+        if tag not in VOID_TAGS:
+            self.cur = node
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if self._skip_depth:
+            return
+        if tag in BOILERPLATE_TAGS:
+            return
+        self.cur.children.append(_Node(tag, dict(attrs), self.cur))
+
+    def handle_endtag(self, tag: str) -> None:
+        if self._skip_depth:
+            if tag not in VOID_TAGS:
+                self._skip_depth -= 1
+            return
+        # close the nearest matching open element (tolerates malformed HTML)
+        n = self.cur
+        while n is not self.root and n.tag != tag:
+            n = n.parent
+        if n is not self.root:
+            self.cur = n.parent
+
+    def handle_data(self, data: str) -> None:
+        if not self._skip_depth and data:
+            self.cur.children.append(data)
+
+
+def _stats(node: _Node, in_link: bool = False) -> tuple[int, int]:
+    """(text_len, link_text_len) over a subtree, media excluded."""
+    total, linked = 0, 0
+    for ch in node.children:
+        if isinstance(ch, str):
+            n = len(ch.split()) and len(" ".join(ch.split()))
+            total += n
+            if in_link:
+                linked += n
+        elif ch.tag not in MEDIA_TAGS:
+            t, l = _stats(ch, in_link or ch.tag == "a")
+            total += t
+            linked += l
+    return total, linked
+
+
+def _score(node: _Node) -> float:
+    text, linked = _stats(node)
+    if text == 0:
+        return 0.0
+    return text * (1.0 - linked / text)
+
+
+def _find_main(root: _Node) -> _Node:
+    """Best container by score; <article>/<main> win ties against generic
+    containers by a 1.5× boost (they are explicit semantic markers)."""
+    best, best_score = root, -1.0
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        for ch in reversed(n.children):
+            if isinstance(ch, _Node):
+                stack.append(ch)
+        if isinstance(n, _Node) and n.tag in CONTAINER_TAGS:
+            s = _score(n)
+            if n.tag in ("article", "main"):
+                s *= 1.5
+            if s > best_score:
+                best, best_score = n, s
+    return best
+
+
+def html_to_spans(doc_id: str, html: str) -> list[tuple[str, str | None, str | None]]:
+    """One document → ordered [(kind, text, media_ref)]. Pure Python."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        return []
+    main = _find_main(builder.root)
+
+    spans: list[tuple[str, str | None, str | None]] = []
+    media_n = 0
+    buf: list[str] = []
+
+    def flush() -> None:
+        text = " ".join(" ".join(buf).split())
+        buf.clear()
+        if text:
+            spans.append(("text", text, None))
+
+    def link_dense(node: _Node) -> bool:
+        text, linked = _stats(node)
+        return text > 0 and linked / text > LINK_DENSITY_MAX
+
+    def walk(node: _Node) -> None:
+        nonlocal media_n
+        for ch in node.children:
+            if isinstance(ch, str):
+                buf.append(ch)
+                continue
+            if ch.tag in MEDIA_TAGS:
+                flush()
+                ref = ch.attrs.get("src") or ch.attrs.get("data-src")
+                if not ref and ch.tag == "figure":
+                    # use the nested <img src> as the figure's pointer
+                    stack = list(ch.children)
+                    while stack:
+                        d = stack.pop(0)
+                        if isinstance(d, _Node):
+                            if d.tag == "img" and d.attrs.get("src"):
+                                ref = d.attrs["src"]
+                                break
+                            stack = list(d.children) + stack
+                if not ref:
+                    ref = f"{ch.tag}:{doc_id}:{media_n}"
+                spans.append(("media", None, ref))
+                media_n += 1
+                continue
+            if ch.tag in BLOCK_TAGS:
+                flush()
+                if not link_dense(ch):
+                    walk(ch)
+                flush()
+            else:
+                walk(ch)
+
+    walk(main)
+    flush()
+    return spans
+
+
+#: flattened output shape, feeds the same assemble step as the OCR path
+HTML_SPANS_SCHEMA = "doc_id string, seq int, kind string, text string, media_ref string"
+
+
+def strip_html(html_docs: DataFrame) -> DataFrame:
+    """``html_docs(doc_id, html)`` → flattened spans (doc_id, seq, kind,
+    text, media_ref) via ``mapInPandas`` — one Arrow batch of documents per
+    call, no per-row Python at the Spark level; documents are independent so
+    this is a narrow (shuffle-free) stage.
+    """
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                for seq, (kind, text, ref) in enumerate(html_to_spans(doc_id, html)):
+                    rows.append(
+                        {"doc_id": doc_id, "seq": seq, "kind": kind, "text": text, "media_ref": ref}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "seq", "kind", "text", "media_ref"]
+            )
+
+    return html_docs.mapInPandas(kernel, schema=HTML_SPANS_SCHEMA)
+
+
+def html_spans_table(html_docs: DataFrame) -> DataFrame:
+    """End-to-end: html_docs → canonical ``documents(doc_id, spans)``."""
+    from pyspark.sql import functions as F
+
+    flat = strip_html(html_docs)
+    s = F.struct(
+        F.col("seq").alias("offset"),
+        F.col("kind").alias("kind"),
+        F.col("text").alias("text"),
+        F.col("media_ref").alias("media_ref"),
+    )
+    return (
+        flat.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(s)).alias("_s"))
+        .select(
+            "doc_id",
+            F.transform(
+                "_s",
+                lambda x: F.struct(
+                    x["kind"].alias("kind"),
+                    x["text"].alias("text"),
+                    x["media_ref"].alias("media_ref"),
+                    x["offset"].cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )

@@ -1,0 +1,198 @@
+"""The end-to-end extraction job (SURVEY.md §3.2 "Spark shape").
+
+Reference lifecycle being replaced: job start → scan pending docs → per-doc
+OCR call → per-doc LLM call → per-doc row mutations
+(``lambda/api/app/services/ocr_service.py:65-183``,
+``image_processing_pipeline.py:20-37``). Here the same semantics are one
+declarative DAG per stage family:
+
+    ocr_words ──order_words──► ordered words ──assemble_spans──► spans
+         └──────────────────────extract_fields──► extracted (optional)
+    html_docs ──strip_html──► spans                      (axis A source)
+
+wrapped in bucket-granular checkpointing (``plans.checkpoint``): a run
+processes only pending buckets, writes ``partitionBy("bucket")`` with dynamic
+overwrite, then commits the checkpoint — kill + rerun converges to the clean
+result (north_rule resumability).
+
+Scale notes:
+  * the only wide operations are the layout groupBy(doc_id,page), the global
+    offset window and the final write repartition — all keyed on doc_id, so
+    AQE + range partitioning keep them balanced;
+  * mega-document skew is defused structurally: layout parallelizes per page,
+    and bucket counts are configurable so one bucket ≈ one comfortable task.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_fields
+from ..operators.html import html_spans_table
+from ..operators.layout import assemble_spans, order_words
+from ..schema import AppSchema
+from .checkpoint import CheckpointStore, new_run_id, with_bucket
+
+SPANS_STAGE = "spans"
+EXTRACT_STAGE = "extract"
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    stage: str
+    buckets_processed: int
+    rows: int
+    wall_ms: int
+
+    @property
+    def rows_per_sec(self) -> float:
+        return self.rows / max(self.wall_ms / 1000.0, 1e-9)
+
+
+def _run_stage(
+    spark: SparkSession,
+    source: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    stage: str,
+    table: str,
+    out_dir: str,
+    n_buckets: int,
+    run_id: str | None,
+    only_buckets: set[int] | None,
+) -> RunResult:
+    """Shared resumable-stage skeleton.
+
+    1. pending = all buckets − checkpointed-done (the reference's F3
+       pending filter, ``ocr_service.py:88-91``, as partition pruning);
+    2. transform only those buckets; write ``partitionBy("bucket")`` with
+       dynamic overwrite (atomic per partition dir — kill-safe, idempotent);
+    3. only then append checkpoint + lineage rows.
+
+    ``only_buckets`` restricts the run — the test harness uses it to
+    simulate a mid-job kill.
+    """
+    run_id = run_id or new_run_id()
+    store = CheckpointStore(spark, out_dir)
+    t0 = time.monotonic()
+
+    done = store.done_buckets(stage)
+    pending = [b for b in range(n_buckets) if b not in done]
+    if only_buckets is not None:
+        pending = [b for b in pending if b in only_buckets]
+    if not pending:
+        return RunResult(run_id, stage, 0, 0, 0)
+
+    todo = (
+        with_bucket(source, n_buckets)
+        .where(F.col("bucket").isin(pending))
+        .drop("bucket")
+    )
+    out = with_bucket(transform(todo), n_buckets)
+    data_dir = os.path.join(out_dir, table)
+    # one task per pending bucket → one file per partition dir, not
+    # #tasks × #buckets fragments (file-count hygiene at 10^12 scale)
+    (
+        out.repartition(max(len(pending), 1), "bucket")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(data_dir)
+    )
+
+    counts = {
+        r["bucket"]: r["n"]
+        for r in spark.read.parquet(data_dir)
+        .where(F.col("bucket").isin(pending))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for b in pending:  # empty buckets still checkpoint as done
+        counts.setdefault(b, 0)
+    wall_ms = int((time.monotonic() - t0) * 1000)
+    store.mark_done(run_id, stage, counts, wall_ms)
+    rows = sum(counts.values())
+    store.append_lineage(run_id, stage, rows, rows, n_buckets, len(pending), wall_ms)
+    return RunResult(run_id, stage, len(pending), rows, wall_ms)
+
+
+def run_spans_job(
+    spark: SparkSession,
+    words: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    run_id: str | None = None,
+    only_buckets: set[int] | None = None,
+) -> RunResult:
+    """ocr_words → canonical spans table at ``<out_dir>/spans``, resumable."""
+    return _run_stage(
+        spark,
+        words,
+        lambda df: assemble_spans(order_words(df)),
+        SPANS_STAGE,
+        "spans",
+        out_dir,
+        n_buckets,
+        run_id,
+        only_buckets,
+    )
+
+
+def run_extract_job(
+    spark: SparkSession,
+    words: DataFrame,
+    schema: AppSchema,
+    out_dir: str,
+    n_buckets: int = 32,
+    run_id: str | None = None,
+    only_buckets: set[int] | None = None,
+) -> RunResult:
+    """ocr_words → long-format extracted fields at ``<out_dir>/extracted``."""
+    return _run_stage(
+        spark,
+        words,
+        lambda df: extract_fields(order_words(df), schema),
+        EXTRACT_STAGE,
+        "extracted",
+        out_dir,
+        n_buckets,
+        run_id,
+        only_buckets,
+    )
+
+
+def run_html_job(
+    spark: SparkSession,
+    html_docs: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    run_id: str | None = None,
+    only_buckets: set[int] | None = None,
+) -> RunResult:
+    """html_docs → canonical spans table (axis A source), resumable."""
+    return _run_stage(
+        spark,
+        html_docs,
+        html_spans_table,
+        SPANS_STAGE,
+        "spans",
+        out_dir,
+        n_buckets,
+        run_id,
+        only_buckets,
+    )
+
+
+def read_spans(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "spans")).drop("bucket")
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(out_dir, "extracted")).drop("bucket")
