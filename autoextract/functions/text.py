@@ -1,0 +1,184 @@
+"""Text-analysis column expressions — pure ``pyspark.sql.functions``.
+
+Everything here is JVM-side (whole-stage-codegen eligible): tokenization,
+shingling, MinHash signatures, language-ID scores, quality metrics, token
+counting and fingerprinting are all built from Spark built-ins, never Python
+UDFs (SURVEY.md §2.8: the reference's scalar surface maps 1:1 to built-ins;
+the training-data operators extend that same discipline).
+
+These are the building blocks a 100 TB training-data pipeline runs per
+document; keeping them codegen'd is the difference between a scan-speed pass
+and a Python-bound one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------------
+# tokenization
+# ----------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (empty-safe)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(tokens(c))
+    )
+
+
+#: BPE-ish lexer: letter runs, digit runs, single punctuation — a cheap,
+#: deterministic proxy for subword token counts.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0))
+
+
+# ----------------------------------------------------------------------
+# shingling + MinHash (dedup building blocks)
+# ----------------------------------------------------------------------
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word ``k``-gram shingles. Docs shorter than ``k`` tokens yield one
+    shingle covering the whole doc (parity contract with the DuckDB oracle:
+    ``l[i:i+k-1]`` over ``range(1, greatest(len(l)-k+1, 1)+1)``)."""
+    t = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 8) -> Column:
+    """Array of ``n_hashes`` MinHash values.
+
+    Hash family: ``md5(i || shingle)`` with the seed index prepended —
+    portable (identical in DuckDB for the oracle) and deterministic. At
+    production scale swap md5 for ``xxhash64(shingle, seed)`` (cheaper,
+    same structure) — the md5 choice here is for cross-engine verifiability.
+    """
+    def _seeded(i: int):
+        # NB: a 2-arg lambda would make F.transform pass the array index as
+        # the second argument — the seed must be bound via closure instead.
+        return lambda s: F.md5(F.concat(F.lit(str(i)), s))
+
+    return F.array(
+        *[F.array_min(F.transform(shingle_col, _seeded(i))) for i in range(n_hashes)]
+    )
+
+
+def minhash_bands(sig_col: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Band keys for LSH: concat ``rows_per_band`` consecutive signature
+    entries per band. Docs sharing any band key are near-dup candidates."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[
+                    F.element_at(sig_col, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+# ----------------------------------------------------------------------
+# language ID (n-gram/stopword heuristic)
+# ----------------------------------------------------------------------
+
+#: tiny per-language stopword marker sets (expressible as word-boundary
+#: regexes in both Spark/Java and DuckDB/RE2 for oracle parity)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["und", "der", "die", "das", "nicht"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "es", "y"],
+}
+
+
+def lang_score(text: Column | str, lang: str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    pattern = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pattern), 0)).cast("long")
+
+
+def lang_guess(text: Column | str) -> Column:
+    """argmax over language scores; deterministic tie-break by language code
+    order (greatest-first comparison chain)."""
+    c = F.col(text) if isinstance(text, str) else text
+    scores = {lang: lang_score(c, lang) for lang in sorted(LANG_MARKERS)}
+    best = F.lit("und")
+    best_score = F.lit(-1).cast("long")
+    # iterate in reverse-sorted order so earlier codes win ties with >=
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        take = scores[lang] >= best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, scores[lang]).otherwise(best_score)
+    return F.when(best_score <= 0, F.lit("und")).otherwise(best)
+
+
+# ----------------------------------------------------------------------
+# quality scoring
+# ----------------------------------------------------------------------
+
+
+def quality_metrics(text: Column | str) -> dict[str, Column]:
+    """The classic cheap quality signals (Gopher/C4-style rules, re-derived):
+    length, mean word length, alpha ratio, punctuation density, stopword
+    presence. Returns named columns; ``quality_keep`` is the combined gate."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c).cast("long")
+    n_words = word_count(c).cast("long")
+    mean_word_len = F.when(n_words > 0, (n_chars - n_words + 1) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("long")
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    punct_chars = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("long")
+    punct_ratio = F.when(n_chars > 0, punct_chars / n_chars).otherwise(F.lit(0.0))
+    stop_hits = lang_score(c, "en")
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    keep = (
+        (n_words >= 10)
+        & (mean_word_len >= 2.0)
+        & (mean_word_len <= 12.0)
+        & (alpha_ratio >= 0.6)
+        & (punct_ratio <= 0.2)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_word_len, 4),
+        "alpha_ratio": F.round(alpha_ratio, 4),
+        "punct_ratio": F.round(punct_ratio, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "quality_keep": keep,
+    }
+
+
+# ----------------------------------------------------------------------
+# fingerprinting
+# ----------------------------------------------------------------------
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalized-content fingerprint: lowercase, collapse non-alnum runs,
+    md5. Two docs differing only in punctuation/case/whitespace collide —
+    the standard exact-dedup key after normalization."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
+    return F.md5(normalized)

@@ -1,0 +1,250 @@
+"""Deduplication operators over a ``documents(doc_id, text, ...)`` corpus.
+
+A 100 TB training-data pipeline's highest-leverage pass. Five strategies,
+cheapest first; all but SimHash are pure DataFrame plans (shuffle-only where
+a shuffle is semantically required — the groupBy on the dedup key):
+
+  * exact        — group by sha256(text); one shuffle on a short key
+  * normalized   — group by the normalization fingerprint (case/punct-proof)
+  * MinHash LSH  — shingle → signature → band keys → explode → group by
+                   band (candidates) → verified by n-gram Jaccard. The
+                   classic Broder construction; only candidate pairs ever
+                   pay the Jaccard cost, so the crossjoin is avoided.
+  * SimHash      — 64-bit Charikar sketch via a vectorized pandas UDF
+                   (bit-twiddling is the one thing Spark expressions do
+                   badly); near-dups = equal sketch or small Hamming distance
+  * embedding    — cosine near-dup pairs within a blocking key (delegates to
+                   operators.similarity)
+
+Scale notes: every strategy keys its shuffle on a *derived, short* column —
+never on raw text; the LSH band explode multiplies rows by #bands (a
+constant), which beats the quadratic crossjoin it replaces by many orders of
+magnitude at corpus scale. Keep-policy is always ``min(doc_id)`` — stable and
+deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import fingerprint, minhash_bands, minhash_signature, shingles
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(hash, keeper_doc_id, n_docs) per distinct text; n_docs>1 → dup group."""
+    return (
+        docs.groupBy(F.sha2(F.col(text_col), 256).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep exactly one row (min doc_id) per distinct text."""
+    # keeper table is corpus-sized — a regular shuffle join, never broadcast
+    w_keeper = exact_duplicate_groups(docs, text_col).select(
+        "text_hash", "keeper_doc_id"
+    )
+    return (
+        docs.withColumn("text_hash", F.sha2(F.col(text_col), 256))
+        .join(w_keeper, "text_hash")
+        .where(F.col("doc_id") == F.col("keeper_doc_id"))
+        .drop("text_hash", "keeper_doc_id")
+    )
+
+
+def normalized_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Same as exact, but on the normalization fingerprint."""
+    return (
+        docs.groupBy(fingerprint(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures_agg(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature as columns ``mh0..mh{n-1}``.
+
+    The scale shape: explode shingles once, then ONE hash-aggregate with
+    n_hashes ``min`` columns — partial (map-side) aggregation collapses each
+    task's shingles before the shuffle, so the exchange carries one short row
+    per (doc × task), not the shingle stream. Avoids re-evaluating the
+    shingle expression tree per hash seed (Catalyst inlines collapsed
+    projections, which would recompute it n_hashes× otherwise).
+    """
+    exploded = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: (doc_a, doc_b) sharing ≥1 MinHash band.
+
+    rows_per_band = n_hashes / n_bands. Pair direction normalized
+    (doc_a < doc_b) and deduped across bands.
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures_agg(docs, text_col, n_hashes)
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sig.select("doc_id", F.explode(bands).alias("band"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, "band")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_col: str | None = None,
+    k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Pairwise word-``k``-gram Jaccard similarity.
+
+    ``block_col`` restricts pairs to a blocking key (at scale you NEVER run
+    this unblocked — feed it ``minhash_candidates`` output or a partition
+    key; the unblocked form exists for small verified sets and oracles).
+    """
+    sh = docs.select(
+        F.col("doc_id"),
+        *([F.col(block_col)] if block_col else []),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    joined = (
+        a.join(b, on=block_col, how="inner") if block_col else a.crossJoin(b)
+    ).where(cond)
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    out = joined.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+    return out.where(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def minhash_verified_pairs(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.7,
+    n_hashes: int = 8, n_bands: int = 4, k: int = 3,
+) -> DataFrame:
+    """The full near-dup pipeline: LSH candidates → exact Jaccard verify.
+
+    This is the scale path: candidate generation is linear (explode by a
+    constant band count + one shuffle on band keys); the quadratic Jaccard
+    verification only touches candidate pairs.
+    """
+    cands = minhash_candidates(docs, text_col, n_hashes, n_bands)
+    sh = docs.select(
+        F.col("doc_id"), F.array_distinct(shingles(F.col(text_col), k)).alias("sh")
+    )
+    paired = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.when(union > 0, inter / union).otherwise(0.0), 6).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)
+
+
+# ----------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — bit ops are the Python-worthy exception)
+# ----------------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(text: pd.Series) -> pd.Series:
+    """64-bit Charikar SimHash over whitespace tokens.
+
+    Per Arrow batch: hash every token (numpy vectorized via Python's
+    stable-for-strings md5 folding), accumulate signed bit counts, take the
+    sign. Deterministic — no salts, no randomness.
+    """
+    import hashlib
+
+    out = np.zeros(len(text), dtype=np.int64)
+    for row_i, t in enumerate(text):
+        if not t:
+            continue
+        toks = t.split()
+        if not toks:
+            continue
+        # token → 64-bit digest prefix
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(tok.encode("utf-8")).digest()[:8] for tok in toks),
+            dtype="<u8",
+        ).astype(np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        counts = (2 * bits - 1).sum(axis=0)
+        sketch = np.uint64(0)
+        for b_idx in np.nonzero(counts > 0)[0]:
+            sketch |= np.uint64(1) << np.uint64(b_idx)
+        out[row_i] = sketch.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3, n_prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``n_prefix_bits`` of the
+    sketch (docs differing in ≤max_hamming low bits usually share the
+    prefix), verify Hamming distance exactly with ``bit_count(a XOR b)``."""
+    s = docs.select("doc_id", simhash64(F.col(text_col)).alias("sk"))
+    pref = s.withColumn(
+        "blk", F.shiftrightunsigned(F.col("sk"), 64 - n_prefix_bits)
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    return (
+        a.join(b, "blk")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sk").bitwiseXOR(F.col("b.sk"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -182,40 +182,34 @@ LAYOUT_SCHEMA = (
     "x1 double, y1 double, block_id int, line_id int"
 )
 
+#: output schema of the partition-batched fast path (word_id = global offset)
+ORDERED_SCHEMA = (
+    "doc_id string, page int, seq int, kind string, content string, "
+    "media_ref string, rec_score double, x0 double, y0 double, "
+    "x1 double, y1 double, block_id int, line_id int, word_id int"
+)
 
-def _layout_one_page(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (doc_id, page) group → ordered rows."""
+
+def _layout_one_page_flat(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (doc_id, page) group (flat-box input from
+    ``_clean``) → reading-ordered rows."""
     n = len(pdf)
-    if n:
-        # Arrow hands nested lists back as object-dtype arrays of arrays;
-        # flatten via concatenate (vectorized) rather than per-row casts.
-        flat = np.concatenate([np.concatenate(p) for p in pdf["points"]])
-        boxes = boxes_from_points(flat.astype(np.float64).reshape(n, 4, 2))
-    else:
-        boxes = np.zeros((0, 4))
-    seq_in = pdf["word_seq"].to_numpy()
-    perm, block_id, line_id = page_reading_order(boxes, tiebreak=seq_in)
-    kind = (
-        pdf["kind"].to_numpy()
-        if "kind" in pdf.columns
-        else np.full(n, "text", dtype=object)
-    )
-    media = (
-        pdf["media_ref"].to_numpy()
-        if "media_ref" in pdf.columns
-        else np.full(n, None, dtype=object)
+    boxes = np.stack(
+        [pdf["x0"].to_numpy(), pdf["y0"].to_numpy(), pdf["x1"].to_numpy(), pdf["y1"].to_numpy()],
+        axis=1,
+    ) if n else np.zeros((0, 4))
+    perm, block_id, line_id = page_reading_order(
+        boxes, tiebreak=pdf["word_seq"].to_numpy()
     )
     out = pd.DataFrame(
         {
             "doc_id": pdf["doc_id"].to_numpy()[perm],
             "page": pdf["page"].to_numpy()[perm].astype("int32"),
             "seq": np.arange(n, dtype="int32"),
-            "kind": kind[perm],
+            "kind": pdf["kind"].to_numpy()[perm],
             "content": pdf["content"].to_numpy()[perm],
-            "media_ref": media[perm],
-            "rec_score": pdf["rec_score"].to_numpy()[perm]
-            if "rec_score" in pdf.columns
-            else np.ones(n),
+            "media_ref": pdf["media_ref"].to_numpy()[perm],
+            "rec_score": pdf["rec_score"].to_numpy()[perm],
             "x0": boxes[perm, 0],
             "y0": boxes[perm, 1],
             "x1": boxes[perm, 2],
@@ -227,27 +221,157 @@ def _layout_one_page(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def order_words(ocr_words: DataFrame) -> DataFrame:
-    """``ocr_words(doc_id, page, word_seq, content, rec_score, points[, kind,
-    media_ref])`` → ordered words with global ``word_id``.
-
-    Empty/whitespace-only text words are dropped before layout — the
-    reference's producer-side rule (``inference.py:108`` ``if text.strip()``),
-    here a JVM-side filter so the UDF never sees them.
-
-    Scale shape: one ``applyInPandas`` grouped by (doc_id, page) — group
-    size bounded by page word count, so mega-documents spread across tasks —
-    then one window over doc_id for the global id (the single shuffle of the
-    pipeline; SURVEY.md §2 W1 replaces the reference's O(n²) re-match at
-    ``ocr.py:311-322``).
-    """
-    cleaned = ocr_words.where(
+def _clean(ocr_words: DataFrame) -> DataFrame:
+    """Drop empty/whitespace-only text words — the reference's producer-side
+    rule (``inference.py:108`` ``if text.strip()``), as a JVM-side filter so
+    the UDFs never see them. Boxes are folded from the corner quads here too
+    (pure expressions: Catalyst keeps the whole prologue codegen'd, and the
+    Python stage receives flat doubles instead of nested arrays — nested
+    Arrow lists are ~10× costlier to hand across)."""
+    has_kind = "kind" in ocr_words.columns
+    cond = (
         (F.col("kind") != F.lit("text")) | (F.length(F.trim(F.col("content"))) > 0)
-        if "kind" in ocr_words.columns
+        if has_kind
         else F.length(F.trim(F.col("content"))) > 0
     )
+    xs = F.transform("points", lambda p: p[0])
+    ys = F.transform("points", lambda p: p[1])
+    out = ocr_words.where(cond).select(
+        "doc_id",
+        F.col("page").cast("int").alias("page"),
+        F.col("word_seq").cast("int").alias("word_seq"),
+        (F.col("kind") if has_kind else F.lit("text")).alias("kind"),
+        "content",
+        (F.col("media_ref") if "media_ref" in ocr_words.columns else F.lit(None).cast("string")).alias("media_ref"),
+        (F.col("rec_score") if "rec_score" in ocr_words.columns else F.lit(1.0)).alias("rec_score"),
+        F.array_min(xs).alias("x0"),
+        F.array_min(ys).alias("y0"),
+        F.array_max(xs).alias("x1"),
+        F.array_max(ys).alias("y1"),
+    )
+    return out
+
+
+_COLS = [
+    "doc_id", "page", "word_seq", "kind", "content", "media_ref",
+    "rec_score", "x0", "y0", "x1", "y1",
+]
+
+
+def _order_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Reading-order a chunk of COMPLETE documents (sorted by doc_id, page,
+    word_seq). One vectorized output construction for the whole chunk; the
+    per-page ``page_reading_order`` calls are the only Python-level loop."""
+    n = len(pdf)
+    ids = pdf["doc_id"].to_numpy(dtype=object)
+    pages = pdf["page"].to_numpy()
+    seqs = pdf["word_seq"].to_numpy()
+    boxes = np.stack(
+        [pdf["x0"].to_numpy(), pdf["y0"].to_numpy(), pdf["x1"].to_numpy(), pdf["y1"].to_numpy()],
+        axis=1,
+    )
+    # (doc, page) group boundaries in one pass
+    changed = np.flatnonzero((ids[1:] != ids[:-1]) | (pages[1:] != pages[:-1])) + 1
+    starts = np.concatenate(([0], changed))
+    ends = np.concatenate((changed, [n]))
+    doc_start = np.concatenate(([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1))
+
+    perm = np.empty(n, dtype=np.int64)
+    block_id = np.empty(n, dtype=np.int32)
+    line_id = np.empty(n, dtype=np.int32)
+    seq_out = np.empty(n, dtype=np.int32)
+    word_id = np.empty(n, dtype=np.int32)
+    doc_starts = set(doc_start.tolist())
+    base = 0  # global word_id base within the current doc
+    for lo, hi in zip(starts, ends):
+        if lo in doc_starts:
+            base = lo
+        p, b, l = page_reading_order(boxes[lo:hi], tiebreak=seqs[lo:hi])
+        perm[lo:hi] = p + lo
+        block_id[lo:hi] = b[p]
+        line_id[lo:hi] = l[p]
+        seq_out[lo:hi] = np.arange(hi - lo, dtype=np.int32)
+        word_id[lo:hi] = np.arange(lo - base, hi - base, dtype=np.int32)
+
+    return pd.DataFrame(
+        {
+            "doc_id": ids[perm],
+            "page": pages[perm].astype("int32"),
+            "seq": seq_out,
+            "kind": pdf["kind"].to_numpy()[perm],
+            "content": pdf["content"].to_numpy()[perm],
+            "media_ref": pdf["media_ref"].to_numpy()[perm],
+            "rec_score": pdf["rec_score"].to_numpy()[perm],
+            "x0": boxes[perm, 0],
+            "y0": boxes[perm, 1],
+            "x1": boxes[perm, 2],
+            "y1": boxes[perm, 3],
+            "block_id": block_id,
+            "line_id": line_id,
+            "word_id": word_id,
+        }
+    )
+
+
+def _order_partition(batches):
+    """mapInPandas kernel: a partition holds complete documents (rows
+    repartitioned by doc_id and sorted by (doc_id, page, word_seq)); Arrow
+    batches may split a document, so buffer the tail until the doc_id
+    changes. One Python call per partition, not per group."""
+    leftover: pd.DataFrame | None = None
+    for pdf in batches:
+        if leftover is not None:
+            pdf = pd.concat([leftover, pdf], ignore_index=True)
+            leftover = None
+        if len(pdf) == 0:
+            continue
+        ids = pdf["doc_id"].to_numpy(dtype=object)
+        # last complete doc boundary; hold the final doc (may continue)
+        tail_mask = ids != ids[-1]
+        cut = int(np.flatnonzero(tail_mask).max() + 1) if tail_mask.any() else 0
+        if cut > 0:
+            yield _order_chunk(pdf.iloc[:cut])
+        leftover = pdf.iloc[cut:].reset_index(drop=True)
+    if leftover is not None and len(leftover):
+        yield _order_chunk(leftover)
+
+
+def order_words(ocr_words: DataFrame, partitions: int | None = None) -> DataFrame:
+    """``ocr_words(doc_id, page, word_seq, content, rec_score, points[, kind,
+    media_ref])`` → reading-ordered words with global ``word_id`` (the
+    ``offset`` of the target schema — SURVEY.md §2 W1, replacing the
+    reference's O(n²) re-match at ``ocr.py:311-322``).
+
+    Scale shape — exactly ONE shuffle: ``repartition(doc_id)`` +
+    ``sortWithinPartitions(doc_id, page, word_seq)`` co-locates and orders
+    each document, then a single ``mapInPandas`` pass assigns reading order
+    AND global offsets per document (no window, no second shuffle). Box
+    folding and the empty-word filter run JVM-side before the exchange.
+
+    Skew: hash repartition balances documents across tasks; a pathological
+    mega-document is bounded by the ingest page cap (the reference enforces
+    ≤10 pages/doc, ``pdf.py:122-124``) and NumPy handles 10^5-word documents
+    in-memory comfortably. For corpora with unbounded single documents use
+    ``order_words_paged`` (page-parallel variant) below.
+    """
+    cleaned = _clean(ocr_words)
+    spark = ocr_words.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        cleaned.repartition(n_part, "doc_id")
+        .sortWithinPartitions("doc_id", "page", "word_seq")
+        .mapInPandas(_order_partition, schema=ORDERED_SCHEMA)
+    )
+
+
+def order_words_paged(ocr_words: DataFrame) -> DataFrame:
+    """Page-parallel variant: ``applyInPandas`` per (doc_id, page) then a
+    window for global offsets. Two shuffles, higher per-group overhead, but
+    a single enormous document parallelizes across its pages — the manual
+    salting policy for unbounded-doc corpora (SURVEY.md §4 item 1)."""
+    cleaned = _clean(ocr_words)
     laid_out = cleaned.groupBy("doc_id", "page").applyInPandas(
-        _layout_one_page, schema=LAYOUT_SCHEMA
+        _layout_one_page_flat, schema=LAYOUT_SCHEMA
     )
     w = Window.partitionBy("doc_id").orderBy("page", "seq")
     return laid_out.withColumn("word_id", (F.row_number().over(w) - 1).cast("int"))

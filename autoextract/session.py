@@ -13,9 +13,9 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 # Arrow batch size for pandas UDF stages: large enough to amortize the
-# Python/Arrow hop, small enough that a batch of documents (each potentially
-# thousands of words) fits comfortably in worker memory.
-ARROW_MAX_RECORDS_PER_BATCH = 2048
+# Python/Arrow round-trip (word-level rows are ~200 bytes, so 16k rows ≈ 3 MB
+# per batch), small enough to stay comfortable in worker memory.
+ARROW_MAX_RECORDS_PER_BATCH = 16384
 
 
 def get_spark(

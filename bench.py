@@ -1,0 +1,173 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "docs_per_sec": ..., "scaling": {"docs_per_sec_local8": ...,
+   "docs_per_sec_local32": ..., "efficiency_n_to_4n": ...}}
+
+Two parts:
+  1. headline query timings at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+     local[$SPARK_GRAFT_CPUS] — the operator-coverage suite;
+  2. the span-extraction pipeline (the BASELINE.json metric: documents/sec)
+     run at local[8] AND local[32] in fresh subprocesses on the same input —
+     the sandbox stand-in for N vs 4N executors; efficiency =
+     (throughput_32 / throughput_8) / 4.
+
+Run directly: ``python bench.py``; scaling subprocesses invoke
+``python bench.py --span-run <cpus>`` internally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: headline operator queries timed at full parallelism
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "dim_broadcast_join",
+    "latest_first_topk",
+    "sessionize",
+    "dedup_exact",
+    "dedup_normalized",
+    "minhash_band_buckets",
+    "ngram_jaccard_topk",
+    "embedding_cosine_topk",
+    "embedding_neardup",
+    "lang_id",
+    "quality_metrics",
+    "bpe_token_count",
+    "simhash_sketches",
+    "srp_ann_topk",
+    "spans_reassemble",
+]
+
+
+#: corpus multiplier for the scaling measurement — big enough that task
+#: compute dominates fixed scheduling/Python-worker costs (the quantity the
+#: N-vs-4N criterion is about), small enough to finish in seconds.
+SCALE_REPLICATE = 32
+
+
+def _span_pipeline_docs(spark, sf_dir: str, replicate: int = 1):
+    """The flagship span-extraction job: documents → word boxes → layout →
+    spans. ``replicate`` clones the corpus with distinct doc_ids."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+    from autoextract.operators.layout import assemble_spans, order_words
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    if replicate > 1:
+        docs = docs.select(
+            "doc_id",
+            "text",
+            F.explode(F.array(*[F.lit(i) for i in range(replicate)])).alias("rep"),
+        ).select(
+            (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"), "text"
+        )
+    return assemble_spans(order_words(E._docs_to_word_boxes(docs)))
+
+
+def span_run(cpus: int) -> None:
+    """Subprocess body: warm-run then time the span pipeline, print docs/sec.
+
+    The warm-up executes the full pipeline once so JVM JIT, Python worker
+    pool and Arrow codepaths are resident — the timed run then measures
+    steady-state throughput, which is what scales with cores."""
+    from autoextract.session import get_spark
+
+    spark = get_spark(app_name=f"bench-span-{cpus}", parallelism=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    _span_pipeline_docs(spark, SF_DIR, replicate=2).count()  # warm-up
+    spans = _span_pipeline_docs(spark, SF_DIR, replicate=SCALE_REPLICATE)
+    # best-of-3: the sandbox carries unpredictable external load; min wall
+    # is the standard estimator for intrinsic cost under noise
+    wall, n_docs = None, 0
+    for _ in range(3):
+        t0 = time.monotonic()
+        n_docs = spans.count()
+        w = time.monotonic() - t0
+        wall = w if wall is None else min(wall, w)
+    print(json.dumps({"cpus": cpus, "docs": n_docs, "wall_s": wall,
+                      "docs_per_sec": n_docs / wall}))
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--span-run":
+        span_run(int(sys.argv[2]))
+        return
+
+    import __spark_entry__ as E
+    from autoextract.session import get_spark
+
+    spark = get_spark(app_name="bench", parallelism=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").collect()  # warm-up
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # span-pipeline throughput at this session's parallelism
+    spans = _span_pipeline_docs(spark, SF_DIR)
+    t0 = time.monotonic()
+    n_docs = spans.count()
+    span_wall = time.monotonic() - t0
+    timings["span_pipeline"] = round(span_wall, 3)
+    spark.stop()
+
+    # scaling: same job, same input, local[8] vs local[32] (N vs 4N stand-in).
+    # The sandbox is a Firecracker microVM with invisible host contention
+    # (idle %cpu yet loadavg>16 at times), so sides are interleaved and the
+    # best observation per side is kept — the standard noisy-host estimator.
+    scaling = {}
+    try:
+        best: dict[int, float] = {}
+        for cpus in (8, 32, 8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--span-run", str(cpus)],
+                capture_output=True, text=True, timeout=900,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+            )
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            best[cpus] = max(best.get(cpus, 0.0), r["docs_per_sec"])
+        scaling = {
+            "docs_per_sec_local8": round(best[8], 2),
+            "docs_per_sec_local32": round(best[32], 2),
+            "efficiency_n_to_4n": round((best[32] / best[8]) / 4.0, 3),
+        }
+    except Exception as exc:  # scaling evidence is best-effort in-harness
+        scaling = {"error": str(exc)[:200]}
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "span_extraction_headline_suite",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "docs_per_sec": round(n_docs / span_wall, 2),
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
