@@ -228,16 +228,34 @@ def simhash64(text: pd.Series) -> pd.Series:
 
 
 def simhash_near_dup_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3, n_prefix_bits: int = 16
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on the top ``n_prefix_bits`` of the
-    sketch (docs differing in ≤max_hamming low bits usually share the
-    prefix), verify Hamming distance exactly with ``bit_count(a XOR b)``."""
+    """Near-dup pairs by SimHash with GUARANTEED recall for
+    ``hamming ≤ max_hamming``: split the 64-bit sketch into
+    ``max_hamming + 1`` segments — by pigeonhole, any pair within the
+    distance bound agrees exactly on at least one segment. Block on
+    (segment index, segment value), then verify the true Hamming distance
+    with ``bit_count(a XOR b)`` and dedup pairs found via multiple segments.
+    The standard Manku/Jain/Sarma construction; the explode factor is the
+    constant segment count, so candidate generation stays linear.
+    """
+    n_segments = max_hamming + 1
+    seg_bits = 64 // n_segments
     s = docs.select("doc_id", simhash64(F.col(text_col)).alias("sk"))
-    pref = s.withColumn(
-        "blk", F.shiftrightunsigned(F.col("sk"), 64 - n_prefix_bits)
+    segs = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.shiftrightunsigned(
+                    F.shiftleft(F.col("sk"), i * seg_bits), 64 - seg_bits
+                ).cast("string"),
+            )
+            for i in range(n_segments)
+        ]
     )
-    a, b = pref.alias("a"), pref.alias("b")
+    blocked = s.select("doc_id", "sk", F.explode(segs).alias("blk"))
+    a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(b, "blk")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -247,4 +265,5 @@ def simhash_near_dup_pairs(
             F.bit_count(F.col("a.sk").bitwiseXOR(F.col("b.sk"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -1,0 +1,114 @@
+"""Dedup + similarity operators: planted duplicates must be found."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from autoextract.operators import dedup as DD
+from autoextract.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (2, "The quick brown fox, jumps over the lazy dog near the river bank today!"),  # normalized dup
+        (3, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"),  # near dup (1 token)
+        (4, "completely different content about spark shuffle partitions and skew handling"),
+        (5, "another unrelated document discussing columnar storage and predicate pushdown"),
+    ]
+    return spark.createDataFrame(base, ["doc_id", "text"])
+
+
+def test_exact_duplicate_groups(spark, docs):
+    groups = {r["keeper_doc_id"]: r["n_docs"] for r in DD.exact_duplicate_groups(docs).collect()}
+    assert groups[0] == 2  # docs 0,1
+    assert sum(groups.values()) == 6
+
+
+def test_exact_dedup_keeps_min(spark, docs):
+    kept = sorted(r["doc_id"] for r in DD.exact_dedup(docs).collect())
+    assert kept == [0, 2, 3, 4, 5]
+
+
+def test_normalized_dedup_catches_case_punct(spark, docs):
+    groups = {r["keeper_doc_id"]: r["n_docs"] for r in DD.normalized_duplicate_groups(docs).collect()}
+    assert groups[0] == 3  # 0,1,2 collapse after normalization
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.minhash_verified_pairs(docs, threshold=0.5, n_hashes=8, n_bands=8).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.5 < pairs[(0, 3)] < 1.0
+    assert all(a in (0, 1, 2, 3) and b in (0, 1, 2, 3) for a, b in pairs)
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in DD.simhash_near_dup_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # identical text → identical sketch
+    # near dup within a few bits
+    assert (0, 3) in pairs or (1, 3) in pairs
+
+
+def test_simhash_deterministic(spark, docs):
+    a = {r["doc_id"]: r["sk"] for r in docs.select("doc_id", DD.simhash64("text").alias("sk")).collect()}
+    b = {r["doc_id"]: r["sk"] for r in docs.select("doc_id", DD.simhash64("text").alias("sk")).collect()}
+    assert a == b
+    assert a[0] == a[1]
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    base = rng.rand(8).astype("float32")
+    for i in range(50):
+        if i == 1:  # exact clone of vec 0
+            v = base
+        elif i == 2:  # tiny perturbation
+            v = base + rng.rand(8).astype("float32") * 0.01
+        else:
+            v = rng.rand(8).astype("float32")
+        rows.append((i, [float(x) for x in (base if i == 0 else v)], i % 5))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    q = [r["embedding"] for r in embeddings.where("vec_id = 0").collect()][0]
+    top = SIM.cosine_topk(embeddings, list(q), k=3).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] in (0, 1) and ids[1] in (0, 1)  # the two identical vectors
+    assert ids[2] == 2
+    assert top[0]["cosine"] == 1.0
+
+
+def test_srp_ann_finds_clones(spark, embeddings):
+    q = [r["embedding"] for r in embeddings.where("vec_id = 0").collect()][0]
+    top = SIM.ann_topk_via_srp(embeddings, list(q), dim=8, k=3, n_planes=4).collect()
+    ids = {r["vec_id"] for r in top}
+    assert 0 in ids and 1 in ids  # clones share every SRP bucket
+
+
+def test_srp_buckets_deterministic(spark, embeddings):
+    a = {r["vec_id"]: r["srp_bucket"] for r in SIM.srp_buckets(embeddings, dim=8).collect()}
+    b = {r["vec_id"]: r["srp_bucket"] for r in SIM.srp_buckets(embeddings, dim=8).collect()}
+    assert a == b
+    assert a[0] == a[1]
+
+
+def test_embedding_near_dup_pairs(spark, embeddings):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SIM.embedding_near_dup_pairs(embeddings, threshold=0.999).collect()
+    }
+    assert (0, 1) in pairs

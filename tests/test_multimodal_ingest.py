@@ -1,0 +1,102 @@
+"""Multimodal plumbing + raw ingestion (operators/multimodal, sources/ingest)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from autoextract.operators import multimodal as MM
+from autoextract.sources import ingest as ING
+
+
+def test_sniff_format_pure():
+    assert MM.sniff_format(ING.make_png(10, 20)) == "png"
+    assert MM.sniff_format(ING.make_jpeg(10, 20)) == "jpeg"
+    assert MM.sniff_format(ING.make_gif(10, 20)) == "gif"
+    assert MM.sniff_format(ING.make_pdf()) == "pdf"
+    assert MM.sniff_format(b"<html><body>") == "html"
+    assert MM.sniff_format(b"") == "empty"
+    assert MM.sniff_format(b"garbage") == "unknown"
+
+
+def test_header_dims_real_parsers():
+    assert MM._png_dims(ING.make_png(123, 456)) == (123, 456)
+    assert MM._gif_dims(ING.make_gif(77, 88)) == (77, 88)
+    assert MM._jpeg_dims(ING.make_jpeg(640, 480)) == (640, 480)
+
+
+def test_decode_image_meta(spark):
+    media = spark.createDataFrame(
+        [
+            ("m1", ING.make_png(3000, 1000)),
+            ("m2", ING.make_jpeg(100, 150)),
+            ("m3", b"not an image"),
+        ],
+        ["media_ref", "payload"],
+    )
+    rows = {r["media_ref"]: r for r in MM.decode_image_meta(media).collect()}
+    assert rows["m1"]["fmt"] == "png" and rows["m1"]["width"] == 3000 and rows["m1"]["valid"]
+    assert rows["m2"]["fmt"] == "jpeg" and rows["m2"]["height"] == 150
+    assert rows["m3"]["fmt"] == "unknown" and not rows["m3"]["valid"]
+
+
+def test_resize_plan_policy(spark):
+    """The reference's 1568-long-edge cap (helpers.py:58-104)."""
+    media = spark.createDataFrame(
+        [("big", ING.make_png(3136, 1568)), ("small", ING.make_png(150, 100))],
+        ["media_ref", "payload"],
+    )
+    plan = {r["media_ref"]: r for r in MM.resize_plan(MM.decode_image_meta(media)).collect()}
+    assert plan["big"]["target_width"] == 1568
+    assert plan["big"]["target_height"] == 784
+    assert not plan["big"]["too_small_warning"]
+    assert plan["small"]["target_width"] == 150  # no upscale
+    assert plan["small"]["too_small_warning"]
+
+
+def test_resize_stub_flags(spark):
+    media = spark.createDataFrame(
+        [("big", ING.make_png(4000, 4000)), ("ok", ING.make_png(100, 100))],
+        ["media_ref", "payload"],
+    )
+    rows = {r["media_ref"]: r for r in MM.resize_image_stub(media).collect()}
+    assert rows["big"]["resized"] is True
+    assert rows["ok"]["resized"] is False
+    assert bytes(rows["ok"]["payload"]) == ING.make_png(100, 100)
+
+
+def test_frame_sample_shape(spark):
+    vids = spark.createDataFrame([("v1", b"\x01" * 6400)], ["media_ref", "payload"])
+    rows = MM.frame_sample_stub(vids, every_n=30).collect()
+    assert len(rows) > 1
+    assert all(r["media_ref"] == "v1" for r in rows)
+    assert [r["frame_idx"] for r in rows] == sorted(r["frame_idx"] for r in rows)
+
+
+def test_embed_media_deterministic(spark):
+    media = spark.createDataFrame(
+        [("a", b"payload-a"), ("b", b"payload-b"), ("a2", b"payload-a")],
+        ["media_ref", "payload"],
+    )
+    rows = {r["media_ref"]: list(r["embedding"]) for r in MM.embed_media_stub(media, dim=8).collect()}
+    assert rows["a"] == rows["a2"]  # content-derived, deterministic
+    assert rows["a"] != rows["b"]
+    assert len(rows["a"]) == 8
+
+
+def test_ingest_sniff_dispatch(spark):
+    raw = ING.gen_raw_docs(spark, 100, seed=5)
+    sniffed = ING.sniff(raw).cache()
+    by_fmt = {r["fmt"]: r["n"] for r in sniffed.groupBy("fmt").agg(F.count("*").alias("n")).collect()}
+    assert set(by_fmt) == {"png", "jpeg", "gif", "pdf", "html"}
+    assert sum(by_fmt.values()) == 100
+    routed = ING.dispatch(sniffed)
+    assert routed["html"].count() == by_fmt["html"]
+    assert routed["images"].count() == by_fmt["png"] + by_fmt["jpeg"] + by_fmt["gif"]
+    assert routed["pdfs"].count() == by_fmt["pdf"]
+    assert routed["other"].count() == 0
+    # html branch feeds the real stripper
+    from autoextract.operators.html import html_spans_table
+
+    spans = html_spans_table(routed["html"])
+    assert spans.count() == by_fmt["html"]
+    sniffed.unpersist()

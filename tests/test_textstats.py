@@ -1,0 +1,72 @@
+"""Text-analysis expression functions (functions/text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from autoextract.functions import text as TX
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], ["text"]).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_word_count(spark):
+    assert _one(spark, "a b  c", TX.word_count("text")) == 3
+    assert _one(spark, "", TX.word_count("text")) == 0
+    assert _one(spark, "   ", TX.word_count("text")) == 0
+
+
+def test_shingles_edges(spark):
+    assert _one(spark, "a b c d", TX.shingles("text")) == ["a b c", "b c d"]
+    assert _one(spark, "a b", TX.shingles("text")) == ["a b"]  # short doc → 1 shingle
+    assert _one(spark, "a", TX.shingles("text")) == ["a"]
+
+
+def test_bpe_token_count(spark):
+    # letters, digits, punctuation each tokenize separately
+    assert _one(spark, "ab12 cd!", TX.bpe_token_count("text")) == 4
+
+
+def test_lang_guess(spark):
+    assert _one(spark, "the cat and the dog of the house is big", TX.lang_guess("text")) == "en"
+    assert _one(spark, "der hund und die katze und das haus nicht", TX.lang_guess("text")) == "de"
+    assert _one(spark, "le chat et la maison est grande les arbres", TX.lang_guess("text")) == "fr"
+    assert _one(spark, "el gato y los perros es grande las casas", TX.lang_guess("text")) == "es"
+    assert _one(spark, "xyzzy plugh quux", TX.lang_guess("text")) == "und"
+
+
+def test_quality_metrics_gate(spark):
+    good = "The quick brown fox jumps over the lazy dog and runs far away today."
+    m = TX.quality_metrics(F.col("text"))
+    row = (
+        spark.createDataFrame([(good,)], ["text"])
+        .select(*[v.alias(k) for k, v in m.items()])
+        .collect()[0]
+    )
+    assert row["quality_keep"] is True
+    assert row["n_words"] == 14
+
+    bad = "!!! ??? ,,, ;;;"
+    row2 = (
+        spark.createDataFrame([(bad,)], ["text"])
+        .select(*[v.alias(k) for k, v in m.items()])
+        .collect()[0]
+    )
+    assert row2["quality_keep"] is False
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello, World!", TX.fingerprint("text"))
+    b = _one(spark, "hello   world", TX.fingerprint("text"))
+    c = _one(spark, "hello world again", TX.fingerprint("text"))
+    assert a == b
+    assert a != c
+
+
+def test_minhash_signature_deterministic(spark):
+    sig = TX.minhash_signature(TX.shingles("text"), n_hashes=4)
+    df = spark.createDataFrame([("a b c d e",), ("a b c d e",)], ["text"])
+    rows = df.select(sig.alias("s")).collect()
+    assert rows[0]["s"] == rows[1]["s"]
+    assert len(rows[0]["s"]) == 4
