@@ -218,23 +218,46 @@ _WORKS = ["配送業務", "集荷業務", "倉庫作業", "引越業務"]
 _TABLE_HEADERS = ["受付番号", "行先", "発地", "車番", "運賃"]
 
 
-def _gen_one_doc(doc_idx: int, seed: int, mega: bool = False) -> list[dict]:
-    """One synthetic shipping form. Returns word rows incl. ``true_order``.
+#: item-field names in schema order (mirrors SHIPPING_SCHEMA / _TABLE_HEADERS)
+_ITEM_FIELDS = ["reception_number", "destination", "origin", "vehicle_number", "fare"]
+
+
+def _gen_one_doc(
+    doc_idx: int, seed: int, mega: bool = False
+) -> tuple[list[dict], list[dict]]:
+    """One synthetic shipping form. Returns (word rows incl. ``true_order``,
+    expected extraction rows).
 
     Geometry is single-column, top-to-bottom — construction order IS reading
-    order, giving an algorithm-independent expected span sequence.
+    order, giving an algorithm-independent expected span sequence; the
+    expected extraction (values + global word ids + confidence) is likewise
+    derived from the generation plan, never from the extractor under test.
     """
     rng = np.random.RandomState((seed * 1_000_003 + doc_idx) % (2**31 - 1))
     doc_id = f"doc-{seed}-{doc_idx:09d}"
     n_pages = 10 if mega else int(rng.choice([1, 1, 1, 2, 3]))
     rows: list[dict] = []
+    expected: list[dict] = []
     true_order = 0
     media_n = 0
+    item_idx = 0
+
+    def expect(path: str, value: str, ids: list[int], conf: float) -> None:
+        expected.append(
+            {
+                "doc_id": doc_id,
+                "field_path": path,
+                "value": value,
+                "word_ids": ids,
+                "confidence": conf,
+            }
+        )
+
     for page in range(1, n_pages + 1):
         y = 100.0
         page_rows: list[dict] = []
 
-        def emit(kind, content, ref, x0, y0, x1, y1):
+        def emit(kind, content, ref, x0, y0, x1, y1) -> int:
             nonlocal true_order
             page_rows.append(
                 {
@@ -250,13 +273,24 @@ def _gen_one_doc(doc_idx: int, seed: int, mega: bool = False) -> list[dict]:
                 }
             )
             true_order += 1
+            return true_order - 1
 
-        # scalar label lines (inline-label style, as the reference example)
-        emit("text", f"注文日：2023年{rng.randint(1,13)}月{rng.randint(1,29)}日", None, 50, y, 250, y + 30)
+        # scalar label lines (inline-label style, as the reference example);
+        # every page repeats them — extraction takes the FIRST occurrence
+        order_date = f"2023年{rng.randint(1,13)}月{rng.randint(1,29)}日"
+        tid = emit("text", f"注文日：{order_date}", None, 50, y, 250, y + 30)
+        if page == 1:
+            expect("order_date", order_date, [tid], 1.0)
         y += 60
-        emit("text", f"委託業務内容：{_WORKS[rng.randint(len(_WORKS))]}", None, 50, y, 300, y + 30)
+        work = _WORKS[rng.randint(len(_WORKS))]
+        tid = emit("text", f"委託業務内容：{work}", None, 50, y, 300, y + 30)
+        if page == 1:
+            expect("operation_info.contract_work", work, [tid], 1.0)
         y += 60
-        emit("text", f"運行日：2023年{rng.randint(1,13)}月{rng.randint(1,29)}日", None, 50, y, 250, y + 30)
+        op_date = f"2023年{rng.randint(1,13)}月{rng.randint(1,29)}日"
+        tid = emit("text", f"運行日：{op_date}", None, 50, y, 250, y + 30)
+        if page == 1:
+            expect("operation_info.operation_date", op_date, [tid], 1.0)
         y += 60
         # occasionally a figure between the header block and the table
         if rng.rand() < 0.3:
@@ -278,7 +312,9 @@ def _gen_one_doc(doc_idx: int, seed: int, mega: bool = False) -> list[dict]:
                 str(int(rng.randint(1, 100) * 1000)),
             ]
             for c, v in enumerate(vals):
-                emit("text", v, None, col_x[c], y, col_x[c] + 140, y + 30)
+                tid = emit("text", v, None, col_x[c], y, col_x[c] + 140, y + 30)
+                expect(f"shipment_details[{item_idx}].{_ITEM_FIELDS[c]}", v, [tid], 0.8)
+            item_idx += 1
             y += 50
 
         # deterministic shuffle of emission order within the page
@@ -286,7 +322,7 @@ def _gen_one_doc(doc_idx: int, seed: int, mega: bool = False) -> list[dict]:
         for seq, k in enumerate(perm):
             page_rows[k]["word_seq"] = int(seq)
         rows.extend(page_rows)
-    return rows
+    return rows, expected
 
 
 def gen_corpus(
@@ -307,7 +343,7 @@ def gen_corpus(
             out: list[dict] = []
             for doc_idx in pdf["id"].tolist():
                 out.extend(
-                    _gen_one_doc(int(doc_idx), seed, mega=(mega_doc and doc_idx == 0))
+                    _gen_one_doc(int(doc_idx), seed, mega=(mega_doc and doc_idx == 0))[0]
                 )
             yield pd.DataFrame(
                 out,
@@ -318,6 +354,45 @@ def gen_corpus(
         spark.range(n_docs)
         .repartition(parts)
         .mapInPandas(kernel, schema=GEN_SCHEMA)
+    )
+
+
+EXPECTED_FIELDS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("field_path", T.StringType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("word_ids", T.ArrayType(T.IntegerType())),
+        T.StructField("confidence", T.DoubleType()),
+    ]
+)
+
+
+def expected_extracted(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    mega_doc: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Extraction oracle for ``gen_corpus`` (same seed ⇒ same docs):
+    (doc_id, field_path, value, word_ids, confidence) per FIXTURES.md §5.
+    Derived from the generation plan, independent of the extractor."""
+    parts = partitions or max(spark.sparkContext.defaultParallelism, 8)
+
+    def kernel(batches):
+        for pdf in batches:
+            out: list[dict] = []
+            for doc_idx in pdf["id"].tolist():
+                out.extend(
+                    _gen_one_doc(int(doc_idx), seed, mega=(mega_doc and doc_idx == 0))[1]
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "field_path", "value", "word_ids", "confidence"]
+            )
+
+    return (
+        spark.range(n_docs).repartition(parts).mapInPandas(kernel, schema=EXPECTED_FIELDS_SCHEMA)
     )
 
 

@@ -96,6 +96,9 @@ def _extract_one_doc(words: pd.DataFrame, schema: AppSchema) -> list[dict]:
     for si in match_order:
         spec = scalar_specs[si]
         label = spec.display_name
+        # first occurrence supplies the value; LATER occurrences (the same
+        # form header repeats on every page of a multipage doc) are still
+        # consumed so they never leak into the list-row candidates
         hit: tuple[str, list[int], float] | None = None
         for i in range(len(words)):
             if consumed[i] or not text_mask[i]:
@@ -103,10 +106,12 @@ def _extract_one_doc(words: pd.DataFrame, schema: AppSchema) -> list[dict]:
             c = contents[i]
             inline = _split_inline(c, label)
             if inline is not None:
-                hit = (inline, [int(word_ids[i])], 1.0)
                 consumed[i] = True
-                break
+                if hit is None:
+                    hit = (inline, [int(word_ids[i])], 1.0)
+                continue
             if c == label:
+                consumed[i] = True
                 # nearest right on same line, else nearest below w/ x overlap
                 cand_right, cand_below = None, None
                 for j in range(len(words)):
@@ -120,10 +125,9 @@ def _extract_one_doc(words: pd.DataFrame, schema: AppSchema) -> list[dict]:
                             cand_below = j
                 v = cand_right if cand_right is not None else cand_below
                 if v is not None:
-                    hit = (str(contents[v]), [int(word_ids[v])], 0.9)
-                    consumed[i] = True
                     consumed[v] = True
-                break
+                    if hit is None:
+                        hit = (str(contents[v]), [int(word_ids[v])], 0.9)
         results[spec.path] = hit or ("", [], 0.0)
 
     for spec in scalar_specs:  # emit in schema order
@@ -157,10 +161,12 @@ def _extract_one_doc(words: pd.DataFrame, schema: AppSchema) -> list[dict]:
         for k in line_order:
             members = sorted(line_members[k], key=lambda i: (x0[i], word_ids[i]))
             cells = [str(contents[i]) for i in members]
-            if header_xc is None and set(cells) <= set(display_names) and len(cells) > 1:
-                # header row: remember column centers, consume it
-                by_name = {str(contents[i]): (x0[i] + x1[i]) / 2.0 for i in members}
-                header_xc = [by_name.get(d, np.inf) for d in display_names]
+            if set(cells) <= set(display_names) and len(cells) > 1:
+                # header row: remember the FIRST header's column centers;
+                # repeated per-page headers are consumed but add nothing
+                if header_xc is None:
+                    by_name = {str(contents[i]): (x0[i] + x1[i]) / 2.0 for i in members}
+                    header_xc = [by_name.get(d, np.inf) for d in display_names]
                 for i in members:
                     consumed[i] = True
                 continue

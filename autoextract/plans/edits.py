@@ -1,0 +1,82 @@
+"""Human-in-the-loop corrections: edit words → targeted re-extraction.
+
+Reference flow (SURVEY.md §3.3): ``POST /ocr/edit/{id}`` overwrites a
+document's ``ocr_result`` wholesale (``routers/ocr.py:55-63`` →
+``database.py:200-230``), then ``POST /ocr/extract/{id}`` re-runs extraction
+for that one document and rewrites its ``extracted_info``
+(``extraction_service.py:129-163``). The UI round-trips through the word
+editor (``web/src/components/OcrResultEditor.tsx:56-79``).
+
+Engine equivalent: edits land as rows in an ``ocr_words_edits`` table (same
+schema as ``ocr_words``; a doc present in the edits table is replaced
+*wholesale*, matching the reference's overwrite semantics). Re-extraction is
+a targeted MERGE: only the buckets containing edited documents are
+recomputed and dynamically overwritten — every other partition directory is
+untouched, so the cost is O(edited docs), not O(corpus).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_fields
+from ..operators.layout import order_words
+from ..schema import AppSchema
+from .checkpoint import with_bucket
+
+
+def apply_edits(words: DataFrame, edits: DataFrame) -> DataFrame:
+    """Replace every edited document's words wholesale (the reference's
+    full-overwrite contract, ``database.py:200-230``)."""
+    edited_docs = edits.select("doc_id").distinct()
+    untouched = words.join(edited_docs, "doc_id", "left_anti")
+    return untouched.unionByName(edits.select(*words.columns))
+
+
+def merge_reextract(
+    spark: SparkSession,
+    words: DataFrame,
+    edits: DataFrame,
+    schema: AppSchema,
+    out_dir: str,
+    n_buckets: int = 32,
+) -> int:
+    """Re-extract edited docs and MERGE into ``<out_dir>/extracted``.
+
+    Bucket-granular emulation of Iceberg ``MERGE INTO`` (the production
+    path): affected buckets = buckets of edited docs; rewrite = (previous
+    bucket contents minus edited docs) ∪ fresh extraction of edited docs,
+    committed via dynamic partition overwrite. Returns #docs re-extracted.
+    """
+    data_dir = os.path.join(out_dir, "extracted")
+    edited_docs = edits.select("doc_id").distinct()
+    n_edited = edited_docs.count()
+    if n_edited == 0:
+        return 0
+
+    affected = sorted(
+        r["bucket"]
+        for r in with_bucket(edited_docs, n_buckets).select("bucket").distinct().collect()
+    )
+
+    merged_words = apply_edits(words, edits)
+    target_words = merged_words.join(edited_docs, "doc_id", "left_semi")
+    fresh = with_bucket(extract_fields(order_words(target_words), schema), n_buckets)
+
+    existing = spark.read.parquet(data_dir)
+    kept = existing.where(F.col("bucket").isin(affected)).join(
+        edited_docs, "doc_id", "left_anti"
+    )
+
+    (
+        kept.unionByName(fresh.select(*kept.columns))
+        .repartition(max(len(affected), 1), "bucket")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(data_dir)
+    )
+    return n_edited
