@@ -61,6 +61,8 @@ def _docs_to_word_boxes(docs: DataFrame) -> DataFrame:
     colx = F.col("pos") % _WORDS_PER_LINE
     x0 = F.lit(_GRID_X) + colx * (_W + 10.0)
     y0 = F.lit(_GRID_Y) + line * (_H + 20.0)
+    # flat boxes, not corner quads: the columnar shape a petabyte-scale
+    # words table stores (order_words accepts either; quads are folded)
     return toks.select(
         "doc_id",
         F.lit(1).alias("page"),
@@ -69,12 +71,10 @@ def _docs_to_word_boxes(docs: DataFrame) -> DataFrame:
         "content",
         F.lit(None).cast("string").alias("media_ref"),
         F.lit(1.0).alias("rec_score"),
-        F.array(
-            F.array(x0, y0),
-            F.array(x0 + _W, y0),
-            F.array(x0 + _W, y0 + _H),
-            F.array(x0, y0 + _H),
-        ).alias("points"),
+        x0.alias("x0"),
+        y0.alias("y0"),
+        (x0 + _W).alias("x1"),
+        (y0 + _H).alias("y1"),
     )
 
 

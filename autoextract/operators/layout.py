@@ -234,8 +234,19 @@ def _clean(ocr_words: DataFrame) -> DataFrame:
         if has_kind
         else F.length(F.trim(F.col("content"))) > 0
     )
-    xs = F.transform("points", lambda p: p[0])
-    ys = F.transform("points", lambda p: p[1])
+    if "points" in ocr_words.columns:
+        xs = F.transform("points", lambda p: p[0])
+        ys = F.transform("points", lambda p: p[1])
+        box_cols = [
+            F.array_min(xs).alias("x0"),
+            F.array_min(ys).alias("y0"),
+            F.array_max(xs).alias("x1"),
+            F.array_max(ys).alias("y1"),
+        ]
+    else:
+        # producer already ships flat boxes (the columnar-friendly shape a
+        # petabyte words table would use) — pass through
+        box_cols = [F.col(c).cast("double").alias(c) for c in ("x0", "y0", "x1", "y1")]
     out = ocr_words.where(cond).select(
         "doc_id",
         F.col("page").cast("int").alias("page"),
@@ -244,10 +255,7 @@ def _clean(ocr_words: DataFrame) -> DataFrame:
         "content",
         (F.col("media_ref") if "media_ref" in ocr_words.columns else F.lit(None).cast("string")).alias("media_ref"),
         (F.col("rec_score") if "rec_score" in ocr_words.columns else F.lit(1.0)).alias("rec_score"),
-        F.array_min(xs).alias("x0"),
-        F.array_min(ys).alias("y0"),
-        F.array_max(xs).alias("x1"),
-        F.array_max(ys).alias("y1"),
+        *box_cols,
     )
     return out
 
@@ -336,6 +344,101 @@ def _order_partition(batches):
         yield _order_chunk(leftover)
 
 
+def _order_chunk_arrow(tbl):
+    """Arrow-native variant of ``_order_chunk``: geometry/ids come out as
+    zero-copy numpy; string columns (doc_id/content/...) are never
+    materialized as Python objects — group boundaries are computed with
+    pyarrow compute and the final reorder is a C++ ``take``. This keeps the
+    Python side allocation-free, which is what lets 32 concurrent workers
+    scale instead of saturating the allocator/memory bus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    pages = tbl.column("page").to_numpy()
+    seqs = tbl.column("word_seq").to_numpy()
+    boxes = np.stack(
+        [tbl.column(c).to_numpy() for c in ("x0", "y0", "x1", "y1")], axis=1
+    )
+    ids = tbl.column("doc_id")
+    id_change = np.flatnonzero(
+        np.invert(
+            pc.equal(ids.slice(1), ids.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        )
+    ) + 1
+    page_change = np.flatnonzero(pages[1:] != pages[:-1]) + 1
+    changed = np.union1d(id_change, page_change)
+    starts = np.concatenate(([0], changed))
+    ends = np.concatenate((changed, [n]))
+    doc_starts = set(np.concatenate(([0], id_change)).tolist())
+
+    perm = np.empty(n, dtype=np.int64)
+    block_id = np.empty(n, dtype=np.int32)
+    line_id = np.empty(n, dtype=np.int32)
+    seq_out = np.empty(n, dtype=np.int32)
+    word_id = np.empty(n, dtype=np.int32)
+    base = 0
+    for lo, hi in zip(starts, ends):
+        if lo in doc_starts:
+            base = lo
+        p, b, l = page_reading_order(boxes[lo:hi], tiebreak=seqs[lo:hi])
+        perm[lo:hi] = p + lo
+        block_id[lo:hi] = b[p]
+        line_id[lo:hi] = l[p]
+        seq_out[lo:hi] = np.arange(hi - lo, dtype=np.int32)
+        word_id[lo:hi] = np.arange(lo - base, hi - base, dtype=np.int32)
+
+    taken = tbl.take(pa.array(perm))
+    return pa.table(
+        {
+            "doc_id": taken.column("doc_id"),
+            "page": taken.column("page"),
+            "seq": pa.array(seq_out, type=pa.int32()),
+            "kind": taken.column("kind"),
+            "content": taken.column("content"),
+            "media_ref": taken.column("media_ref"),
+            "rec_score": taken.column("rec_score"),
+            "x0": taken.column("x0"),
+            "y0": taken.column("y0"),
+            "x1": taken.column("x1"),
+            "y1": taken.column("y1"),
+            "block_id": pa.array(block_id, type=pa.int32()),
+            "line_id": pa.array(line_id, type=pa.int32()),
+            "word_id": pa.array(word_id, type=pa.int32()),
+        }
+    )
+
+
+def _order_partition_arrow(batches):
+    """mapInArrow kernel with the same doc-boundary buffering contract as
+    ``_order_partition``, minus any pandas/PyObject materialization."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    leftover = None
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        if leftover is not None:
+            tbl = pa.concat_tables([leftover, tbl]).combine_chunks()
+            leftover = None
+        n = tbl.num_rows
+        if n == 0:
+            continue
+        ids = tbl.column("doc_id")
+        last = ids.slice(n - 1, 1)
+        not_last = np.invert(
+            pc.equal(ids, last[0]).to_numpy(zero_copy_only=False)
+        )
+        cut = int(np.flatnonzero(not_last).max() + 1) if not_last.any() else 0
+        if cut > 0:
+            for out_batch in _order_chunk_arrow(tbl.slice(0, cut)).to_batches():
+                yield out_batch
+        leftover = tbl.slice(cut)
+    if leftover is not None and leftover.num_rows:
+        for out_batch in _order_chunk_arrow(leftover.combine_chunks()).to_batches():
+            yield out_batch
+
+
 def order_words(ocr_words: DataFrame, partitions: int | None = None) -> DataFrame:
     """``ocr_words(doc_id, page, word_seq, content, rec_score, points[, kind,
     media_ref])`` → reading-ordered words with global ``word_id`` (the
@@ -360,7 +463,7 @@ def order_words(ocr_words: DataFrame, partitions: int | None = None) -> DataFram
     return (
         cleaned.repartition(n_part, "doc_id")
         .sortWithinPartitions("doc_id", "page", "word_seq")
-        .mapInPandas(_order_partition, schema=ORDERED_SCHEMA)
+        .mapInArrow(_order_partition_arrow, schema=ORDERED_SCHEMA)
     )
 
 

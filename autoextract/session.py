@@ -54,7 +54,20 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Keep timestamps deterministic across JVM/duckdb comparisons.
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("AUTOEXTRACT_DRIVER_MEM", "8g"))
+        # Shuffle scratch on tmpfs: the sandbox's virtio disk serializes
+        # concurrent shuffle writers (32 tasks blocked ~2/3 of wall on I/O).
+        # On a real cluster this is local NVMe / disaggregated shuffle.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "AUTOEXTRACT_LOCAL_DIR",
+                "/dev/shm/spark-tmp" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
+        # local mode: the driver JVM hosts all executor threads — size the
+        # heap for 32 concurrent tasks' sort/agg/Arrow buffers or GC thrash
+        # inflates CPU time superlinearly with parallelism
+        .config("spark.driver.memory", os.environ.get("AUTOEXTRACT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -57,7 +57,7 @@ HEADLINE = [
 #: corpus multiplier for the scaling measurement — big enough that task
 #: compute dominates fixed scheduling/Python-worker costs (the quantity the
 #: N-vs-4N criterion is about), small enough to finish in seconds.
-SCALE_REPLICATE = 32
+SCALE_REPLICATE = 96
 
 
 def _span_pipeline_docs(spark, sf_dir: str, replicate: int = 1):
@@ -91,10 +91,10 @@ def span_run(cpus: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _span_pipeline_docs(spark, SF_DIR, replicate=2).count()  # warm-up
     spans = _span_pipeline_docs(spark, SF_DIR, replicate=SCALE_REPLICATE)
-    # best-of-3: the sandbox carries unpredictable external load; min wall
+    # best-of-2: the sandbox carries unpredictable external load; min wall
     # is the standard estimator for intrinsic cost under noise
     wall, n_docs = None, 0
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.monotonic()
         n_docs = spans.count()
         w = time.monotonic() - t0

@@ -1,0 +1,102 @@
+"""Property-based invariants (hypothesis) over the pure-Python cores.
+
+These pin the determinism guarantees the north rule depends on: reading
+order must be a total, input-permutation-invariant function of geometry —
+otherwise N-vs-4N runs could serialize spans differently."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from autoextract.operators import layout
+from autoextract.operators.html import html_to_spans
+
+
+def boxes_strategy(max_n: int = 40):
+    box = st.tuples(
+        st.integers(0, 900), st.integers(0, 900),
+        st.integers(10, 80), st.integers(10, 40),
+    ).map(lambda t: (float(t[0]), float(t[1]), float(t[0] + t[2]), float(t[1] + t[3])))
+    return st.lists(box, min_size=1, max_size=max_n).map(
+        lambda rows: np.array(rows, dtype=np.float64)
+    )
+
+
+@given(boxes_strategy())
+@settings(max_examples=60, deadline=None)
+def test_reading_order_is_bijection(boxes):
+    perm, block_id, line_id = layout.page_reading_order(
+        boxes, tiebreak=np.arange(len(boxes))
+    )
+    assert sorted(perm.tolist()) == list(range(len(boxes)))
+    assert len(block_id) == len(boxes) and len(line_id) == len(boxes)
+
+
+@given(boxes_strategy(), st.randoms(use_true_random=False))
+@settings(max_examples=40, deadline=None)
+def test_reading_order_invariant_under_input_permutation(boxes, rnd):
+    """Shuffling input rows must not change the geometric serialization.
+    Tiebreak is supplied per-geometry (stable identity), not per-position."""
+    n = len(boxes)
+    ident = np.arange(n)
+    perm0, _, _ = layout.page_reading_order(boxes, tiebreak=ident)
+    order0 = [tuple(boxes[i]) + (i,) for i in perm0]
+
+    shuffle = list(range(n))
+    rnd.shuffle(shuffle)
+    shuffle = np.array(shuffle)
+    boxes2 = boxes[shuffle]
+    perm1, _, _ = layout.page_reading_order(boxes2, tiebreak=ident[shuffle])
+    order1 = [tuple(boxes2[i]) + (ident[shuffle][i],) for i in perm1]
+    assert order0 == order1
+
+
+@given(boxes_strategy())
+@settings(max_examples=40, deadline=None)
+def test_xy_cut_partitions_indices(boxes):
+    med_h = max(float(np.median(boxes[:, 3] - boxes[:, 1])), 1e-9)
+    blocks = layout.xy_cut(boxes, 0.7 * med_h, 2.0 * med_h, 2.0 * med_h)
+    flat = sorted(i for b in blocks for i in b.tolist())
+    assert flat == list(range(len(boxes)))
+
+
+@given(boxes_strategy())
+@settings(max_examples=40, deadline=None)
+def test_cluster_lines_ids_dense_topdown(boxes):
+    ids = layout.cluster_lines(boxes)
+    uniq = sorted(set(ids.tolist()))
+    assert uniq == list(range(len(uniq)))
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_html_stripper_never_crashes_or_emits_blank(text):
+    spans = html_to_spans("d", text)
+    for kind, t, ref in spans:
+        if kind == "text":
+            assert t and t.strip()
+            assert ref is None
+        else:
+            assert t is None and ref
+
+
+@given(st.lists(st.sampled_from("ab cd ef gh ij kl".split()), min_size=1, max_size=30))
+@settings(max_examples=30, deadline=None)
+def test_simhash_token_order_invariant(tokens):
+    """SimHash is a bag-of-tokens sketch: permutation must not change it."""
+    import hashlib
+
+    def sketch(toks):
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks), dtype="<u8"
+        ).astype(np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        counts = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for b in np.nonzero(counts > 0)[0]:
+            out |= np.uint64(1) << np.uint64(b)
+        return int(out)
+
+    assert sketch(tokens) == sketch(list(reversed(tokens)))
