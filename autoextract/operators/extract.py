@@ -220,25 +220,64 @@ def extract_fields(ordered_words: DataFrame, schema: AppSchema) -> DataFrame:
     """Ordered words (from ``layout.order_words``) → long-format extraction.
 
     One row per leaf field per document: ``(doc_id, field_path, value,
-    word_ids, confidence)`` (FIXTURES.md §5). Grouped by doc_id — documents
-    are independent, so this scales embarrassingly; the group size is bounded
-    by the page cap at ingest (the reference enforces ≤10 pages,
-    ``pdf.py:122-124``).
+    word_ids, confidence)`` (FIXTURES.md §5). Documents are independent, so
+    this scales embarrassingly; the group size is bounded by the page cap at
+    ingest (the reference enforces ≤10 pages, ``pdf.py:122-124``).
+
+    Scale shape mirrors ``order_words``: one repartition on doc_id, rows
+    sorted within partitions, and a single ``mapInPandas`` pass that walks
+    document boundaries — one Python call per partition rather than one
+    ``applyInPandas`` group call per document (which costs ~1 ms/doc of
+    pandas overhead × 10^12 docs at the design point).
     """
     schema_json = schema.to_json()
     schema_name = schema.name
+    needed = [
+        "doc_id", "page", "kind", "content", "word_id",
+        "x0", "y0", "x1", "y1", "block_id", "line_id",
+    ]
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(batches):
         app = AppSchema.from_json(schema_json, name=schema_name)
-        out: list[dict] = []
-        for doc_id, grp in pdf.groupby("doc_id", sort=True):
-            for row in _extract_one_doc(grp, app):
-                row["doc_id"] = doc_id
-                out.append(row)
         cols = ["doc_id", "field_path", "value", "word_ids", "confidence"]
-        return pd.DataFrame(out, columns=cols)
+        leftover: pd.DataFrame | None = None
 
-    return ordered_words.groupBy("doc_id").applyInPandas(kernel, schema=EXTRACTED_SCHEMA)
+        def process(pdf: pd.DataFrame):
+            out: list[dict] = []
+            ids = pdf["doc_id"].to_numpy(dtype=object)
+            starts = np.concatenate(
+                ([0], np.flatnonzero(ids[1:] != ids[:-1]) + 1, [len(ids)])
+            )
+            for lo, hi in zip(starts[:-1], starts[1:]):
+                grp = pdf.iloc[lo:hi]
+                for row in _extract_one_doc(grp, app):
+                    row["doc_id"] = ids[lo]
+                    out.append(row)
+            return pd.DataFrame(out, columns=cols)
+
+        for pdf in batches:
+            if leftover is not None:
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=object)
+            tail = ids != ids[-1]
+            cut = int(np.flatnonzero(tail).max() + 1) if tail.any() else 0
+            if cut > 0:
+                yield process(pdf.iloc[:cut])
+            leftover = pdf.iloc[cut:].reset_index(drop=True)
+        if leftover is not None and len(leftover):
+            yield process(leftover)
+
+    spark = ordered_words.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        ordered_words.select(*needed)
+        .repartition(n_part, "doc_id")
+        .sortWithinPartitions("doc_id", "word_id")
+        .mapInPandas(kernel, schema=EXTRACTED_SCHEMA)
+    )
 
 
 def nested_result(extracted: DataFrame, schema: AppSchema) -> DataFrame:

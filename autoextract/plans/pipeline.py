@@ -94,6 +94,12 @@ def _run_stage(
         .where(F.col("bucket").isin(pending))
         .drop("bucket")
     )
+    # free-riding metrics: observed during the write job itself, no extra
+    # scan (SURVEY.md §4 item 4 — per-stage counts → lineage table)
+    from pyspark.sql import Observation
+
+    obs_in = Observation()
+    todo = todo.observe(obs_in, F.count(F.lit(1)).alias("input_rows"))
     out = with_bucket(transform(todo), n_buckets)
     data_dir = os.path.join(out_dir, table)
     # one task per pending bucket → one file per partition dir, not
@@ -119,7 +125,13 @@ def _run_stage(
     wall_ms = int((time.monotonic() - t0) * 1000)
     store.mark_done(run_id, stage, counts, wall_ms)
     rows = sum(counts.values())
-    store.append_lineage(run_id, stage, rows, rows, n_buckets, len(pending), wall_ms)
+    try:
+        input_rows = int(obs_in.get["input_rows"])
+    except Exception:  # pragma: no cover — observation unavailable
+        input_rows = rows
+    store.append_lineage(
+        run_id, stage, input_rows, rows, n_buckets, len(pending), wall_ms
+    )
     return RunResult(run_id, stage, len(pending), rows, wall_ms)
 
 

@@ -71,6 +71,9 @@ def test_lineage_and_checkpoint_rows(spark, words, tmp_path):
     assert len(lin) == 1
     assert lin[0]["buckets_processed"] == N_BUCKETS
     assert lin[0]["output_rows"] == res.rows
+    # input_rows comes from the observe() hook during the write job:
+    # words in, docs out — strictly more input rows than output docs
+    assert lin[0]["input_rows"] > lin[0]["output_rows"]
 
 
 def test_extract_job_resume(spark, words, tmp_path):
