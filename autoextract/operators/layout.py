@@ -467,6 +467,26 @@ def order_words(ocr_words: DataFrame, partitions: int | None = None) -> DataFram
     )
 
 
+def order_words_auto(
+    ocr_words: DataFrame, mega_threshold: int = 100_000
+) -> DataFrame:
+    """Skew-routing wrapper (SURVEY.md §4 item 1 — the manual salt policy).
+
+    Documents with more than ``mega_threshold`` words would stall the
+    single-task-per-doc fast path, so they take the page-parallel route
+    (pages spread across tasks, window for global offsets) while the bulk of
+    the corpus takes the single-pass kernel; results union. The doc-size
+    census is a cheap count-only shuffle (doc_id keys, no payload), and the
+    routing join is a broadcast (the mega list is tiny by definition — if it
+    were not, the threshold is wrong, not the plan).
+    """
+    sizes = ocr_words.groupBy("doc_id").count()
+    mega_ids = sizes.where(F.col("count") > mega_threshold).select("doc_id")
+    normal = ocr_words.join(F.broadcast(mega_ids), "doc_id", "left_anti")
+    mega = ocr_words.join(F.broadcast(mega_ids), "doc_id", "left_semi")
+    return order_words(normal).unionByName(order_words_paged(mega))
+
+
 def order_words_paged(ocr_words: DataFrame) -> DataFrame:
     """Page-parallel variant: ``applyInPandas`` per (doc_id, page) then a
     window for global offsets. Two shuffles, higher per-group overhead, but

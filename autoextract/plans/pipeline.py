@@ -202,6 +202,88 @@ def run_html_job(
     )
 
 
+def run_full_job(
+    spark: SparkSession,
+    words: DataFrame,
+    schema: AppSchema,
+    out_dir: str,
+    n_buckets: int = 32,
+    run_id: str | None = None,
+    only_buckets: set[int] | None = None,
+) -> tuple[RunResult, RunResult]:
+    """Fused job: ONE layout pass feeds both the spans and extracted sinks.
+
+    The ordered-words intermediate is persisted (memory-and-disk) across the
+    two writes — the reference runs OCR once and both consumes and stores it
+    (``image_processing_pipeline.py:20-37``); at petabyte scale the persist
+    becomes an explicit intermediate table (``ordered_words``) instead of
+    executor cache, same topology.
+    """
+    from pyspark import StorageLevel
+
+    run_id = run_id or new_run_id()
+    store = CheckpointStore(spark, out_dir)
+    pend_s = set(range(n_buckets)) - store.done_buckets(SPANS_STAGE)
+    pend_e = set(range(n_buckets)) - store.done_buckets(EXTRACT_STAGE)
+    if only_buckets is not None:
+        pend_s &= only_buckets
+        pend_e &= only_buckets
+
+    if pend_s != pend_e:
+        # stages out of sync (e.g. killed between the two writes): fall back
+        # to the per-stage jobs, which each resume independently
+        r_s = run_spans_job(spark, words, out_dir, n_buckets, run_id, only_buckets)
+        r_e = run_extract_job(spark, words, schema, out_dir, n_buckets, run_id, only_buckets)
+        return r_s, r_e
+    if not pend_s:
+        return (
+            RunResult(run_id, SPANS_STAGE, 0, 0, 0),
+            RunResult(run_id, EXTRACT_STAGE, 0, 0, 0),
+        )
+
+    pending = sorted(pend_s)
+    todo = (
+        with_bucket(words, n_buckets)
+        .where(F.col("bucket").isin(pending))
+        .drop("bucket")
+    )
+    ordered = order_words(todo).persist(StorageLevel.MEMORY_AND_DISK)
+    t0 = time.monotonic()
+    results = []
+    try:
+        for stage, table, transform in (
+            (SPANS_STAGE, "spans", assemble_spans),
+            (EXTRACT_STAGE, "extracted", lambda df: extract_fields(df, schema)),
+        ):
+            out = with_bucket(transform(ordered), n_buckets)
+            data_dir = os.path.join(out_dir, table)
+            (
+                out.repartition(max(len(pending), 1), "bucket")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(data_dir)
+            )
+            counts = {
+                r["bucket"]: r["n"]
+                for r in spark.read.parquet(data_dir)
+                .where(F.col("bucket").isin(pending))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for b in pending:
+                counts.setdefault(b, 0)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            store.mark_done(run_id, stage, counts, wall_ms)
+            rows = sum(counts.values())
+            store.append_lineage(run_id, stage, rows, rows, n_buckets, len(pending), wall_ms)
+            results.append(RunResult(run_id, stage, len(pending), rows, wall_ms))
+    finally:
+        ordered.unpersist()
+    return results[0], results[1]
+
+
 def read_spans(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(out_dir, "spans")).drop("bucket")
 

@@ -27,7 +27,7 @@ from .session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="autoextract.run")
-    p.add_argument("--stage", choices=["spans", "extract", "html"], default="spans")
+    p.add_argument("--stage", choices=["spans", "extract", "both", "html"], default="spans")
     p.add_argument("--source", choices=["synthetic", "words", "html"], default="synthetic")
     p.add_argument("--input", help="parquet path for --source words/html")
     p.add_argument("--out", required=True)
@@ -55,30 +55,43 @@ def main(argv: list[str] | None = None) -> int:
         src = spark.read.parquet(args.input)
 
     if args.stage == "spans":
-        res = pipeline.run_spans_job(
-            spark, src, args.out, n_buckets=args.n_buckets, run_id=args.run_id
-        )
+        results = [
+            pipeline.run_spans_job(
+                spark, src, args.out, n_buckets=args.n_buckets, run_id=args.run_id
+            )
+        ]
     elif args.stage == "extract":
-        res = pipeline.run_extract_job(
-            spark, src, SHIPPING_SCHEMA, args.out, n_buckets=args.n_buckets, run_id=args.run_id
+        results = [
+            pipeline.run_extract_job(
+                spark, src, SHIPPING_SCHEMA, args.out, n_buckets=args.n_buckets, run_id=args.run_id
+            )
+        ]
+    elif args.stage == "both":
+        results = list(
+            pipeline.run_full_job(
+                spark, src, SHIPPING_SCHEMA, args.out, n_buckets=args.n_buckets, run_id=args.run_id
+            )
         )
     else:
-        res = pipeline.run_html_job(
-            spark, src, args.out, n_buckets=args.n_buckets, run_id=args.run_id
-        )
+        results = [
+            pipeline.run_html_job(
+                spark, src, args.out, n_buckets=args.n_buckets, run_id=args.run_id
+            )
+        ]
 
-    print(
-        json.dumps(
-            {
-                "run_id": res.run_id,
-                "stage": res.stage,
-                "buckets_processed": res.buckets_processed,
-                "rows": res.rows,
-                "wall_ms": res.wall_ms,
-                "rows_per_sec": round(res.rows_per_sec, 2),
-            }
+    for res in results:
+        print(
+            json.dumps(
+                {
+                    "run_id": res.run_id,
+                    "stage": res.stage,
+                    "buckets_processed": res.buckets_processed,
+                    "rows": res.rows,
+                    "wall_ms": res.wall_ms,
+                    "rows_per_sec": round(res.rows_per_sec, 2),
+                }
+            )
         )
-    )
     return 0
 
 

@@ -100,3 +100,15 @@ def test_mega_doc_present_and_correct(spark, gen, got_spans):
     mx = sizes.orderBy(F.desc("n")).first()
     med = sizes.approxQuantile("n", [0.5], 0.0)[0]
     assert mx["n"] > 50 * med
+
+
+def test_order_words_auto_routes_and_matches(spark, gen, got_spans):
+    """The skew router (fast path + page-parallel mega path) must produce
+    the identical span table."""
+    from autoextract.operators.layout import assemble_spans, order_words_auto
+
+    words = corpus.ocr_words_view(gen)
+    # threshold low enough that the mega fixture routes to the paged path
+    routed = assemble_spans(order_words_auto(words, mega_threshold=2000))
+    diff = routed.exceptAll(got_spans).union(got_spans.exceptAll(routed))
+    assert diff.count() == 0

@@ -104,3 +104,34 @@ def test_html_job(spark, tmp_path):
     exp = expected.select("doc_id", F.col("seq").cast("int").alias("seq"), "kind", "text", "media_ref")
     flat2 = flat.select("doc_id", F.col("seq").cast("int").alias("seq"), "kind", "text", "media_ref")
     assert flat2.exceptAll(exp).union(exp.exceptAll(flat2)).count() == 0
+
+
+def test_full_job_fused_equals_sequential(spark, words, tmp_path):
+    from autoextract.schema import SHIPPING_SCHEMA
+
+    fused_dir = str(tmp_path / "fused")
+    seq_dir = str(tmp_path / "seq")
+    r_s, r_e = pipeline.run_full_job(spark, words, SHIPPING_SCHEMA, fused_dir, n_buckets=4)
+    assert r_s.buckets_processed == 4 and r_e.buckets_processed == 4
+    pipeline.run_spans_job(spark, words, seq_dir, n_buckets=4)
+    pipeline.run_extract_job(spark, words, SHIPPING_SCHEMA, seq_dir, n_buckets=4)
+
+    for reader in (pipeline.read_spans, pipeline.read_extracted):
+        a, b = reader(spark, fused_dir), reader(spark, seq_dir)
+        assert a.exceptAll(b).union(b.exceptAll(a)).count() == 0
+
+    # rerun is a noop on both stages
+    r_s2, r_e2 = pipeline.run_full_job(spark, words, SHIPPING_SCHEMA, fused_dir, n_buckets=4)
+    assert r_s2.buckets_processed == 0 and r_e2.buckets_processed == 0
+
+
+def test_full_job_desynced_stages_fall_back(spark, words, tmp_path):
+    from autoextract.schema import SHIPPING_SCHEMA
+
+    out = str(tmp_path / "desync")
+    # spans fully done, extract untouched → fused path must not be taken
+    pipeline.run_spans_job(spark, words, out, n_buckets=4)
+    r_s, r_e = pipeline.run_full_job(spark, words, SHIPPING_SCHEMA, out, n_buckets=4)
+    assert r_s.buckets_processed == 0
+    assert r_e.buckets_processed == 4
+    assert pipeline.read_extracted(spark, out).count() > 0

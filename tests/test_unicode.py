@@ -1,0 +1,71 @@
+"""Unicode byte-exactness: spans must serialize content as-is — no NFC/NFKC
+drift, no silent normalization (SURVEY.md §7 "what's hard": the reference
+corpus is Japanese; equality is byte-exact)."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+
+from autoextract import corpus
+from autoextract.operators.layout import assemble_spans, order_words
+
+# NFD vs NFC forms of the same visible string — must NOT be conflated
+NFC = unicodedata.normalize("NFC", "ガ行の濁点")  # precomposed
+NFD = unicodedata.normalize("NFD", "ガ行の濁点")  # combining marks
+FULLWIDTH = "ＡＢＣ１２３"  # fullwidth forms (NFKC would fold these)
+EMOJI_ZWJ = "👩‍🔬"  # ZWJ sequence
+
+
+def _words_df(spark, texts):
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append(
+            {
+                "doc_id": "uni-1",
+                "page": 1,
+                "word_seq": i,
+                "kind": "text",
+                "content": t,
+                "media_ref": None,
+                "rec_score": 1.0,
+                "points": [[50.0, 100.0 + 60 * i], [250.0, 100.0 + 60 * i],
+                           [250.0, 130.0 + 60 * i], [50.0, 130.0 + 60 * i]],
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=corpus.OCR_WORDS_SCHEMA)
+
+
+def test_spans_preserve_exact_codepoints(spark, tmp_path):
+    texts = [NFC, NFD, FULLWIDTH, EMOJI_ZWJ]
+    assert NFC != NFD  # sanity: the fixture really differs at codepoint level
+    spans_df = assemble_spans(order_words(_words_df(spark, texts)))
+    # round-trip through parquet (the real storage boundary)
+    out = str(tmp_path / "spans")
+    spans_df.write.parquet(out)
+    back = spark.read.parquet(out).collect()[0]["spans"]
+    got = [s["text"] for s in back]
+    assert got == texts  # byte-exact, order-exact
+    assert got[0] != got[1]  # NFC and NFD stayed distinct
+
+
+def test_extraction_values_not_normalized(spark):
+    from autoextract.operators.extract import extract_fields
+    from autoextract.schema import AppSchema
+
+    label_nfd = unicodedata.normalize("NFD", "ガス料金")
+    schema = AppSchema(
+        name="u", fields=[{"name": "gas", "display_name": label_nfd, "type": "string"}]
+    )
+    value = unicodedata.normalize("NFD", "１２３ガ")
+    df = _words_df(spark, [f"{label_nfd}：{value}"])
+    rows = extract_fields(order_words(df), schema).collect()
+    assert rows[0]["value"] == value  # exact codepoints, no folding
+    # an NFC-normalized schema label must NOT match NFD words
+    schema2 = AppSchema(
+        name="u2",
+        fields=[{"name": "gas", "display_name": unicodedata.normalize("NFC", label_nfd), "type": "string"}],
+    )
+    rows2 = extract_fields(order_words(df), schema2).collect()
+    assert rows2[0]["value"] == ""
