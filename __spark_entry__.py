@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from autoextract.functions import text as TX
 from autoextract.operators import dedup as DD
 from autoextract.operators import similarity as SIM
-from autoextract.operators.layout import assemble_spans, order_words
+from autoextract.operators.layout import assemble_spans, order_words, spans_table
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
@@ -83,7 +83,7 @@ def entry(spark: SparkSession) -> DataFrame:
     boxes; verify reassembly against the source text inline (mismatch
     column must be all-false), return the per-doc summary."""
     docs = _t(spark, SF_DEFAULT, "documents")
-    spans = assemble_spans(order_words(_docs_to_word_boxes(docs)))
+    spans = spans_table(_docs_to_word_boxes(docs))
     summary = spans.select(
         "doc_id",
         F.size("spans").cast("long").alias("n_spans"),
@@ -347,7 +347,7 @@ def _q_events_hourly(spark, sf):
 
 def _q_layout_reading_order(spark, sf):
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
-    spans = assemble_spans(order_words(_docs_to_word_boxes(docs)))
+    spans = spans_table(_docs_to_word_boxes(docs))
     return spans.select(
         "doc_id", F.size("spans").cast("long").alias("n_spans")
     )

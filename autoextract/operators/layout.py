@@ -500,6 +500,118 @@ def order_words_paged(ocr_words: DataFrame) -> DataFrame:
     return laid_out.withColumn("word_id", (F.row_number().over(w) - 1).cast("int"))
 
 
+#: canonical output of the fused direct path
+SPANS_TABLE_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string, text:string, "
+    "media_ref:string, offset:int>>"
+)
+
+
+def _spans_chunk_arrow(tbl):
+    """Chunk of COMPLETE docs (sorted by doc, page, word_seq) → one row per
+    doc with the assembled span array. All array building is pyarrow C++."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    pages = tbl.column("page").to_numpy()
+    seqs = tbl.column("word_seq").to_numpy()
+    boxes = np.stack(
+        [tbl.column(c).to_numpy() for c in ("x0", "y0", "x1", "y1")], axis=1
+    )
+    ids = tbl.column("doc_id")
+    id_change = np.flatnonzero(
+        np.invert(
+            pc.equal(ids.slice(1), ids.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        )
+    ) + 1
+    page_change = np.flatnonzero(pages[1:] != pages[:-1]) + 1
+    changed = np.union1d(id_change, page_change)
+    starts = np.concatenate(([0], changed))
+    ends = np.concatenate((changed, [n]))
+    doc_bounds = np.concatenate(([0], id_change, [n]))
+
+    perm = np.empty(n, dtype=np.int64)
+    word_id = np.empty(n, dtype=np.int32)
+    doc_starts = set(doc_bounds[:-1].tolist())
+    base = 0
+    for lo, hi in zip(starts, ends):
+        if lo in doc_starts:
+            base = lo
+        p, _, _ = page_reading_order(boxes[lo:hi], tiebreak=seqs[lo:hi])
+        perm[lo:hi] = p + lo
+        word_id[lo:hi] = np.arange(lo - base, hi - base, dtype=np.int32)
+
+    taken = tbl.take(pa.array(perm))
+    kind = taken.column("kind").combine_chunks()
+    is_text = pc.equal(kind, "text")
+    struct = pa.StructArray.from_arrays(
+        [
+            kind,
+            pc.if_else(is_text, taken.column("content").combine_chunks(),
+                       pa.scalar(None, pa.string())),
+            pc.if_else(is_text, pa.scalar(None, pa.string()),
+                       taken.column("media_ref").combine_chunks()),
+            pa.array(word_id, type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans = pa.ListArray.from_arrays(
+        pa.array(doc_bounds, type=pa.int32()), struct
+    )
+    doc_ids = ids.take(pa.array(doc_bounds[:-1]))
+    return pa.table({"doc_id": doc_ids, "spans": spans})
+
+
+def _spans_partition_arrow(batches):
+    """mapInArrow kernel: complete documents per partition → span table rows.
+    Same doc-boundary buffering as ``_order_partition_arrow``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    leftover = None
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        if leftover is not None:
+            tbl = pa.concat_tables([leftover, tbl]).combine_chunks()
+            leftover = None
+        n = tbl.num_rows
+        if n == 0:
+            continue
+        ids = tbl.column("doc_id")
+        not_last = np.invert(
+            pc.equal(ids, ids.slice(n - 1, 1)[0]).to_numpy(zero_copy_only=False)
+        )
+        cut = int(np.flatnonzero(not_last).max() + 1) if not_last.any() else 0
+        if cut > 0:
+            for out in _spans_chunk_arrow(tbl.slice(0, cut)).to_batches():
+                yield out
+        leftover = tbl.slice(cut)
+    if leftover is not None and leftover.num_rows:
+        for out in _spans_chunk_arrow(leftover.combine_chunks()).to_batches():
+            yield out
+
+
+def spans_table(ocr_words: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Fused fast path: ``ocr_words`` → canonical ``documents(doc_id, spans)``
+    in ONE shuffle and ONE Python pass — reading order, global offsets AND
+    span assembly happen inside the kernel, so there is no downstream
+    groupBy/collect_list stage and word-level rows never re-cross the Arrow
+    boundary (output is one nested row per document).
+
+    Semantically identical to ``assemble_spans(order_words(df))`` (tested);
+    prefer this form in pipelines that don't also need the word-level table.
+    """
+    cleaned = _clean(ocr_words)
+    spark = ocr_words.sparkSession
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        cleaned.repartition(n_part, "doc_id")
+        .sortWithinPartitions("doc_id", "page", "word_seq")
+        .mapInArrow(_spans_partition_arrow, schema=SPANS_TABLE_SCHEMA)
+    )
+
+
 def assemble_spans(ordered_words: DataFrame) -> DataFrame:
     """Ordered words → canonical ``documents(doc_id, spans)`` table.
 

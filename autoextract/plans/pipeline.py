@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ..operators.extract import extract_fields
 from ..operators.html import html_spans_table
-from ..operators.layout import assemble_spans, order_words
+from ..operators.layout import assemble_spans, order_words, spans_table
 from ..schema import AppSchema
 from .checkpoint import CheckpointStore, new_run_id, with_bucket
 
@@ -147,7 +147,7 @@ def run_spans_job(
     return _run_stage(
         spark,
         words,
-        lambda df: assemble_spans(order_words(df)),
+        spans_table,
         SPANS_STAGE,
         "spans",
         out_dir,

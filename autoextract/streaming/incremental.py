@@ -22,7 +22,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.layout import assemble_spans, order_words
+from ..operators.layout import spans_table
 from ..plans.checkpoint import with_bucket
 
 
@@ -50,7 +50,7 @@ def stream_spans_available_now(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spans = with_bucket(assemble_spans(order_words(batch_df)), n_buckets)
+        spans = with_bucket(spans_table(batch_df), n_buckets)
         (
             spans.write.mode("append")
             .partitionBy("bucket")

@@ -61,11 +61,12 @@ SCALE_REPLICATE = 96
 
 
 def _span_pipeline_docs(spark, sf_dir: str, replicate: int = 1):
-    """The flagship span-extraction job: documents → word boxes → layout →
-    spans. ``replicate`` clones the corpus with distinct doc_ids."""
+    """The flagship span-extraction job: documents → word boxes → fused
+    layout+assembly → spans. ``replicate`` clones the corpus with distinct
+    doc_ids."""
     import __spark_entry__ as E
     from pyspark.sql import functions as F
-    from autoextract.operators.layout import assemble_spans, order_words
+    from autoextract.operators.layout import spans_table
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     if replicate > 1:
@@ -76,7 +77,14 @@ def _span_pipeline_docs(spark, sf_dir: str, replicate: int = 1):
         ).select(
             (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"), "text"
         )
-    return assemble_spans(order_words(E._docs_to_word_boxes(docs)))
+    return spans_table(E._docs_to_word_boxes(docs))
+
+
+def _materialize(df) -> int:
+    """Force FULL materialization: a noop-format write computes every column
+    (a bare count() lets Catalyst prune the span assembly away)."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
 
 
 def span_run(cpus: int) -> None:
@@ -89,14 +97,16 @@ def span_run(cpus: int) -> None:
 
     spark = get_spark(app_name=f"bench-span-{cpus}", parallelism=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    _span_pipeline_docs(spark, SF_DIR, replicate=2).count()  # warm-up
+    warm = _span_pipeline_docs(spark, SF_DIR, replicate=2)
+    _materialize(warm)  # warm-up: JIT, Python workers, Arrow paths
+    n_docs = warm.count() * SCALE_REPLICATE // 2
     spans = _span_pipeline_docs(spark, SF_DIR, replicate=SCALE_REPLICATE)
     # best-of-2: the sandbox carries unpredictable external load; min wall
     # is the standard estimator for intrinsic cost under noise
-    wall, n_docs = None, 0
+    wall = None
     for _ in range(2):
         t0 = time.monotonic()
-        n_docs = spans.count()
+        _materialize(spans)
         w = time.monotonic() - t0
         wall = w if wall is None else min(wall, w)
     print(json.dumps({"cpus": cpus, "docs": n_docs, "wall_s": wall,
@@ -124,10 +134,12 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    # span-pipeline throughput at this session's parallelism
+    # span-pipeline throughput at this session's parallelism (full
+    # materialization via noop sink)
     spans = _span_pipeline_docs(spark, SF_DIR)
-    t0 = time.monotonic()
     n_docs = spans.count()
+    t0 = time.monotonic()
+    _materialize(spans)
     span_wall = time.monotonic() - t0
     timings["span_pipeline"] = round(span_wall, 3)
     spark.stop()

@@ -112,3 +112,12 @@ def test_order_words_auto_routes_and_matches(spark, gen, got_spans):
     routed = assemble_spans(order_words_auto(words, mega_threshold=2000))
     diff = routed.exceptAll(got_spans).union(got_spans.exceptAll(routed))
     assert diff.count() == 0
+
+
+def test_spans_table_fused_equals_two_step(spark, gen, got_spans):
+    """The one-shuffle fused kernel must equal assemble_spans(order_words)."""
+    from autoextract.operators.layout import spans_table
+
+    fused = spans_table(corpus.ocr_words_view(gen))
+    diff = fused.exceptAll(got_spans).union(got_spans.exceptAll(fused))
+    assert diff.count() == 0

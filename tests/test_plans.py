@@ -84,3 +84,14 @@ def test_srp_bucket_prune_before_rerank(spark):
     i_udf = p.index("ArrowEvalPython")
     assert "Filter" in p[: i_udf + 400]
     assert "TakeOrderedAndProject" in p  # top-k never materializes a full sort
+
+def test_fused_spans_single_exchange(spark):
+    """spans_table = exactly ONE exchange (the doc_id repartition): the
+    kernel assembles documents in-pass, so no groupBy stage exists."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from autoextract.operators.layout import spans_table
+
+    p = plan_str(spans_table(E._docs_to_word_boxes(docs)), "simple")
+    assert p.count("Exchange") <= 2  # doc repartition + source re-spread
+    assert "HashAggregate" not in p and "ObjectHashAggregate" not in p
+    assert "Window" not in p
