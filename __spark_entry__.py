@@ -270,7 +270,9 @@ def _q_minhash_band_buckets(spark, sf):
 
 
 def _q_ngram_jaccard_topk(spark, sf):
-    d = _t(spark, sf, "documents")
+    # doc_id bound keeps the deliberately-quadratic verify demo O(constant)
+    # as sf grows — the scale path is minhash_candidates -> verified pairs
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 2000)
     pairs = DD.ngram_jaccard_pairs(d, block_col="source", k=3)
     return pairs.orderBy(
         F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")
@@ -364,6 +366,12 @@ def _q_srp_ann_topk(spark, sf):
     return SIM.ann_topk_via_srp(e, qvec, dim=len(qvec), k=10, n_planes=4)
 
 
+def _q_ivf_ann_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    return SIM.ann_topk_via_ivf(e, qvec, k=10, n_cells=8, nprobe=2, seed=42)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spans_token_offsets": _q_token_offsets,
@@ -393,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_reading_order": _q_layout_reading_order,
         "simhash_sketches": _q_simhash,
         "srp_ann_topk": _q_srp_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
     }
 
 
@@ -530,7 +539,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_topk": f"""
             WITH sh AS (
               SELECT doc_id, source, list_distinct({_SHINGLES_SQL}) AS s
-              FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS l FROM documents))
+              FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS l
+                    FROM documents WHERE doc_id < 2000))
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    round(CASE WHEN len(list_distinct(a.s || b.s)) > 0
                          THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

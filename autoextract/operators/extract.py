@@ -280,6 +280,19 @@ def extract_fields(ordered_words: DataFrame, schema: AppSchema) -> DataFrame:
     )
 
 
+def typed_nested_result(extracted: DataFrame, schema: AppSchema) -> DataFrame:
+    """Long format → typed nested columns: ``extracted STRUCT<...>`` and
+    ``indices STRUCT<...>`` with schema-derived types (the analogue of the
+    reference's final DynamoDB item shape, ``database.py:246-254``, as real
+    columnar types instead of a JSON blob)."""
+    json_form = nested_result(extracted, schema)
+    return json_form.select(
+        "doc_id",
+        F.from_json("extracted_json", schema.value_struct_type()).alias("extracted"),
+        F.from_json("indices_json", schema.indices_struct_type()).alias("indices"),
+    )
+
+
 def nested_result(extracted: DataFrame, schema: AppSchema) -> DataFrame:
     """Long format → one row per doc with ``extracted_json`` +
     ``indices_json`` — the reference's unified output shape

@@ -132,6 +132,82 @@ def srp_buckets(
     )
 
 
+# ----------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + nprobe search
+# ----------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer training: seeded Lloyd's k-means on a bounded driver
+    sample (the standard IVF recipe — training is tiny and one-off; the
+    corpus-sized work stays distributed). Deterministic: fixed seed, fixed
+    iteration count, ties to the lowest centroid index."""
+    sample = np.array(
+        [list(r[vec_col]) for r in embeddings.select(vec_col).limit(sample_size).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(n_iters):
+        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach the IVF cell id (nearest centroid) — one NumPy distance matrix
+    per Arrow batch; centroids ride along in the UDF closure (broadcast-by-
+    serialization, tiny)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        d2 = (m * m).sum(axis=1)[:, None] - 2 * (m @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return embeddings.withColumn("ivf_cell", cell(F.col(vec_col)))
+
+
+def ann_topk_via_ivf(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``nprobe`` cells nearest the query, exact
+    cosine rerank inside them. Scan cost ≈ nprobe/n_cells of the corpus;
+    recall tunes with nprobe (nprobe = n_cells → exact search)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_cells=n_cells, seed=seed, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(d2, kind="stable")[:nprobe].tolist()
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    pruned = assigned.where(F.col("ivf_cell").isin([int(p) for p in probe]))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
 def ann_topk_via_srp(
     embeddings: DataFrame,
     query_vec: list[float],

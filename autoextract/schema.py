@@ -122,6 +122,48 @@ class AppSchema:
 
         return walk(self.fields)
 
+    def value_struct_type(self):
+        """Spark ``StructType`` for the extracted values — string leaves,
+        map → struct, list → array<struct> (SURVEY.md §1.1 "Extracted info"
+        mapping; all values are strings per the reference's prompt rule
+        ``prompts.py:46-48``)."""
+        from pyspark.sql import types as T
+
+        def walk(fields: list[dict]) -> "T.StructType":
+            out = []
+            for f in fields:
+                ftype = f.get("type", "string")
+                if ftype == "string":
+                    out.append(T.StructField(f["name"], T.StringType()))
+                elif ftype == "map":
+                    out.append(T.StructField(f["name"], walk(f.get("fields", []))))
+                elif ftype == "list":
+                    item = walk(f.get("items", {}).get("fields", []))
+                    out.append(T.StructField(f["name"], T.ArrayType(item)))
+            return T.StructType(out)
+
+        return walk(self.fields)
+
+    def indices_struct_type(self):
+        """Same tree with ``array<int>`` leaves (the ``indices`` provenance
+        shape, ``extraction.py:191-206``)."""
+        from pyspark.sql import types as T
+
+        def walk(fields: list[dict]) -> "T.StructType":
+            out = []
+            for f in fields:
+                ftype = f.get("type", "string")
+                if ftype == "string":
+                    out.append(T.StructField(f["name"], T.ArrayType(T.IntegerType())))
+                elif ftype == "map":
+                    out.append(T.StructField(f["name"], walk(f.get("fields", []))))
+                elif ftype == "list":
+                    item = walk(f.get("items", {}).get("fields", []))
+                    out.append(T.StructField(f["name"], T.ArrayType(item)))
+            return T.StructType(out)
+
+        return walk(self.fields)
+
     def indices_template(self) -> dict:
         """Same tree, leaves are ``[]`` (``utils/template.py:92-148``)."""
 

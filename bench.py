@@ -80,25 +80,27 @@ def _span_pipeline_docs(spark, sf_dir: str, replicate: int = 1):
     return spans_table(E._docs_to_word_boxes(docs))
 
 
+def _spin_worker(seconds: float) -> int:
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < seconds:
+        for _ in range(10000):
+            n += 1
+    return n
+
+
 def _spin_calibration(seconds: float = 1.5) -> float:
     """Measured host parallel capacity: total spin throughput of 32 worker
     processes relative to 1 — reported alongside scaling numbers because the
     Firecracker host's deliverable cores vary invisibly (guest idle%/steal
-    are unreliable)."""
+    are unreliable). Worker is module-level (picklable under any mp start
+    method)."""
     import multiprocessing as mp
 
-    def spin(_):
-        t0 = time.monotonic()
-        n = 0
-        while time.monotonic() - t0 < seconds:
-            for _ in range(10000):
-                n += 1
-        return n
-
     with mp.Pool(1) as p:
-        one = sum(p.map(spin, range(1)))
+        one = sum(p.map(_spin_worker, [seconds]))
     with mp.Pool(32) as p:
-        many = sum(p.map(spin, range(32)))
+        many = sum(p.map(_spin_worker, [seconds] * 32))
     return round(many / max(one, 1), 1)
 
 

@@ -112,3 +112,35 @@ def test_embedding_near_dup_pairs(spark, embeddings):
         for r in SIM.embedding_near_dup_pairs(embeddings, threshold=0.999).collect()
     }
     assert (0, 1) in pairs
+
+
+def test_ivf_ann_finds_clones(spark, embeddings):
+    q = [r["embedding"] for r in embeddings.where("vec_id = 0").collect()][0]
+    top = SIM.ann_topk_via_ivf(
+        embeddings, list(q), k=3, n_cells=4, nprobe=1, seed=7
+    ).collect()
+    ids = {r["vec_id"] for r in top}
+    # clones of the query land in the query's own cell → always found
+    assert 0 in ids and 1 in ids
+
+
+def test_ivf_assign_deterministic_and_partitioned(spark, embeddings):
+    cents = SIM.train_ivf_centroids(embeddings, n_cells=4, seed=7)
+    a = {r["vec_id"]: r["ivf_cell"] for r in SIM.ivf_assign(embeddings, cents).collect()}
+    b = {r["vec_id"]: r["ivf_cell"] for r in SIM.ivf_assign(embeddings, cents).collect()}
+    assert a == b
+    assert a[0] == a[1]  # identical vectors share a cell
+    assert set(a.values()) <= set(range(4))
+
+
+def test_ivf_nprobe_full_equals_exact(spark, embeddings):
+    """nprobe = n_cells degenerates to exact brute-force top-k."""
+    q = [r["embedding"] for r in embeddings.where("vec_id = 0").collect()][0]
+    exact = [r["vec_id"] for r in SIM.cosine_topk(embeddings, list(q), k=5).collect()]
+    full = [
+        r["vec_id"]
+        for r in SIM.ann_topk_via_ivf(
+            embeddings, list(q), k=5, n_cells=4, nprobe=4, seed=7
+        ).collect()
+    ]
+    assert full == exact

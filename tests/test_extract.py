@@ -155,3 +155,23 @@ def test_header_row_column_mapping(spark):
     assert got["shipment_details[0].origin"] == ""
     assert got["shipment_details[0].vehicle_number"] == "品川500"
     assert got["shipment_details[0].fare"] == "8000"
+
+
+def test_typed_nested_result(spark):
+    """Schema-derived StructType columns round-trip the golden exactly."""
+    from autoextract.operators.extract import typed_nested_result
+
+    extracted = extract_fields(_ordered_example(spark), SHIPPING_SCHEMA)
+    row = typed_nested_result(extracted, SHIPPING_SCHEMA).collect()[0]
+    assert row["extracted"]["order_date"] == "2023年5月1日"
+    assert row["extracted"]["operation_info"]["contract_work"] == "配送業務"
+    item = row["extracted"]["shipment_details"][0]
+    assert (item["reception_number"], item["destination"], item["origin"]) == (
+        "A001", "東京", "大阪",
+    )
+    assert item["vehicle_number"] == "" and item["fare"] == ""
+    assert list(row["indices"]["order_date"]) == [0]
+    assert list(row["indices"]["shipment_details"][0]["origin"]) == [5]
+    # the derived schema is real column types, not strings-in-a-blob
+    dt = typed_nested_result(extracted, SHIPPING_SCHEMA).schema["extracted"].dataType
+    assert dt["shipment_details"].dataType.typeName() == "array"
