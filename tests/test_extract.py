@@ -175,3 +175,106 @@ def test_typed_nested_result(spark):
     # the derived schema is real column types, not strings-in-a-blob
     dt = typed_nested_result(extracted, SHIPPING_SCHEMA).schema["extracted"].dataType
     assert dt["shipment_details"].dataType.typeName() == "array"
+
+
+def _kernel_words(cells):
+    """Build the ordered-words frame `_extract_one_doc` consumes directly:
+    cells = [(content, x0, y0, line_id)], one block, page 1."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "doc_id": "k-1",
+            "page": 1,
+            "kind": "text",
+            "content": [c[0] for c in cells],
+            "word_id": range(len(cells)),
+            "x0": [float(c[1]) for c in cells],
+            "y0": [float(c[2]) for c in cells],
+            "x1": [float(c[1]) + 100.0 for c in cells],
+            "y1": [float(c[2]) + 30.0 for c in cells],
+            "block_id": 0,
+            "line_id": [int(c[3]) for c in cells],
+        }
+    )
+
+
+def test_large_doc_bounded_time():
+    """A 10^5-word document extracts in bounded time — the kernel is
+    index-driven (one content-map pass + vectorized candidate masks), not a
+    per-label rescan of the word list (VERDICT r1 #2)."""
+    import time
+
+    from autoextract.operators.extract import _extract_one_doc
+
+    n = 100_000
+    cells = []
+    for i in range(n):
+        line = i // 8
+        cells.append((f"w{i}", 50 + (i % 8) * 120, 40 * line, line))
+    # plant one inline hit and one adjacent label+value pair
+    cells[5000] = ("注文日：2023年5月1日", cells[5000][1], cells[5000][2], cells[5000][3])
+    cells[60000] = ("行先", cells[60000][1], cells[60000][2], cells[60000][3])
+    schema = AppSchema(
+        name="big",
+        fields=[
+            {"name": "order_date", "display_name": "注文日", "type": "string"},
+            {"name": "destination", "display_name": "行先", "type": "string"},
+            {"name": "missing", "display_name": "存在しない", "type": "string"},
+        ],
+    )
+    t0 = time.monotonic()
+    rows = _extract_one_doc(_kernel_words(cells), schema)
+    wall = time.monotonic() - t0
+    got = {r["field_path"]: r["value"] for r in rows}
+    assert got["order_date"] == "2023年5月1日"
+    assert got["destination"] == f"w{60001}"
+    assert got["missing"] == ""
+    assert wall < 10.0, f"kernel took {wall:.1f}s on 1e5 words"
+
+
+def test_multi_list_header_partitioning():
+    """Two list fields: data lines belong to the nearest preceding header's
+    list (ADVICE r1 #5 — previously the first list absorbed every line)."""
+    from autoextract.operators.extract import _extract_one_doc
+
+    schema = AppSchema(
+        name="two-tables",
+        fields=[
+            {
+                "name": "shipments",
+                "display_name": "出荷",
+                "type": "list",
+                "items": {
+                    "fields": [
+                        {"name": "no", "display_name": "受付番号", "type": "string"},
+                        {"name": "dest", "display_name": "行先", "type": "string"},
+                    ]
+                },
+            },
+            {
+                "name": "charges",
+                "display_name": "料金",
+                "type": "list",
+                "items": {
+                    "fields": [
+                        {"name": "item", "display_name": "項目", "type": "string"},
+                        {"name": "amount", "display_name": "金額", "type": "string"},
+                    ]
+                },
+            },
+        ],
+    )
+    cells = [
+        ("受付番号", 50, 100, 0), ("行先", 250, 100, 0),   # header: shipments
+        ("A001", 50, 150, 1), ("東京", 250, 150, 1),
+        ("A002", 50, 200, 2), ("大阪", 250, 200, 2),
+        ("項目", 50, 300, 3), ("金額", 250, 300, 3),       # header: charges
+        ("基本料", 50, 350, 4), ("8000", 250, 350, 4),
+    ]
+    rows = _extract_one_doc(_kernel_words(cells), schema)
+    got = {r["field_path"]: r["value"] for r in rows}
+    assert got["shipments[0].no"] == "A001" and got["shipments[0].dest"] == "東京"
+    assert got["shipments[1].no"] == "A002" and got["shipments[1].dest"] == "大阪"
+    assert got["charges[0].item"] == "基本料" and got["charges[0].amount"] == "8000"
+    assert "shipments[2].no" not in got  # charges rows did not leak in
