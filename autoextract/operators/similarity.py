@@ -144,13 +144,26 @@ def train_ivf_centroids(
     n_iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Coarse quantizer training: seeded Lloyd's k-means on a bounded driver
     sample (the standard IVF recipe — training is tiny and one-off; the
-    corpus-sized work stays distributed). Deterministic: fixed seed, fixed
-    iteration count, ties to the lowest centroid index."""
+    corpus-sized work stays distributed). Deterministic end-to-end: the
+    sample is the ``sample_size`` lowest ids (``orderBy(id_col).limit`` — a
+    TakeOrdered, stable across partitionings and cluster sizes, unlike a
+    bare ``limit`` whose row selection is partition-order dependent), then
+    fixed seed, fixed iteration count, ties to the lowest centroid index.
+
+    Train once and pass the result to ``ann_topk_via_ivf(centroids=...)``
+    when issuing many queries — retraining per query re-collects the sample."""
     sample = np.array(
-        [list(r[vec_col]) for r in embeddings.select(vec_col).limit(sample_size).collect()],
+        [
+            list(r[vec_col])
+            for r in embeddings.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ],
         dtype=np.float64,
     )
     rng = np.random.RandomState(seed)
@@ -199,7 +212,9 @@ def ann_topk_via_ivf(
     cosine rerank inside them. Scan cost ≈ nprobe/n_cells of the corpus;
     recall tunes with nprobe (nprobe = n_cells → exact search)."""
     if centroids is None:
-        centroids = train_ivf_centroids(embeddings, n_cells=n_cells, seed=seed, vec_col=vec_col)
+        centroids = train_ivf_centroids(
+            embeddings, n_cells=n_cells, seed=seed, vec_col=vec_col, id_col=id_col
+        )
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
     probe = np.argsort(d2, kind="stable")[:nprobe].tolist()
@@ -217,16 +232,26 @@ def ann_topk_via_srp(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """ANN top-k: prune to the query's SRP bucket, exact-rank inside it.
+    """ANN top-k: prune to the query's SRP bucket neighborhood, exact-rank
+    inside it.
 
-    With ``n_planes`` planes the scan shrinks ~2^n_planes-fold; recall is
-    tunable by lowering n_planes or probing neighboring buckets (Hamming-1
-    probe left as the documented extension).
+    ``probe_hamming`` controls multi-probe: 0 scans only the query's own
+    bucket (~2^n_planes-fold prune, but a near neighbor on the wrong side of
+    ONE hyperplane is missed — a real recall cliff at 16 planes);
+    1 (default) also probes every bucket differing in a single bit
+    (n_planes+1 buckets — still an exponential prune, recall recovers the
+    single-plane-flip misses, the standard multi-probe LSH trade).
+    The probe set is an IN filter over the bucket column, so the plan still
+    prunes before the exact rerank.
     """
     planes = np.random.RandomState(seed).randn(dim, n_planes)
     qsig = (np.asarray(query_vec, dtype=np.float64) @ planes) > 0
     qbucket = int((qsig @ (1 << np.arange(n_planes, dtype=np.int64))))
+    probes = [qbucket]
+    if probe_hamming >= 1:
+        probes += [qbucket ^ (1 << b) for b in range(n_planes)]
     bucketed = srp_buckets(embeddings, dim, n_planes, seed, vec_col)
-    pruned = bucketed.where(F.col("srp_bucket") == F.lit(qbucket))
+    pruned = bucketed.where(F.col("srp_bucket").isin(probes))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)

@@ -144,3 +144,32 @@ def test_ivf_nprobe_full_equals_exact(spark, embeddings):
         ).collect()
     ]
     assert full == exact
+
+
+def test_srp_multiprobe_recall_at_16_planes(spark):
+    """Hamming-1 multi-probe recovers near-clones that a single 16-plane
+    bucket misses (one hyperplane flip ejects a neighbor from the query's
+    bucket — the recall cliff VERDICT r1 #8 flagged). recall@10 >= 0.9 vs
+    brute-force cosine."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    dim = 16
+    q = rng.randn(dim)
+    rows = []
+    for i in range(12):  # planted near-clones: the true top neighbors
+        v = q + rng.randn(dim) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    for i in range(12, 400):
+        rows.append((i, [float(x) for x in rng.randn(dim)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {r["vec_id"] for r in SIM.cosine_topk(emb, list(q), k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in SIM.ann_topk_via_srp(
+            emb, list(q), dim=dim, k=10, n_planes=16, probe_hamming=1
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"recall@10 = {recall}"
