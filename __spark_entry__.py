@@ -344,15 +344,47 @@ def _q_events_hourly(spark, sf):
     )
 
 
-# ---- non-SQL-expressible (rows-only checks; pytest owns correctness) ----
-
-
 def _q_layout_reading_order(spark, sf):
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50)
-    spans = spans_table(_docs_to_word_boxes(docs))
-    return spans.select(
-        "doc_id", F.size("spans").cast("long").alias("n_spans")
+    """The north_rule invariant as a DRIVER-CHECKED oracle: 50 generated
+    adversarial documents (two-column layouts, shuffled word_seq emission),
+    engine spans must equal the construction-order ground truth
+    (``corpus.true_order`` — independent of the layout algorithm) with full
+    span-sequence equality (kind, text, media_ref, order). The oracle SQL is
+    the expected per-doc verdict (every doc exact), so any ordering
+    regression hash-mismatches."""
+    from autoextract import corpus
+
+    gen = corpus.gen_corpus(spark, 50, seed=13)
+    got = spans_table(corpus.ocr_words_view(gen))
+    exp = corpus.expected_spans(gen).withColumnRenamed("spans", "expected")
+    return got.join(exp, "doc_id").select(
+        "doc_id", (F.col("spans") == F.col("expected")).alias("order_exact")
     )
+
+
+def _q_pdf_ingest_spans(spark, sf):
+    """P1 end-to-end: documents → typeset into REAL multi-page PDF payloads
+    → text-layer parse back to word boxes → the ordinary layout/span
+    pipeline. The oracle recomputes the expected reassembled text straight
+    from the source table, so the whole render→parse→order→assemble chain
+    must reconstruct each document's leading tokens exactly."""
+    from autoextract.sources.pdf import pdf_words_table, render_docs_to_pdf
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    raw = render_docs_to_pdf(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    spans = spans_table(pdf_words_table(raw))
+    return spans.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.array_join(F.transform("spans", lambda s: s["text"]), " ").alias(
+            "text_rebuilt"
+        ),
+    )
+
+
+# ---- non-SQL-expressible (rows-only checks; pytest owns correctness) ----
 
 
 def _q_simhash(spark, sf):
@@ -399,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "events_hourly": _q_events_hourly,
         "layout_reading_order": _q_layout_reading_order,
+        "pdf_ingest_spans": _q_pdf_ingest_spans,
         "simhash_sketches": _q_simhash,
         "srp_ann_topk": _q_srp_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
@@ -630,5 +663,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # the expected verdict table for the layout invariant: every one of
+        # the 50 generated docs (ids are deterministic: seed 13) must have
+        # spans exactly equal to the construction-order ground truth
+        "layout_reading_order": """
+            SELECT printf('doc-13-%09d', range) AS doc_id,
+                   true AS order_exact
+            FROM range(50)
+        """,
+        "pdf_ingest_spans": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60)) AS BIGINT) AS n_spans,
+                   array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60), ' ') AS text_rebuilt
+            FROM documents WHERE doc_id < 300
         """,
     }

@@ -87,8 +87,13 @@ def make_jpeg(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\x00" * 64
 
 
-def make_pdf() -> bytes:
-    return b"%PDF-1.7\n%stub\n" + b"\x00" * 32
+def make_pdf(words: list[str] | None = None) -> bytes:
+    """A REAL single-page text PDF (parseable by ``sources.pdf``) — the raw
+    generator exercises the full pdf branch, not just the magic-byte sniff."""
+    from .pdf import make_text_pdf
+
+    ws = words or ["stub"]
+    return make_text_pdf([[(w, 50.0 + 90.0 * i, 60.0) for i, w in enumerate(ws)]])
 
 
 def gen_raw_docs(
@@ -110,7 +115,7 @@ def gen_raw_docs(
                     "png": lambda: make_png(w, h),
                     "jpeg": lambda: make_jpeg(w, h),
                     "gif": lambda: make_gif(w % 65535, h % 65535),
-                    "pdf": make_pdf,
+                    "pdf": lambda: make_pdf([f"doc{i}", "pdf", "body", "words"]),
                     "html": lambda: (
                         "<html><body><article><p>doc %d body text</p></article>"
                         "</body></html>" % i

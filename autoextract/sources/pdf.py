@@ -1,0 +1,341 @@
+"""Minimal text-layer PDF writer + parser (pure Python, closes P1).
+
+The reference renders PDFs to page images with PyMuPDF and caps documents at
+10 pages (``lambda/api/app/utils/pdf.py:62-185``, cap at ``:122-124`` — more
+pages raises and the document is marked failed). This container has no
+PyMuPDF, so the engine's PDF branch works at the *text layer* instead: a
+real, cross-referenced PDF 1.4 writer (used by the corpus generator and the
+``pdf_ingest_spans`` round-trip query) and a parser that replays the content
+streams' text operators (``BT``/``Tf``/``Td``/``Tj``) back into positioned
+word boxes in the ``ocr_words`` shape — from there the ordinary layout
+pipeline (XY-cut, line clustering, span assembly) takes over, identical to
+the OCR path. A production deployment swaps the parser for a rasterize+OCR
+kernel behind the same ``pdf_words_table`` signature.
+
+Scope: uncompressed streams, literal ``(...)`` strings with standard
+escapes, one implicit text space (no ``Tm`` matrices) — exactly the subset
+the writer emits; anything else parses to zero words and is surfaced as an
+error row by ``pdf_meta`` (O6 per-doc containment, never a thrown task).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+#: US-Letter page, PDF default user space (1/72 inch units)
+PAGE_W, PAGE_H = 612.0, 792.0
+#: monospace-ish advance per character as a fraction of font size — the
+#: writer and parser agree on it, so boxes round-trip exactly
+CHAR_W = 0.6
+#: the reference's hard page cap (pdf.py:122-124)
+MAX_PAGES = 10
+
+
+# ----------------------------------------------------------------------
+# writer
+# ----------------------------------------------------------------------
+
+
+def _esc(s: str) -> bytes:
+    return (
+        s.encode("utf-8")
+        .replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+    )
+
+
+def make_text_pdf(
+    pages: list[list[tuple[str, float, float]]], font_size: float = 12.0
+) -> bytes:
+    """Pages of ``(text, x, y_top)`` words → a real PDF file.
+
+    ``y_top`` is in top-left image coordinates (what the layout operators
+    use); the writer converts to PDF's bottom-left baseline convention.
+    """
+    n = len(pages)
+    font_num = 3 + 2 * n
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
+    objs: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Count {n} /Kids [{kids}] >>".encode()),
+    ]
+    for i, words in enumerate(pages):
+        pg_num, ct_num = 3 + 2 * i, 4 + 2 * i
+        parts = []
+        for text, x, y_top in words:
+            y_pdf = PAGE_H - float(y_top) - font_size
+            parts.append(
+                b"BT /F1 %s Tf %s %s Td (%s) Tj ET"
+                % (
+                    f"{font_size:g}".encode(),
+                    f"{float(x):g}".encode(),
+                    f"{y_pdf:g}".encode(),
+                    _esc(text),
+                )
+            )
+        stream = b"\n".join(parts)
+        objs.append(
+            (
+                pg_num,
+                (
+                    f"<< /Type /Page /Parent 2 0 R "
+                    f"/MediaBox [0 0 {PAGE_W:g} {PAGE_H:g}] "
+                    f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                    f"/Contents {ct_num} 0 R >>"
+                ).encode(),
+            )
+        )
+        objs.append(
+            (
+                ct_num,
+                b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(stream), stream),
+            )
+        )
+    objs.append(
+        (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num, body in objs:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    max_num = max(offsets)
+    out += f"xref\n0 {max_num + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF"
+    ).encode()
+    return bytes(out)
+
+
+# ----------------------------------------------------------------------
+# parser
+# ----------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[([^\]]*)\]")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+#: one regex pass over the content stream: font set, move, show, begin/end
+_OP_RE = re.compile(
+    rb"/F\d+\s+([\d.]+)\s+Tf"
+    rb"|(-?[\d.]+)\s+(-?[\d.]+)\s+Td"
+    rb"|\(((?:[^()\\]|\\.)*)\)\s*Tj"
+    rb"|BT|ET"
+)
+_UNESC_RE = re.compile(rb"\\(.)")
+
+
+def _objects(data: bytes) -> dict[int, bytes]:
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        end = data.find(b"endobj", m.end())
+        if end != -1:
+            objs.setdefault(int(m.group(1)), data[m.end():end])
+    return objs
+
+
+def _stream_of(body: bytes) -> bytes:
+    i = body.find(b"stream")
+    if i == -1:
+        return b""
+    j = i + len(b"stream")
+    if body[j : j + 2] == b"\r\n":
+        j += 2
+    elif body[j : j + 1] == b"\n":
+        j += 1
+    m = _LENGTH_RE.search(body[:i])
+    if m:
+        return body[j : j + int(m.group(1))]
+    k = body.find(b"endstream", j)
+    return body[j:k] if k != -1 else b""
+
+
+def pdf_pages(data: bytes) -> list[tuple[float, bytes]]:
+    """→ ``[(page_height, content_stream_bytes)]`` in document order."""
+    objs = _objects(data)
+    pages_body = next(
+        (b for b in objs.values() if re.search(rb"/Type\s*/Pages\b", b)), None
+    )
+    if pages_body is None:
+        return []
+    kids = _KIDS_RE.search(pages_body)
+    if not kids:
+        return []
+    out = []
+    for ref in _REF_RE.findall(kids.group(1)):
+        body = objs.get(int(ref))
+        if body is None:
+            continue
+        mb = _MEDIABOX_RE.search(body)
+        page_h = float(mb.group(1).split()[3]) if mb else PAGE_H
+        cm = _CONTENTS_RE.search(body)
+        stream = _stream_of(objs.get(int(cm.group(1)), b"")) if cm else b""
+        out.append((page_h, stream))
+    return out
+
+
+def pdf_page_count(data: bytes) -> int:
+    return len(pdf_pages(data))
+
+
+def _replay_text_ops(stream: bytes, page_h: float) -> list[tuple[str, float, float, float]]:
+    """Content stream → ``[(text, x, y_top, font_size)]`` in stream order."""
+    words = []
+    fs = 12.0
+    tx = ty = 0.0
+    for m in _OP_RE.finditer(stream):
+        if m.group(1) is not None:  # Tf
+            fs = float(m.group(1))
+        elif m.group(2) is not None:  # Td (relative within the text object)
+            tx += float(m.group(2))
+            ty += float(m.group(3))
+        elif m.group(4) is not None:  # Tj
+            raw = _UNESC_RE.sub(rb"\1", m.group(4))
+            text = raw.decode("utf-8", errors="replace")
+            words.append((text, tx, page_h - ty - fs, fs))
+        elif m.group(0) == b"BT":
+            tx = ty = 0.0
+    return words
+
+
+def pdf_word_rows(doc_id: str, data: bytes) -> list[dict]:
+    """PDF bytes → ``ocr_words``-shaped rows. Raises ``ValueError`` past the
+    reference's 10-page cap (callers convert to an error row, never a task
+    failure)."""
+    pages = pdf_pages(data)
+    if len(pages) > MAX_PAGES:
+        raise ValueError(
+            f"PDF has too many pages ({len(pages)}). Maximum supported: {MAX_PAGES}"
+        )
+    rows = []
+    for page_no, (page_h, stream) in enumerate(pages, start=1):
+        for seq, (text, x, y_top, fs) in enumerate(_replay_text_ops(stream, page_h)):
+            w = CHAR_W * fs * max(len(text), 1)
+            x0, y0, x1, y1 = x, y_top, x + w, y_top + fs
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "page": page_no,
+                    "word_seq": seq,
+                    "kind": "text",
+                    "content": text,
+                    "media_ref": None,
+                    "rec_score": 1.0,
+                    "points": [[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                }
+            )
+    return rows
+
+
+# ----------------------------------------------------------------------
+# Spark operators
+# ----------------------------------------------------------------------
+
+PDF_WORDS_DDL = (
+    "doc_id string, page int, word_seq int, kind string, content string, "
+    "media_ref string, rec_score double, points array<array<double>>"
+)
+PDF_META_DDL = "doc_id string, n_pages int, valid boolean, error string"
+_WORD_COLS = [
+    "doc_id", "page", "word_seq", "kind", "content",
+    "media_ref", "rec_score", "points",
+]
+
+
+def pdf_words_table(pdfs: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """``(doc_id, payload)`` PDFs → word boxes in the ``ocr_words`` shape,
+    ready for ``layout.order_words`` / ``layout.spans_table``. Invalid or
+    over-cap documents contribute zero rows here and an error row in
+    ``pdf_meta`` (O6 containment)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    rows.extend(pdf_word_rows(str(doc_id), b))
+                except Exception:
+                    continue
+            yield pd.DataFrame(rows, columns=_WORD_COLS)
+
+    return pdfs.mapInPandas(kernel, schema=PDF_WORDS_DDL)
+
+
+def pdf_meta(pdfs: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-document parse status: page count, validity, error message — the
+    engine's analogue of the reference's failed-status row (pdf.py:97-109)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                n_pages = pdf_page_count(b)
+                if n_pages == 0:
+                    rows.append(
+                        {"doc_id": str(doc_id), "n_pages": 0, "valid": False,
+                         "error": "no parseable pages"}
+                    )
+                elif n_pages > MAX_PAGES:
+                    rows.append(
+                        {"doc_id": str(doc_id), "n_pages": n_pages, "valid": False,
+                         "error": f"PDF has too many pages ({n_pages}). "
+                                  f"Maximum supported: {MAX_PAGES}"}
+                    )
+                else:
+                    rows.append(
+                        {"doc_id": str(doc_id), "n_pages": n_pages, "valid": True,
+                         "error": None}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_pages", "valid", "error"])
+
+    return pdfs.mapInPandas(kernel, schema=PDF_META_DDL)
+
+
+def render_docs_to_pdf(
+    docs: DataFrame,
+    max_tokens: int = 60,
+    words_per_line: int = 6,
+    lines_per_page: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministically typeset each document's leading tokens into a real
+    multi-page PDF payload — the sandbox stand-in for a landing prefix of
+    uploaded PDFs (the round-trip ground truth stays in the source table)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = str(text or "").split()[:max_tokens]
+                pages: list[list[tuple[str, float, float]]] = []
+                for i, tok in enumerate(toks):
+                    line = i // words_per_line
+                    page_i, line_in_page = divmod(line, lines_per_page)
+                    while len(pages) <= page_i:
+                        pages.append([])
+                    x = 50.0 + (i % words_per_line) * 90.0
+                    y = 60.0 + line_in_page * 40.0
+                    pages[page_i].append((tok, x, y))
+                rows.append(
+                    {"doc_id": str(doc_id), "payload": make_text_pdf(pages or [[]])}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        kernel, schema="doc_id string, payload binary"
+    )

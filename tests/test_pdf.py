@@ -1,0 +1,108 @@
+"""PDF text-layer branch (sources/pdf.py): writer↔parser round-trip, the
+reference's 10-page cap (pdf.py:122-124), error containment, and raw PDF
+bytes → spans end-to-end through dispatch + layout."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from autoextract.operators.layout import spans_table
+from autoextract.sources import ingest
+from autoextract.sources.pdf import (
+    MAX_PAGES,
+    make_text_pdf,
+    pdf_meta,
+    pdf_page_count,
+    pdf_word_rows,
+    pdf_words_table,
+    render_docs_to_pdf,
+)
+
+
+def test_roundtrip_single_page():
+    pdf = make_text_pdf([[("hello", 50, 60), ("world", 140, 60)]])
+    rows = pdf_word_rows("d1", pdf)
+    assert [(r["page"], r["word_seq"], r["content"]) for r in rows] == [
+        (1, 0, "hello"),
+        (1, 1, "world"),
+    ]
+    # boxes carry the typeset geometry back exactly
+    assert rows[0]["points"][0] == [50.0, 60.0]
+    assert rows[1]["points"][0] == [140.0, 60.0]
+
+
+def test_roundtrip_escapes_and_unicode():
+    tricky = ["par(en)s", "back\\slash", "注文日：2023年"]
+    pdf = make_text_pdf([[(t, 50 + 120 * i, 60) for i, t in enumerate(tricky)]])
+    assert [r["content"] for r in pdf_word_rows("d", pdf)] == tricky
+
+
+def test_multipage_order_and_cap():
+    pdf = make_text_pdf([[(f"p{i}", 50, 60)] for i in range(MAX_PAGES)])
+    rows = pdf_word_rows("d", pdf)
+    assert [r["page"] for r in rows] == list(range(1, MAX_PAGES + 1))
+    over = make_text_pdf([[(f"p{i}", 50, 60)] for i in range(MAX_PAGES + 1)])
+    with pytest.raises(ValueError, match="too many pages"):
+        pdf_word_rows("d", over)
+
+
+def test_malformed_pdf_zero_pages():
+    assert pdf_page_count(b"%PDF-1.4 truncated junk") == 0
+    assert pdf_page_count(b"") == 0
+
+
+def test_pdf_meta_flags_cap_and_garbage(spark):
+    import pandas as pd
+
+    over = make_text_pdf([[("w", 50, 60)] for _ in range(MAX_PAGES + 2)])
+    ok = make_text_pdf([[("w", 50, 60)]])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": ["ok", "over", "junk"],
+                "payload": [ok, over, b"%PDF- nope"],
+            }
+        ),
+        schema="doc_id string, payload binary",
+    )
+    meta = {r["doc_id"]: r for r in pdf_meta(df).collect()}
+    assert meta["ok"]["valid"] and meta["ok"]["n_pages"] == 1
+    assert not meta["over"]["valid"] and "too many pages" in meta["over"]["error"]
+    assert not meta["junk"]["valid"] and meta["junk"]["n_pages"] == 0
+    # the over-cap doc contributes ZERO word rows (containment, not a crash)
+    words = pdf_words_table(df)
+    assert words.where(F.col("doc_id") == "over").count() == 0
+    assert words.where(F.col("doc_id") == "ok").count() == 1
+
+
+def test_raw_pdf_bytes_to_spans_end_to_end(spark):
+    """gen_raw_docs → sniff → dispatch['pdfs'] → word boxes → spans."""
+    raw = ingest.gen_raw_docs(spark, 40, seed=5)
+    pdfs = ingest.dispatch(ingest.sniff(raw))["pdfs"]
+    n_pdfs = pdfs.count()
+    assert n_pdfs > 0
+    spans = spans_table(pdf_words_table(pdfs))
+    got = spans.collect()
+    assert len(got) == n_pdfs
+    for row in got:
+        texts = [s["text"] for s in row["spans"]]
+        assert texts[1:] == ["pdf", "body", "words"]  # typeset content back
+        assert [s["offset"] for s in row["spans"]] == list(range(len(texts)))
+
+
+def test_render_docs_multipage_roundtrip(spark):
+    """60 tokens at 6/line × 5 lines/page → a 2-page PDF that reassembles to
+    the source text (the pdf_ingest_spans oracle's invariant)."""
+    import pandas as pd
+
+    text = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["m1"], "text": [text]}),
+        schema="doc_id string, text string",
+    )
+    raw = render_docs_to_pdf(docs)
+    payload = bytes(raw.collect()[0]["payload"])
+    assert pdf_page_count(payload) == 2
+    spans = spans_table(pdf_words_table(raw)).collect()[0]
+    assert " ".join(s["text"] for s in spans["spans"]) == text
