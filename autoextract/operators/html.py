@@ -141,13 +141,18 @@ def _find_main(root: _Node) -> _Node:
 
 
 def html_to_spans(doc_id: str, html: str) -> list[tuple[str, str | None, str | None]]:
-    """One document → ordered [(kind, text, media_ref)]. Pure Python."""
+    """One document → ordered [(kind, text, media_ref)]. Pure Python.
+
+    Parser failures surface as a single ``("error", <message>, None)`` span
+    (O6 per-doc containment): a failed document is distinguishable from a
+    genuinely empty one and never kills the task. Downstream consumers
+    filter ``kind != 'error'`` (or route the rows to a quarantine table)."""
     builder = _TreeBuilder()
     try:
-        builder.feed(html)
+        builder.feed(html if html is not None else "")
         builder.close()
-    except Exception:
-        return []
+    except Exception as exc:
+        return [("error", f"html_parse_error: {type(exc).__name__}: {exc}", None)]
     main = _find_main(builder.root)
 
     spans: list[tuple[str, str | None, str | None]] = []

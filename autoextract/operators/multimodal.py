@@ -7,14 +7,16 @@ Pillow (``utils/helpers.py:58-104``: cap long edge at 1568 px, warn below
 stay behind ``media_ref`` pointers and are fetched inside the UDF), with typed
 metadata alongside — never base64, never per-row Python.
 
-The image/audio libraries are not available in this container, so the *codec*
-step is stubbed: ``decode_image_meta`` parses real magic bytes + header
-dimensions (pure Python — actually works for PNG/JPEG/GIF), while
-``resize_image`` / ``extract_frames`` / ``audio_features`` are deterministic
-fakes behind the same Arrow-batched interface the real kernels would use —
-the Spark-side plumbing (schemas, ``mapInPandas`` batch shape, partition
-hygiene) is real and tested; swap the kernel body for Pillow/ffmpeg/torchcodec
-in production.
+The image/audio libraries are not available in this container, so codec
+coverage is tiered: ``decode_image_meta`` parses real magic bytes + header
+dimensions (pure Python — actually works for PNG/JPEG/GIF); ``resize_image``
+resamples PNG *for real* (stdlib-zlib codec in ``operators.png_codec``,
+NumPy nearest-neighbor) and stubs JPEG/GIF with a deterministic truncation;
+``frame_sample_stub`` / ``embed_media_stub`` remain declared fakes behind
+the same Arrow-batched interface the real kernels would use — the Spark-side
+plumbing (schemas, ``mapInPandas`` batch shape, partition hygiene) is real
+and tested; swap the kernel bodies for Pillow/ffmpeg/torchcodec in
+production.
 """
 
 from __future__ import annotations
@@ -138,17 +140,22 @@ def resize_plan(meta: DataFrame) -> DataFrame:
     )
 
 
-def resize_image_stub(media: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Arrow-batched resize kernel with the production signature.
+def resize_image(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched ≤1568-long-edge resize (``helpers.py:58-104`` policy).
 
-    STUB: the container has no Pillow, so the output payload is a
-    deterministic truncation standing in for re-encoded bytes. The schema,
-    batching, and policy math are the real contract; the real kernel is a
-    three-line Pillow swap (documented in the body).
+    PNG payloads resample FOR REAL: pure-stdlib decode → NumPy
+    nearest-neighbor → re-encode (``operators.png_codec``) — decoded output
+    dims equal the ``resize_plan`` targets. JPEG/GIF/WEBP stay a
+    deterministic-truncation stub (no codec libs in-container; production is
+    a three-line Pillow swap behind this same signature). A payload that
+    fails its codec falls back to the stub rather than failing the task
+    (O6 containment).
     """
     schema = "media_ref string, payload binary, resized boolean"
 
     def kernel(batches):
+        from .png_codec import resize_png_bytes
+
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
@@ -158,14 +165,26 @@ def resize_image_stub(media: DataFrame, payload_col: str = "payload") -> DataFra
                     "png": _png_dims, "gif": _gif_dims, "jpeg": _jpeg_dims,
                 }.get(fmt, lambda _: None)(b)
                 needs = bool(dims and max(dims) > MAX_LONG_EDGE)
-                # PRODUCTION: img = PIL.Image.open(io.BytesIO(b));
-                #   img.thumbnail((MAX_LONG_EDGE, MAX_LONG_EDGE), LANCZOS);
-                #   b = encode(img, quality=95)
-                out_b = b[: max(len(b) // 2, 16)] if needs else b
+                out_b = b
+                if needs:
+                    scale = MAX_LONG_EDGE / max(dims)
+                    tw, th = (max(int(round(d * scale)), 1) for d in dims)
+                    if fmt == "png":
+                        try:
+                            out_b = resize_png_bytes(b, tw, th)
+                        except Exception:  # corrupt stream → containment
+                            out_b = b[: max(len(b) // 2, 16)]
+                    else:
+                        # PRODUCTION: PIL thumbnail+LANCZOS, re-encode q=95
+                        out_b = b[: max(len(b) // 2, 16)]
                 rows.append({"media_ref": ref, "payload": out_b, "resized": needs})
             yield pd.DataFrame(rows, columns=["media_ref", "payload", "resized"])
 
     return media.mapInPandas(kernel, schema=schema)
+
+
+#: backwards-compat name from round 1 (the kernel is no longer a stub for PNG)
+resize_image_stub = resize_image
 
 
 def frame_sample_stub(

@@ -61,3 +61,29 @@ def test_html_spans_table_invariants(spark):
         )
     )
     assert dense.count() == 0
+
+
+def test_parser_failure_emits_error_span(spark):
+    """O6 containment: a document whose parse raises yields a flagged
+    ("error", ...) span — distinguishable from an empty document, never a
+    task failure (VERDICT r1 #10)."""
+    # a non-string payload makes HTMLParser.feed raise — the kernel contract
+    # must contain it per-document
+    got = html_to_spans("x", 12345)
+    assert len(got) == 1 and got[0][0] == "error"
+    assert "html_parse_error" in got[0][1]
+
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["bad", "good"],
+                      "html": [None, "<html><body><article><p>fine text here</p></article></body></html>"]}),
+        schema="doc_id string, html string",
+    )
+    rows = strip_html(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # None html parses as empty (no rows), good doc yields text, no crashes
+    assert "bad" not in by_doc or all(r["kind"] != "error" for r in by_doc["bad"])
+    assert any(r["kind"] == "text" and "fine text here" in r["text"] for r in by_doc["good"])
