@@ -7,6 +7,7 @@ Usage (in-sandbox; on a cluster replace ``--parallelism`` with the usual
         --out /tmp/ae_out --n-buckets 32 --parallelism 32
     python -m autoextract.run --stage spans  --source words --input words.parquet --out ...
     python -m autoextract.run --stage html    --source html  --input html.parquet --out ...
+    python -m autoextract.run --stage spans  --source pdf   --input raw_pdfs.parquet --out ...
     python -m autoextract.run --stage extract --source synthetic --n-docs 2000 --out ...
 
 A rerun over the same ``--out`` resumes: completed buckets are skipped via
@@ -28,8 +29,10 @@ from .session import get_spark
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="autoextract.run")
     p.add_argument("--stage", choices=["spans", "extract", "both", "html"], default="spans")
-    p.add_argument("--source", choices=["synthetic", "words", "html"], default="synthetic")
-    p.add_argument("--input", help="parquet path for --source words/html")
+    p.add_argument(
+        "--source", choices=["synthetic", "words", "html", "pdf"], default="synthetic"
+    )
+    p.add_argument("--input", help="parquet path for --source words/html/pdf")
     p.add_argument("--out", required=True)
     p.add_argument("--n-docs", type=int, default=1000)
     p.add_argument("--seed", type=int, default=42)
@@ -51,8 +54,14 @@ def main(argv: list[str] | None = None) -> int:
             )
     else:
         if not args.input:
-            p.error("--input required for --source words/html")
+            p.error("--input required for --source words/html/pdf")
         src = spark.read.parquet(args.input)
+        if args.source == "pdf":
+            # raw (doc_id, payload) PDFs → text-layer word boxes; from here
+            # the ordinary spans/extract stages apply unchanged
+            from .sources.pdf import pdf_words_table
+
+            src = pdf_words_table(src)
 
     if args.stage == "spans":
         results = [
