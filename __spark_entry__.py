@@ -387,6 +387,10 @@ def _q_pdf_ingest_spans(spark, sf):
 # ---- non-SQL-expressible (rows-only checks; pytest owns correctness) ----
 
 
+def _q_winnowing(spark, sf):
+    return DD.winnowing_fingerprints(_t(spark, sf, "documents"), k=3, window=4)
+
+
 def _q_simhash(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", DD.simhash64(F.col("text")).alias("simhash"))
@@ -432,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "layout_reading_order": _q_layout_reading_order,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
+        "winnowing_fingerprints": _q_winnowing,
         "simhash_sketches": _q_simhash,
         "srp_ann_topk": _q_srp_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
@@ -677,5 +682,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60)) AS BIGINT) AS n_spans,
                    array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60), ' ') AS text_rebuilt
             FROM documents WHERE doc_id < 300
+        """,
+        "winnowing_fingerprints": f"""
+            WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                          FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
+            h AS (SELECT doc_id,
+                         [CAST(CAST(('0x' || substr(md5(x), 1, 8)) AS UBIGINT) AS BIGINT)
+                          for x in s] AS hs
+                  FROM sh),
+            w AS (SELECT doc_id,
+                         [list_min(hs[i:i+3])
+                          for i in range(1, greatest(len(hs) - 3, 1) + 1)] AS mins
+                  FROM h)
+            SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w
         """,
     }

@@ -189,6 +189,36 @@ def minhash_verified_pairs(
     ).where(F.col("jaccard") >= threshold)
 
 
+def winnowing_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    scheme): hash every word ``k``-gram, slide a ``window`` over the hash
+    sequence, keep each window's minimum — any shared substring of length
+    ≥ window+k-1 tokens is GUARANTEED to share a fingerprint, while the
+    selected set is ~2/(window+1) of all shingles.  The standard rolling-
+    fingerprint family for plagiarism/near-dup detection at corpus scale.
+
+    Pure JVM expressions (transform/slice/array_min — codegen'd, no UDF, no
+    shuffle until the caller groups on ``fp``); md5-prefix hash for DuckDB
+    oracle parity (swap xxhash64 at production scale, same structure).
+    Output: one row per distinct fingerprint per doc — join docs sharing an
+    ``fp`` to get candidate pairs, exactly like the MinHash band path.
+    """
+    sh = shingles(F.col(text_col), k)
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    n_win = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
 # ----------------------------------------------------------------------
 # SimHash (vectorized pandas UDF — bit ops are the Python-worthy exception)
 # ----------------------------------------------------------------------

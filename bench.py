@@ -66,6 +66,7 @@ HEADLINE = [
     "spans_reassemble",
     "pdf_ingest_spans",
     "layout_reading_order",
+    "winnowing_fingerprints",
 ]
 
 

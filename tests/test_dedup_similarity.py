@@ -173,3 +173,18 @@ def test_srp_multiprobe_recall_at_16_planes(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"recall@10 = {recall}"
+
+
+def test_winnowing_guarantee(spark, docs):
+    """Winnowing's core property: two docs sharing a run of >= window+k-1
+    tokens share at least one fingerprint; identical docs share all of them."""
+    fps = DD.winnowing_fingerprints(docs, k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] == by_doc[1]                       # exact dup: same set
+    assert by_doc[0] & by_doc[3]                        # near dup: overlap
+    assert not (by_doc[0] & by_doc[4])                  # unrelated: disjoint
+    # selection actually prunes: fewer fingerprints than shingles
+    n_shingles = len(docs.collect()[0]["text"].split()) - 2
+    assert 0 < len(by_doc[0]) < n_shingles
