@@ -56,3 +56,175 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     after = spark.read.parquet(spans_dir)
     assert after.count() == before
     assert after.count() == after.select("doc_id").distinct().count()
+
+
+def test_watermarked_hourly_rollup_parity(spark, tmp_path):
+    """Watermark semantics end-to-end: a drained run leaves trailing windows
+    pending; later-arriving events advance the watermark and finalize them;
+    the finalized set equals the batch group-by exactly (and a window is
+    never emitted twice)."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from autoextract.streaming.windowed import read_hourly, stream_hourly_rollup
+
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    for i in range(300):  # 5 hours of events, 3 types
+        rows.append(
+            {
+                "event_id": i,
+                "ts": base + dt.timedelta(minutes=i),
+                "event_type": ["view", "click", "buy"][i % 3],
+                "value": float(i % 7),
+            }
+        )
+    df1 = spark.createDataFrame(
+        pd.DataFrame(rows),
+        schema="event_id long, ts timestamp, event_type string, value double",
+    )
+    df1.write.mode("append").parquet(events_dir)
+
+    stream_hourly_rollup(spark, events_dir, out_dir, watermark="1 hour")
+    got1 = read_hourly(spark, out_dir)
+    # watermark = max ts (04:59) - 1h = 03:59 → windows 00-02 finalized,
+    # 03:00 and 04:00 still pending in state
+    finalized1 = {r["hour_start"] for r in got1.select("hour_start").distinct().collect()}
+    assert len(finalized1) == 3
+
+    # a later file advances event time far past every real window
+    late = [
+        {
+            "event_id": 9999,
+            "ts": base + dt.timedelta(hours=24),
+            "event_type": "view",
+            "value": 0.0,
+        }
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(late), schema=df1.schema
+    ).write.mode("append").parquet(events_dir)
+    stream_hourly_rollup(spark, events_dir, out_dir, watermark="1 hour")
+
+    got = read_hourly(spark, out_dir).where(
+        F.col("hour_start") < F.lit(base + dt.timedelta(hours=10))
+    )
+    expected = (
+        df1.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+    assert got.count() == expected.count() == 15  # 5 hours x 3 types
+    assert got.exceptAll(expected).union(expected.exceptAll(got)).count() == 0
+
+
+def test_stateful_sessionize_parity(spark, tmp_path):
+    """applyInPandasWithState sessionization: state crosses availableNow
+    runs via the checkpoint; event-time timeouts close idle sessions once
+    the watermark passes; the closed set equals the batch lag/cumsum
+    sessionization exactly."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from autoextract.streaming.stateful import read_sessions, stream_sessionize
+
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def add(user, minutes):
+        nonlocal eid
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": base + dt.timedelta(minutes=minutes),
+                "user_id": user,
+                "event_type": "view",
+                "value": 0.0,
+            }
+        )
+        eid += 1
+
+    # user 1: two sessions (gap 45 min > 30); user 2: one session
+    for m in (0, 10, 20, 65, 70):
+        add(1, m)
+    for m in (5, 25):
+        add(2, m)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    df1 = spark.createDataFrame(pd.DataFrame(rows), schema=schema)
+    df1.write.mode("append").parquet(events_dir)
+    stream_sessionize(spark, events_dir, out_dir, watermark="30 minutes")
+
+    # second delivery: user 1's open session CONTINUES (75 < 70+30),
+    # user 3 appears — state must have crossed the run boundary
+    rows2 = []
+    rows, eid = rows2, 100
+
+    def add2(user, minutes):
+        nonlocal eid
+        rows2.append(
+            {
+                "event_id": eid,
+                "ts": base + dt.timedelta(minutes=minutes),
+                "user_id": user,
+                "event_type": "view",
+                "value": 0.0,
+            }
+        )
+        eid += 1
+
+    for m in (75, 85):
+        add2(1, m)
+    add2(3, 90)
+    df2 = spark.createDataFrame(pd.DataFrame(rows2), schema=schema)
+    df2.write.mode("append").parquet(events_dir)
+    stream_sessionize(spark, events_dir, out_dir, watermark="30 minutes")
+
+    # sentinel far in the future: watermark passes every open session's
+    # timeout → all sessions finalize
+    sent = [{"event_id": 999, "ts": base + dt.timedelta(hours=48),
+             "user_id": 99, "event_type": "view", "value": 0.0}]
+    spark.createDataFrame(pd.DataFrame(sent), schema=schema).write.mode(
+        "append"
+    ).parquet(events_dir)
+    stream_sessionize(spark, events_dir, out_dir, watermark="30 minutes")
+
+    got = (
+        read_sessions(spark, out_dir)
+        .where(F.col("user_id") < 99)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    all_events = df1.unionByName(df2)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    expected = (
+        all_events.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
+            ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .drop("sid")
+    )
+    assert got.count() == expected.count() == 4  # u1: 2, u2: 1, u3: 1
+    assert got.exceptAll(expected).union(expected.exceptAll(got)).count() == 0
