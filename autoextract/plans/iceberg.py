@@ -1,0 +1,143 @@
+"""Native Iceberg table path — the production form of the engine's sinks.
+
+The sandbox has no Iceberg runtime jar (checked: ``pyspark/jars`` carries no
+table-format jars), so in-sandbox runs use the bucket-partitioned parquet
+emulation in ``plans/pipeline.py`` / ``plans/edits.py`` (dynamic partition
+overwrite + staged atomic swap — kill-tested). This module is the REAL
+production path behind the same call shapes: every function either executes
+against a configured Iceberg catalog or raises ``IcebergUnavailable`` with
+the exact spark-submit flags that enable it — so a cluster user switches by
+configuration, not by code changes.
+
+What Iceberg adds over the emulation (why production wants it):
+  * snapshot-isolated MERGE — the cross-bucket atomicity the staged swap in
+    ``edits.merge_reextract`` cannot provide on a plain filesystem;
+  * hidden bucket partitioning (``bucket(N, doc_id)``) — the checkpoint
+    bucketing column disappears from user schema;
+  * time travel over checkpoint/lineage history instead of append-only
+    side tables.
+
+North_rule: "over Iceberg tables of interleaved text + media documents" —
+``SPANS_DDL`` below is exactly the input_hint schema
+(doc_id string, spans array<struct<kind,text,media_ref,offset>>).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: spark-submit configuration that turns this module on (Iceberg 1.x):
+REQUIRED_CONFS = {
+    "spark.sql.extensions": (
+        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+    ),
+    "spark.sql.catalog.autoextract": "org.apache.iceberg.spark.SparkCatalog",
+    "spark.sql.catalog.autoextract.type": "hadoop",  # or hive/rest/glue
+    "spark.sql.catalog.autoextract.warehouse": "<warehouse path>",
+}
+
+
+class IcebergUnavailable(RuntimeError):
+    def __init__(self) -> None:
+        flags = " ".join(f"--conf {k}={v}" for k, v in REQUIRED_CONFS.items())
+        super().__init__(
+            "No Iceberg catalog configured in this SparkSession. Launch with "
+            f"the iceberg-spark-runtime jar and: {flags}"
+        )
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "autoextract") -> bool:
+    """True when an Iceberg catalog is live (jar present AND configured)."""
+    impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    if not impl:
+        return False
+    try:  # the class only resolves when the runtime jar is on the classpath
+        spark._jvm.java.lang.Class.forName(impl)  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def _require(spark: SparkSession, catalog: str) -> None:
+    if not iceberg_available(spark, catalog):
+        raise IcebergUnavailable()
+
+
+#: the north_rule input table, with hidden bucket partitioning
+SPANS_DDL = """
+CREATE TABLE IF NOT EXISTS {table} (
+    doc_id STRING,
+    spans ARRAY<STRUCT<kind: STRING, text: STRING,
+                       media_ref: STRING, offset: INT>>
+) USING iceberg
+PARTITIONED BY (bucket({n_buckets}, doc_id))
+TBLPROPERTIES (
+    'write.distribution-mode' = 'hash',
+    'write.target-file-size-bytes' = '536870912'
+)
+"""
+
+#: long-format extraction results (FIXTURES.md §5 shape)
+EXTRACTED_DDL = """
+CREATE TABLE IF NOT EXISTS {table} (
+    doc_id STRING, field_path STRING, value STRING,
+    word_ids ARRAY<INT>, confidence DOUBLE
+) USING iceberg
+PARTITIONED BY (bucket({n_buckets}, doc_id))
+"""
+
+#: the production form of plans/edits.merge_reextract's staged swap: one
+#: snapshot-atomic statement, per-doc granularity, no bucket bookkeeping
+MERGE_EXTRACTED_SQL = """
+MERGE INTO {table} t
+USING {updates} u
+ON t.doc_id = u.doc_id AND t.field_path = u.field_path
+WHEN MATCHED THEN UPDATE SET
+    t.value = u.value, t.word_ids = u.word_ids, t.confidence = u.confidence
+WHEN NOT MATCHED THEN INSERT *
+"""
+
+#: wholesale per-document replacement (the reference's edit contract,
+#: database.py:200-230): delete the doc's rows, then append the fresh ones
+DELETE_DOCS_SQL = """
+DELETE FROM {table}
+WHERE doc_id IN (SELECT doc_id FROM {edited_docs})
+"""
+
+
+def create_spans_table(
+    spark: SparkSession, table: str, n_buckets: int = 512
+) -> None:
+    """Create the interleaved-spans Iceberg table (10^12-doc design point:
+    512 hidden buckets ≈ comfortable file counts at 0.5 GB target files)."""
+    _require(spark, table.split(".")[0])
+    spark.sql(SPANS_DDL.format(table=table, n_buckets=n_buckets))
+
+
+def write_spans(spark: SparkSession, spans: DataFrame, table: str) -> None:
+    """Append a spans batch; Iceberg's hash distribution mode does the
+    bucket-aligned shuffle the emulation does by hand."""
+    _require(spark, table.split(".")[0])
+    spans.writeTo(table).append()
+
+
+def merge_extracted(
+    spark: SparkSession, updates: DataFrame, table: str
+) -> None:
+    """Snapshot-atomic upsert of re-extracted fields (the production
+    ``merge_reextract``). The updates view is tiny relative to the target —
+    Iceberg prunes touched files by the bucket transform on doc_id."""
+    _require(spark, table.split(".")[0])
+    updates.createOrReplaceTempView("_ae_merge_updates")
+    spark.sql(MERGE_EXTRACTED_SQL.format(table=table, updates="_ae_merge_updates"))
+
+
+def replace_docs_wholesale(
+    spark: SparkSession, edited: DataFrame, fresh: DataFrame, table: str
+) -> None:
+    """The reference's full-overwrite edit semantics as delete+append inside
+    one job (both operations commit as Iceberg snapshots)."""
+    _require(spark, table.split(".")[0])
+    edited.select("doc_id").distinct().createOrReplaceTempView("_ae_edited_docs")
+    spark.sql(DELETE_DOCS_SQL.format(table=table, edited_docs="_ae_edited_docs"))
+    fresh.writeTo(table).append()
