@@ -95,3 +95,20 @@ def test_fused_spans_single_exchange(spark):
     assert p.count("Exchange") <= 2  # doc repartition + source re-spread
     assert "HashAggregate" not in p and "ObjectHashAggregate" not in p
     assert "Window" not in p
+
+
+def test_pdf_query_filter_pushdown(spark):
+    """The pdf round-trip's doc_id < 300 filter reaches the parquet scan —
+    at 10^12 docs the render stage must never see unselected rows."""
+    p = plan_str(E._q_pdf_ingest_spans(spark, SF))
+    assert "PushedFilters" in p
+    assert "LessThan(doc_id,300)" in p or "lessthan(doc_id,300)" in p.lower()
+
+
+def test_winnowing_pure_expressions(spark):
+    """Winnowing is transform/slice/array_min expressions end-to-end: no
+    Python UDF eval node, no exchange (narrow until the caller groups),
+    and whole-stage codegen covers the hash/min pipeline."""
+    p = plan_str(E._q_winnowing(spark, SF), "simple")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Exchange" not in p
