@@ -12,11 +12,11 @@ coverage is tiered: ``decode_image_meta`` parses real magic bytes + header
 dimensions (pure Python — actually works for PNG/JPEG/GIF); ``resize_image``
 resamples PNG *for real* (stdlib-zlib codec in ``operators.png_codec``,
 NumPy nearest-neighbor) and stubs JPEG/GIF with a deterministic truncation;
-``frame_sample_stub`` / ``embed_media_stub`` remain declared fakes behind
-the same Arrow-batched interface the real kernels would use — the Spark-side
-plumbing (schemas, ``mapInPandas`` batch shape, partition hygiene) is real
-and tested; swap the kernel bodies for Pillow/ffmpeg/torchcodec in
-production.
+``frame_sample`` demuxes GIF frames *for real* (block-structure walk) and
+stubs other containers; ``embed_media`` computes a real pooled-intensity
+feature for decodable PNGs and hash-stubs the rest. Every kernel keeps the
+same Arrow-batched production interface — swap the fallback bodies for
+Pillow/ffmpeg/torchcodec in production.
 """
 
 from __future__ import annotations
@@ -187,16 +187,60 @@ def resize_image(media: DataFrame, payload_col: str = "payload") -> DataFrame:
 resize_image_stub = resize_image
 
 
-def frame_sample_stub(
+def gif_frames(data: bytes) -> list[bytes]:
+    """REAL container demux for GIF87a/89a: walk the block structure
+    (logical screen descriptor → optional global color table → extension /
+    image blocks) and return each frame's full image section (descriptor +
+    local color table + LZW sub-blocks). Pure Python, no codec — this is the
+    demux step; pixel decode stays behind the production seam."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        return []
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:  # global color table: 3 × 2^(N+1) bytes
+        pos += 3 * (2 << (packed & 0x07))
+    frames: list[bytes] = []
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(data):
+            size = data[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+        return p
+
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif block == 0x2C:  # image descriptor
+            start = pos
+            pos += 10
+            ipacked = data[start + 9]
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = skip_subblocks(pos)
+            frames.append(data[start:pos])
+        else:  # corrupt stream: stop at the first unknown block
+            break
+    return frames
+
+
+def frame_sample(
     videos: DataFrame, every_n: int = 30, payload_col: str = "payload"
 ) -> DataFrame:
-    """Video → sampled frame rows (one row per kept frame).
+    """Media → sampled frame rows (one row per kept frame).
 
-    STUB decode (no ffmpeg in-container): frame count is derived
-    deterministically from payload length; emitted frame payloads are byte
-    slices. The *shape* is the production contract: explosive row growth
-    happens inside the UDF iterator (streamed per Arrow batch), never by
-    collecting to the driver.
+    GIF payloads demux FOR REAL (``gif_frames`` block walk — every
+    ``every_n``-th actual frame, payload = that frame's image section).
+    Other containers (no ffmpeg in-container) keep the deterministic
+    byte-slice stub behind the same contract. The *shape* is production:
+    explosive row growth happens inside the UDF iterator (streamed per Arrow
+    batch), never by collecting to the driver.
     """
     schema = "media_ref string, frame_idx int, frame_payload binary"
 
@@ -205,7 +249,18 @@ def frame_sample_stub(
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                n_frames = max(len(b) // 64, 1)  # PRODUCTION: container demux
+                frames = gif_frames(b) if sniff_format(b) == "gif" else []
+                if frames:
+                    for idx in range(0, len(frames), every_n):
+                        rows.append(
+                            {
+                                "media_ref": ref,
+                                "frame_idx": idx,
+                                "frame_payload": frames[idx],
+                            }
+                        )
+                    continue
+                n_frames = max(len(b) // 64, 1)  # PRODUCTION: ffmpeg demux
                 for idx in range(0, n_frames, every_n):
                     rows.append(
                         {
@@ -219,22 +274,55 @@ def frame_sample_stub(
     return videos.mapInPandas(kernel, schema=schema)
 
 
-def embed_media_stub(media: DataFrame, dim: int = 16, payload_col: str = "payload") -> DataFrame:
+#: backwards-compat name from round 1 (GIF demux is no longer a stub)
+frame_sample_stub = frame_sample
+
+
+def embed_media(media: DataFrame, dim: int = 16, payload_col: str = "payload") -> DataFrame:
     """Media → feature vector (``array<float>``), the hand-off into the
-    similarity operators. STUB featurizer: seeded hash-derived vector per
-    payload (deterministic); production swaps in a real encoder batch call.
-    Vectorized: one NumPy pass per Arrow batch."""
+    similarity operators.
+
+    Decodable PNGs get a REAL (if deliberately simple) visual feature: the
+    image is nearest-neighbor-pooled to a 4×4 gray intensity grid and
+    L2-normalized — 16 numbers that actually describe the pixels, so
+    near-identical images land near each other under cosine (tested).
+    Everything else falls back to the deterministic hash-derived stub
+    (production swaps in a real encoder batch call — same signature, same
+    Arrow batching)."""
     schema = "media_ref string, embedding array<float>"
+    side = int(np.sqrt(dim))
+    pool_ok = side * side == dim  # pooled grid needs a square dim
 
     def kernel(batches):
+        from .png_codec import decode_png, resize_nearest
+
         for pdf in batches:
             refs = pdf["media_ref"].tolist()
             feats = []
             for payload in pdf[payload_col]:
                 b = bytes(payload) if payload is not None else b""
-                # deterministic per-content seed; PRODUCTION: model.encode(batch)
-                seed = int.from_bytes(__import__("hashlib").md5(b).digest()[:4], "little")
-                feats.append(np.random.RandomState(seed).rand(dim).astype("float32"))
+                vec = None
+                if pool_ok and sniff_format(b) == "png":
+                    try:
+                        arr = decode_png(b)
+                        gray = arr[:, :, : min(3, arr.shape[2])].mean(axis=2)
+                        pooled = resize_nearest(gray, side, side).astype("float32")
+                        flat = pooled.reshape(-1)
+                        norm = float(np.linalg.norm(flat))
+                        vec = (flat / norm if norm > 0 else flat).astype("float32")
+                    except Exception:
+                        vec = None
+                if vec is None:
+                    # deterministic per-content seed; PRODUCTION: model.encode
+                    seed = int.from_bytes(
+                        __import__("hashlib").md5(b).digest()[:4], "little"
+                    )
+                    vec = np.random.RandomState(seed).rand(dim).astype("float32")
+                feats.append(vec)
             yield pd.DataFrame({"media_ref": refs, "embedding": [f.tolist() for f in feats]})
 
     return media.mapInPandas(kernel, schema=schema)
+
+
+#: backwards-compat name from round 1 (PNG featurization is no longer a stub)
+embed_media_stub = embed_media

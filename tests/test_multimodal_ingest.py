@@ -100,3 +100,56 @@ def test_ingest_sniff_dispatch(spark):
     spans = html_spans_table(routed["html"])
     assert spans.count() == by_fmt["html"]
     sniffed.unpersist()
+
+
+def _make_animated_gif(n_frames: int, w: int = 4, h: int = 4) -> bytes:
+    """Structurally valid multi-frame GIF89a (demux-parseable; pixel data is
+    opaque LZW sub-blocks, which is all a demuxer touches)."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([0x00, 0, 0])  # LSD, no GCT
+    for _ in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # descriptor
+        out += b"\x02"  # LZW min code size
+        out += bytes([3, 0xAA, 0xBB, 0xCC])  # one 3-byte data sub-block
+        out += b"\x00"  # block terminator
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_demux_real_frames(spark):
+    from autoextract.operators.multimodal import frame_sample, gif_frames
+
+    g = _make_animated_gif(7)
+    assert len(gif_frames(g)) == 7
+    assert gif_frames(b"GIF89a trunc") == []
+
+    vids = spark.createDataFrame([("g1", g)], ["media_ref", "payload"])
+    rows = frame_sample(vids, every_n=2).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4, 6]
+    # each payload is that frame's real image section (starts with 0x2C)
+    assert all(bytes(r["frame_payload"])[0] == 0x2C for r in rows)
+
+
+def test_embed_media_real_png_features(spark):
+    import numpy as np
+
+    from autoextract.operators.png_codec import encode_png
+    from autoextract.operators.multimodal import embed_media
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    near = img.copy()
+    near[0, 0] = 255 - near[0, 0]  # one pixel differs
+    other = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [("a", encode_png(img)), ("b", encode_png(near)), ("c", encode_png(other))],
+        ["media_ref", "payload"],
+    )
+    vecs = {r["media_ref"]: np.array(r["embedding"]) for r in embed_media(media).collect()}
+    cos = lambda x, y: float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+    assert cos(vecs["a"], vecs["b"]) > 0.999  # near-identical images
+    assert cos(vecs["a"], vecs["c"]) < cos(vecs["a"], vecs["b"])
+    assert len(vecs["a"]) == 16
