@@ -408,6 +408,12 @@ def _q_ivf_ann_topk(spark, sf):
     return SIM.ann_topk_via_ivf(e, qvec, k=10, n_cells=8, nprobe=2, seed=42)
 
 
+def _q_batch_ann_knn(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    return SIM.batch_ann_topk(e, dim=dim, k=5, n_planes=8, probe_hamming=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spans_token_offsets": _q_token_offsets,
@@ -440,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sketches": _q_simhash,
         "srp_ann_topk": _q_srp_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "batch_ann_knn": _q_batch_ann_knn,
     }
 
 

@@ -223,6 +223,69 @@ def ann_topk_via_ivf(
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 
 
+def batch_ann_topk(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k neighbors for EVERY row (the k-NN join): SRP
+    bucket self-join, exact cosine rerank inside each candidate set.
+
+    Multi-probe without re-bucketing: the LEFT side explodes its bucket id
+    into the Hamming-``probe_hamming`` neighborhood (n_planes+1 keys at
+    radius 1), the RIGHT side keeps its own bucket — every pair within one
+    plane-flip meets on some key. One explode (constant factor), one shuffle
+    on the short bucket key, then a per-query window top-k; candidate count,
+    not corpus², bounds the cosine work. Self-pairs excluded; ties break on
+    neighbor id so results are deterministic across cluster sizes.
+    """
+    from pyspark.sql import Window
+
+    bucketed = srp_buckets(embeddings, dim, n_planes, seed, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("srp_bucket")
+    )
+    probes = F.array(
+        F.col("srp_bucket"),
+        *[
+            F.col("srp_bucket").bitwiseXOR(F.lit(1 << b))
+            for b in range(n_planes if probe_hamming >= 1 else 0)
+        ],
+    )
+    left = bucketed.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probes).alias("blk"),
+    )
+    right = bucketed.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.col("srp_bucket").alias("blk"),
+    )
+    pairs = (
+        left.join(right, "blk")
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine_similarity_col(F.col("qvec"), F.col("nvec")), 6).alias(
+                "cosine"
+            ),
+        )
+        .dropDuplicates(["qid", "nid"])  # met via several probe keys
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "cosine", "rank")
+    )
+
+
 def ann_topk_via_srp(
     embeddings: DataFrame,
     query_vec: list[float],

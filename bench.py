@@ -69,6 +69,7 @@ HEADLINE = [
     "pdf_ingest_spans",
     "layout_reading_order",
     "winnowing_fingerprints",
+    "batch_ann_knn",
 ]
 
 

@@ -188,3 +188,22 @@ def test_winnowing_guarantee(spark, docs):
     # selection actually prunes: fewer fingerprints than shingles
     n_shingles = len(docs.collect()[0]["text"].split()) - 2
     assert 0 < len(by_doc[0]) < n_shingles
+
+
+def test_batch_ann_knn_join(spark, embeddings):
+    """k-NN join: every row gets neighbors; planted clones find each other
+    at rank 1 with cosine 1.0; ranks are dense and deterministic."""
+    out = SIM.batch_ann_topk(embeddings, dim=8, k=3, n_planes=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["nid"], r["cosine"]))
+    # vec 0 and 1 are identical: each is the other's top neighbor
+    top0 = sorted(by_q[0])[0]
+    assert top0[1] == 1 and top0[2] == 1.0
+    top1 = sorted(by_q[1])[0]
+    assert top1[1] == 0 and top1[2] == 1.0
+    # no self pairs, ranks start at 1 and are <= k
+    assert all(r["qid"] != r["nid"] for r in out)
+    assert all(1 <= r["rank"] <= 3 for r in out)
+    # every bucketed row got at least one neighbor (multi-probe coverage)
+    assert len(by_q) >= 45
