@@ -49,15 +49,25 @@ def bpe_token_count(text: Column | str) -> Column:
 # ----------------------------------------------------------------------
 
 
+def shingles_of_tokens(tokens_col: Column, k: int = 3) -> Column:
+    """Word ``k``-gram shingles over an ALREADY-MATERIALIZED token-array
+    column. Use this form whenever the same row also needs another
+    token-derived expression: referencing an attribute keeps each lambda
+    tiny, while inlining ``split()`` into every HOF element (what
+    ``shingles`` over raw text compiles to) duplicates a large codegen tree
+    — two such trees in one stage overflow the codegen budget and drop the
+    whole stage to interpreted HOF evaluation (measured 20× slower)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i, k)),
+    )
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Word ``k``-gram shingles. Docs shorter than ``k`` tokens yield one
     shingle covering the whole doc (parity contract with the DuckDB oracle:
     ``l[i:i+k-1]`` over ``range(1, greatest(len(l)-k+1, 1)+1)``)."""
-    t = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-    )
+    return shingles_of_tokens(tokens(text), k)
 
 
 def minhash_signature(shingle_col: Column, n_hashes: int = 8) -> Column:

@@ -199,23 +199,53 @@ def winnowing_fingerprints(
     selected set is ~2/(window+1) of all shingles.  The standard rolling-
     fingerprint family for plagiarism/near-dup detection at corpus scale.
 
-    Pure JVM expressions (transform/slice/array_min — codegen'd, no UDF, no
-    shuffle until the caller groups on ``fp``); md5-prefix hash for DuckDB
-    oracle parity (swap xxhash64 at production scale, same structure).
-    Output: one row per distinct fingerprint per doc — join docs sharing an
-    ``fp`` to get candidate pairs, exactly like the MinHash band path.
+    Shape: ONE md5 per shingle (posexplode materializes the hash stream —
+    an array-expression form would let Catalyst re-inline the hash array
+    into the per-window lambda and recompute it O(n²) times per doc, the
+    same CollapseProject trap that cost MinHash 25× in round 1; measured
+    387 s → ~2 s at sf0.1), then a sliding ``min`` via a SQL window frame
+    (``rowsBetween(0, window-1)`` partitioned by doc) — one shuffle on
+    doc_id, all JVM expressions, no UDF. md5-prefix hash for DuckDB oracle
+    parity (swap xxhash64 at production scale, same structure). Output: one
+    row per distinct fingerprint per doc — join docs sharing an ``fp`` to
+    get candidate pairs, exactly like the MinHash band path.
     """
-    sh = shingles(F.col(text_col), k)
-    hashes = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    from pyspark.sql import Window
+
+    from ..functions.text import shingles_of_tokens, tokens
+
+    # tokens land in a column FIRST: n_sh comes from size(t) (cheap) and the
+    # shingle lambda references the attribute — one big HOF tree per stage,
+    # not two (two overflow codegen and drop to interpreted mode; the
+    # combined select was 208 s at sf0.1, this form ~6 s)
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("t"))
+    exploded = toks.select(
+        "doc_id",
+        F.greatest(F.size("t") - F.lit(k - 1), F.lit(1)).alias("n_sh"),
+        F.posexplode(shingles_of_tokens(F.col("t"), k)).alias("pos", "sh"),
+    ).select(
+        "doc_id",
+        "n_sh",
+        "pos",
+        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long").alias("hv"),
     )
-    n_win = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
     )
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    # full windows only (pos ≤ n-w); docs shorter than the window keep the
+    # single whole-doc window at pos 0 (the frame clamps to available rows)
+    return (
+        exploded.select(
+            "doc_id",
+            "pos",
+            "n_sh",
+            F.min("hv").over(frame).alias("fp"),
+        )
+        .where(F.col("pos") <= F.greatest(F.col("n_sh") - window, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
     )
 
 

@@ -246,8 +246,12 @@ def batch_ann_topk(
     """
     from pyspark.sql import Window
 
+    # norms computed ONCE per row before the join — inside the pair
+    # projection they would re-evaluate per candidate pair (each candidate
+    # costs 3 array folds instead of 1)
     bucketed = srp_buckets(embeddings, dim, n_planes, seed, vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("srp_bucket")
+        F.col(id_col), F.col(vec_col), F.col("srp_bucket"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     probes = F.array(
         F.col("srp_bucket"),
@@ -259,23 +263,23 @@ def batch_ann_topk(
     left = bucketed.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
+        F.col("nrm").alias("qnrm"),
         F.explode(probes).alias("blk"),
     )
     right = bucketed.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nvec"),
+        F.col("nrm").alias("nnrm"),
         F.col("srp_bucket").alias("blk"),
+    )
+    denom = F.col("qnrm") * F.col("nnrm")
+    sim = F.when(denom > 0, _dot(F.col("qvec"), F.col("nvec")) / denom).otherwise(
+        F.lit(0.0)
     )
     pairs = (
         left.join(right, "blk")
         .where(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            F.round(cosine_similarity_col(F.col("qvec"), F.col("nvec")), 6).alias(
-                "cosine"
-            ),
-        )
+        .select("qid", "nid", F.round(sim, 6).alias("cosine"))
         .dropDuplicates(["qid", "nid"])  # met via several probe keys
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))

@@ -23,11 +23,12 @@ each attempt spin-calibrates host capacity, runs local[N] then local[4N]
 back-to-back inside the same window (best-of-2 walls each), and calibrates
 again.  An attempt is capacity-valid when both calibrations clear the pair's
 floor (each python-stage task drives a JVM thread AND a python worker, so
-local[4N] needs ~2·4N cores).  Pairs are tried in SCALE_PAIRS order — 2→8
-(fits only the host's best windows) then the robust 1→4 fallback.  The first
-capacity-valid attempt with efficiency in [0.8, 1.15] is accepted; every
-attempt's raw readings are embedded in the artifact so the window-validity
-claim is checkable.
+local[4N] needs ~2·4N cores).  Pairs are tried in SCALE_PAIRS order — the
+robust 1→4 first (its 4N side fits any valid window), then one optional 2→8
+upgrade attempt when a pass is already banked and the window is fast.  A
+capacity-valid attempt with efficiency in [0.8, 1.15] is accepted (later,
+larger pairs upgrade the accepted one); every attempt's raw readings are
+embedded in the artifact so the window-validity claim is checkable.
 
 Run directly: ``python bench.py``; scaling subprocesses invoke
 ``python bench.py --span-run <cpus>`` internally.
@@ -79,19 +80,19 @@ HEADLINE = [
 #: (local[2] + local[8], best-of-2 each) fits a single quiet host window.
 SCALE_REPLICATE = 48
 
-#: N → 4N pairs for the scaling criterion, tried in order.  local[2]→local[8]
-#: is the largest pair whose 4N side nominally fits this host (each
-#: python-stage task uses ~2 cores: JVM thread + python worker, so local[8]
-#: needs ~16-20 of the ~19–27 effective cores the host actually provides —
-#: it passes only in the host's best windows).  local[1]→local[4] is the
-#: robust fallback: its 4N side needs ~10 cores, far inside even a mediocre
-#: window, so the measurement reflects the plan rather than host co-
-#: scheduling jitter.  Each pair carries the minimum spin-calibrated
-#: effective cores for its window to count as capacity-valid.
-SCALE_PAIRS = (((2, 8), 16.0), ((1, 4), 10.0))
-#: bounded attempts per pair / wall budget for the whole protocol.
-SCALE_ATTEMPTS_PER_PAIR = 2
-SCALE_TIME_BUDGET_S = 1100.0
+#: N → 4N pairs for the scaling criterion, tried in order: the ROBUST pair
+#: first, then an optional upgrade.  local[1]→local[4]'s 4N side needs ~10
+#: of the ~19–27 effective cores this host actually delivers (each
+#: python-stage task uses ~2 cores: JVM thread + python worker), so it
+#: measures the plan in any capacity-valid window.  local[2]→local[8] needs
+#: ~16–20 cores and passes only in the host's best windows — it is attempted
+#: as an upgrade once a robust pass is banked and time remains.  Each entry:
+#: ((lo, hi), cal_floor, max_attempts).
+SCALE_PAIRS = (((1, 4), 10.0, 3), ((2, 8), 16.0, 1))
+#: wall budget for the whole protocol / cutoff past which the (2,8) upgrade
+#: attempt is skipped (a slow robust phase = a bad window anyway).
+SCALE_TIME_BUDGET_S = 1500.0
+SCALE_UPGRADE_CUTOFF_S = 700.0
 
 
 def _span_pipeline_docs(spark, sf_dir: str, replicate: int = 1):
@@ -131,8 +132,13 @@ def _spin_calibration(seconds: float = 1.5) -> float:
     method)."""
     import multiprocessing as mp
 
+    # single-worker baseline best-of-2: a noise burst during the baseline
+    # would otherwise inflate the ratio past the physical core count
     with mp.Pool(1) as p:
-        one = sum(p.map(_spin_worker, [seconds]))
+        one = max(
+            sum(p.map(_spin_worker, [seconds])),
+            sum(p.map(_spin_worker, [seconds])),
+        )
     with mp.Pool(32) as p:
         many = sum(p.map(_spin_worker, [seconds] * 32))
     return round(many / max(one, 1), 1)
@@ -222,8 +228,13 @@ def main() -> None:
         t_start = time.monotonic()
         attempts: list[dict] = []
         accepted: dict | None = None
-        for (lo_n, hi_n), cal_floor in SCALE_PAIRS:
-            for i in range(SCALE_ATTEMPTS_PER_PAIR):
+        for (lo_n, hi_n), cal_floor, max_attempts in SCALE_PAIRS:
+            elapsed = time.monotonic() - t_start
+            if elapsed > SCALE_TIME_BUDGET_S:
+                break
+            if accepted is not None and elapsed > SCALE_UPGRADE_CUTOFF_S:
+                break  # robust pass banked; window too slow for the upgrade
+            for i in range(max_attempts):
                 cal_before = _spin_calibration()
                 r_lo = measure(lo_n)
                 r_hi = measure(hi_n)
@@ -242,12 +253,12 @@ def main() -> None:
                 }
                 attempts.append(att)
                 if att["capacity_valid"] and 0.8 <= eff <= 1.15:
+                    # prefer the larger pair when both pass (pairs are tried
+                    # smallest-first, so a later pass upgrades)
                     accepted = att
                     break
                 if time.monotonic() - t_start > SCALE_TIME_BUDGET_S:
                     break
-            if accepted is not None or time.monotonic() - t_start > SCALE_TIME_BUDGET_S:
-                break
         if accepted is None:
             # no attempt met both gates: report the best capacity-valid
             # attempt, else the best overall — with accepted=False so the
@@ -277,14 +288,16 @@ def main() -> None:
             "protocol": (
                 "paired attempts: spin-calibrate, run local[N] then local[4N] "
                 "back-to-back on the same input (best-of-2 walls each), "
-                "calibrate again; accept the first capacity-valid attempt "
-                "(both calibrations >= the pair's cal_floor) with efficiency "
-                "in [0.8, 1.15]. Pairs tried in order 2->8 then 1->4: each "
-                "python-stage task uses ~2 cores (JVM thread + python "
-                "worker) and this Firecracker host delivers only ~19-27 "
-                "effective cores, varying by the minute, so 2->8 fits only "
-                "the host's best windows while 1->4's 4N side (~10 cores) "
-                "measures the plan in any valid window — see BENCH.md"
+                "calibrate again; accept a capacity-valid attempt (both "
+                "calibrations >= the pair's cal_floor) with efficiency in "
+                "[0.8, 1.15]. Pairs tried robust-first (1->4, then a 2->8 "
+                "upgrade attempt when a pass is banked and the window is "
+                "fast): each python-stage task uses ~2 cores (JVM thread + "
+                "python worker) and this Firecracker host delivers only "
+                "~19-27 effective cores, varying by the minute, so 2->8 "
+                "fits only the host's best windows while 1->4's 4N side "
+                "(~10 cores) measures the plan in any valid window — see "
+                "BENCH.md"
             ),
         }
     except Exception as exc:  # scaling evidence is best-effort in-harness
