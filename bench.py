@@ -281,8 +281,9 @@ def main() -> None:
             f"docs_per_sec_local{hi_n}": accepted["docs_per_sec_hi"],
             "docs_per_sec_local32_informational": round(r32["docs_per_sec"], 2),
             "efficiency_n_to_4n": accepted["efficiency"],
-            # legacy key name kept for cross-round comparability
-            "efficiency_n_to_4n_2_to_8": accepted["efficiency"],
+            # pair-suffixed alias (r1 recorded the 2->8 key; the suffix now
+            # always names the pair actually measured)
+            f"efficiency_n_to_4n_{lo_n}_to_{hi_n}": accepted["efficiency"],
             "accepted": accepted_flag,
             "attempts": attempts,
             "protocol": (
