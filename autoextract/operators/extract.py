@@ -380,12 +380,17 @@ def nested_result(extracted: DataFrame, schema: AppSchema) -> DataFrame:
 
     JSON strings rather than structs so arbitrary schemas need no DDL; callers
     wanting typed columns apply ``from_json`` with a derived StructType.
+
+    Scale shape: repartition on doc_id + sortWithinPartitions + ONE
+    ``mapInPandas`` pass per partition (pandas groupby inside the kernel) —
+    not ``groupBy().applyInPandas``, whose ~1 ms/group pandas overhead is
+    real money at 10^12 docs (same reasoning as ``extract_fields``).
     """
     schema_json = schema.to_json()
 
     out_schema = "doc_id string, extracted_json string, indices_json string"
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def chunk_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         import json
 
         app = AppSchema.from_json(schema_json)
@@ -440,4 +445,29 @@ def nested_result(extracted: DataFrame, schema: AppSchema) -> DataFrame:
             )
         return pd.DataFrame(rows, columns=["doc_id", "extracted_json", "indices_json"])
 
-    return extracted.groupBy("doc_id").applyInPandas(kernel, schema=out_schema)
+    def kernel(batches):
+        # doc-boundary buffering: a document's rows never split across two
+        # chunk_kernel calls (rows arrive sorted by doc_id within partition)
+        leftover: pd.DataFrame | None = None
+        for pdf in batches:
+            if leftover is not None:
+                pdf = pd.concat([leftover, pdf], ignore_index=True)
+                leftover = None
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=object)
+            tail = ids != ids[-1]
+            cut = int(np.flatnonzero(tail).max() + 1) if tail.any() else 0
+            if cut > 0:
+                yield chunk_kernel(pdf.iloc[:cut])
+            leftover = pdf.iloc[cut:].reset_index(drop=True)
+        if leftover is not None and len(leftover):
+            yield chunk_kernel(leftover)
+
+    spark = extracted.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        extracted.repartition(n_part, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .mapInPandas(kernel, schema=out_schema)
+    )
