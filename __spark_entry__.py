@@ -362,6 +362,38 @@ def _q_layout_reading_order(spark, sf):
     )
 
 
+def _q_extraction_oracle(spark, sf):
+    """J4 (the flagship label-proximity extractor) as a DRIVER-CHECKED
+    oracle: engine extraction over 50 generated form docs must equal the
+    generation-plan ground truth EXACTLY — values, word-id provenance, and
+    confidence per field. The oracle SQL is the expected per-doc verdict."""
+    from autoextract import corpus
+    from autoextract.operators.extract import extract_fields
+    from autoextract.operators.layout import order_words
+    from autoextract.schema import SHIPPING_SCHEMA
+
+    gen = corpus.gen_corpus(spark, 50, seed=13)
+    got = extract_fields(
+        order_words(corpus.ocr_words_view(gen)), SHIPPING_SCHEMA
+    ).where(F.col("value") != "")
+    exp = corpus.expected_extracted(spark, 50, seed=13)
+    bad_docs = (
+        got.exceptAll(exp)
+        .unionByName(exp.exceptAll(got))
+        .select("doc_id")
+        .distinct()
+        .withColumn("bad", F.lit(True))
+    )
+    return (
+        gen.select("doc_id")
+        .distinct()
+        .join(bad_docs, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(~F.col("bad"), F.lit(True)).alias("fields_exact")
+        )
+    )
+
+
 def _q_pdf_ingest_spans(spark, sf):
     """P1 end-to-end: documents → typeset into REAL multi-page PDF payloads
     → text-layer parse back to word boxes → the ordinary layout/span
@@ -442,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "layout_reading_order": _q_layout_reading_order,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
+        "extraction_oracle": _q_extraction_oracle,
         "winnowing_fingerprints": _q_winnowing,
         "simhash_sketches": _q_simhash,
         "srp_ann_topk": _q_srp_ann_topk,
@@ -682,6 +715,11 @@ def oracle_sql() -> dict[str, str]:
         "layout_reading_order": """
             SELECT printf('doc-13-%09d', range) AS doc_id,
                    true AS order_exact
+            FROM range(50)
+        """,
+        "extraction_oracle": """
+            SELECT printf('doc-13-%09d', range) AS doc_id,
+                   true AS fields_exact
             FROM range(50)
         """,
         "pdf_ingest_spans": """

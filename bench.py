@@ -71,6 +71,7 @@ HEADLINE = [
     "layout_reading_order",
     "winnowing_fingerprints",
     "batch_ann_knn",
+    "extraction_oracle",
 ]
 
 
