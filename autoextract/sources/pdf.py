@@ -49,24 +49,44 @@ def _esc(s: str) -> bytes:
 
 
 def make_text_pdf(
-    pages: list[list[tuple[str, float, float]]], font_size: float = 12.0
+    pages: list[list[tuple]], font_size: float = 12.0
 ) -> bytes:
-    """Pages of ``(text, x, y_top)`` words → a real PDF file.
+    """Pages of interleaved elements → a real PDF file.
 
-    ``y_top`` is in top-left image coordinates (what the layout operators
-    use); the writer converts to PDF's bottom-left baseline convention.
+    Each element is either a word ``(text, x, y_top)`` (a ``BT..Tj..ET``
+    block) or an image placement ``(None, x, y_top, w, h)`` (a
+    ``q <w> 0 0 <h> <x> <y> cm /Im0 Do Q`` XObject invocation referencing a
+    shared 1×1 image — the placement geometry, which is what the parser
+    reads back, is real). ``y_top`` is in top-left image coordinates (what
+    the layout operators use); the writer converts to PDF's bottom-left
+    convention.
     """
     n = len(pages)
     font_num = 3 + 2 * n
+    img_num = font_num + 1
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
     objs: list[tuple[int, bytes]] = [
         (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
         (2, f"<< /Type /Pages /Count {n} /Kids [{kids}] >>".encode()),
     ]
-    for i, words in enumerate(pages):
+    for i, elements in enumerate(pages):
         pg_num, ct_num = 3 + 2 * i, 4 + 2 * i
         parts = []
-        for text, x, y_top in words:
+        for el in elements:
+            if el[0] is None:  # media placement
+                _, x, y_top, w, h = el
+                y_pdf = PAGE_H - float(y_top) - float(h)
+                parts.append(
+                    b"q %s 0 0 %s %s %s cm /Im0 Do Q"
+                    % (
+                        f"{float(w):g}".encode(),
+                        f"{float(h):g}".encode(),
+                        f"{float(x):g}".encode(),
+                        f"{y_pdf:g}".encode(),
+                    )
+                )
+                continue
+            text, x, y_top = el
             y_pdf = PAGE_H - float(y_top) - font_size
             parts.append(
                 b"BT /F1 %s Tf %s %s Td (%s) Tj ET"
@@ -84,7 +104,8 @@ def make_text_pdf(
                 (
                     f"<< /Type /Page /Parent 2 0 R "
                     f"/MediaBox [0 0 {PAGE_W:g} {PAGE_H:g}] "
-                    f"/Resources << /Font << /F1 {font_num} 0 R >> >> "
+                    f"/Resources << /Font << /F1 {font_num} 0 R >> "
+                    f"/XObject << /Im0 {img_num} 0 R >> >> "
                     f"/Contents {ct_num} 0 R >>"
                 ).encode(),
             )
@@ -98,6 +119,14 @@ def make_text_pdf(
         )
     objs.append(
         (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    )
+    objs.append(
+        (
+            img_num,
+            b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\n"
+            b"stream\n\x00\nendstream",
+        )
     )
 
     out = bytearray(b"%PDF-1.4\n")
@@ -128,11 +157,13 @@ _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[([^\]]*)\]")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
-#: one regex pass over the content stream: font set, move, show, begin/end
+#: one regex pass over the content stream: font set, move, show, image
+#: placement (scale+translate cm followed by an XObject Do), begin/end
 _OP_RE = re.compile(
     rb"/F\d+\s+([\d.]+)\s+Tf"
     rb"|(-?[\d.]+)\s+(-?[\d.]+)\s+Td"
     rb"|\(((?:[^()\\]|\\.)*)\)\s*Tj"
+    rb"|([\d.]+)\s+0\s+0\s+([\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+cm\s*/\w+\s+Do"
     rb"|BT|ET"
 )
 _UNESC_RE = re.compile(rb"\\(.)")
@@ -191,9 +222,11 @@ def pdf_page_count(data: bytes) -> int:
     return len(pdf_pages(data))
 
 
-def _replay_text_ops(stream: bytes, page_h: float) -> list[tuple[str, float, float, float]]:
-    """Content stream → ``[(text, x, y_top, font_size)]`` in stream order."""
-    words = []
+def _replay_text_ops(stream: bytes, page_h: float) -> list[tuple]:
+    """Content stream → interleaved elements in stream order:
+    ``("text", content, x, y_top, font_size)`` and
+    ``("media", None, x, y_top, w, h)``."""
+    out: list[tuple] = []
     fs = 12.0
     tx = ty = 0.0
     for m in _OP_RE.finditer(stream):
@@ -205,10 +238,14 @@ def _replay_text_ops(stream: bytes, page_h: float) -> list[tuple[str, float, flo
         elif m.group(4) is not None:  # Tj
             raw = _UNESC_RE.sub(rb"\1", m.group(4))
             text = raw.decode("utf-8", errors="replace")
-            words.append((text, tx, page_h - ty - fs, fs))
+            out.append(("text", text, tx, page_h - ty - fs, fs))
+        elif m.group(5) is not None:  # cm + Do: image placement
+            w, h = float(m.group(5)), float(m.group(6))
+            x, y_pdf = float(m.group(7)), float(m.group(8))
+            out.append(("media", None, x, page_h - y_pdf - h, w, h))
         elif m.group(0) == b"BT":
             tx = ty = 0.0
-    return words
+    return out
 
 
 def pdf_word_rows(doc_id: str, data: bytes) -> list[dict]:
@@ -221,8 +258,27 @@ def pdf_word_rows(doc_id: str, data: bytes) -> list[dict]:
             f"PDF has too many pages ({len(pages)}). Maximum supported: {MAX_PAGES}"
         )
     rows = []
+    media_n = 0
     for page_no, (page_h, stream) in enumerate(pages, start=1):
-        for seq, (text, x, y_top, fs) in enumerate(_replay_text_ops(stream, page_h)):
+        for seq, el in enumerate(_replay_text_ops(stream, page_h)):
+            if el[0] == "media":
+                _, _, x, y_top, w, h = el
+                x0, y0, x1, y1 = x, y_top, x + w, y_top + h
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "page": page_no,
+                        "word_seq": seq,
+                        "kind": "media",
+                        "content": None,
+                        "media_ref": f"pdf:{doc_id}:{media_n}",
+                        "rec_score": 1.0,
+                        "points": [[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                    }
+                )
+                media_n += 1
+                continue
+            _, text, x, y_top, fs = el
             w = CHAR_W * fs * max(len(text), 1)
             x0, y0, x1, y1 = x, y_top, x + w, y_top + fs
             rows.append(

@@ -106,3 +106,37 @@ def test_render_docs_multipage_roundtrip(spark):
     assert pdf_page_count(payload) == 2
     spans = spans_table(pdf_words_table(raw)).collect()[0]
     assert " ".join(s["text"] for s in spans["spans"]) == text
+
+
+def test_interleaved_media_roundtrip(spark):
+    """The north_rule payload is INTERLEAVED text + media: a PDF with image
+    placements between text lines parses to media word boxes and assembles
+    into spans with media_ref placeholders at the right offsets."""
+    pdf = make_text_pdf(
+        [
+            [
+                ("intro", 50, 60),
+                ("text", 150, 60),
+                (None, 50, 120, 400, 150),  # figure between the lines
+                ("after", 50, 320),
+                ("figure", 150, 320),
+            ]
+        ]
+    )
+    rows = pdf_word_rows("m1", pdf)
+    kinds = [r["kind"] for r in rows]
+    assert kinds == ["text", "text", "media", "text", "text"]
+    med = rows[2]
+    assert med["media_ref"] == "pdf:m1:0" and med["content"] is None
+    assert med["points"][0] == [50.0, 120.0] and med["points"][2] == [450.0, 270.0]
+
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["m1"], "payload": [pdf]}),
+        schema="doc_id string, payload binary",
+    )
+    spans = spans_table(pdf_words_table(df)).collect()[0]["spans"]
+    assert [s["kind"] for s in spans] == ["text", "text", "media", "text", "text"]
+    assert spans[2]["media_ref"] == "pdf:m1:0" and spans[2]["text"] is None
+    assert [s["offset"] for s in spans] == [0, 1, 2, 3, 4]
