@@ -100,3 +100,65 @@ def test_simhash_token_order_invariant(tokens):
         return int(out)
 
     assert sketch(tokens) == sketch(list(reversed(tokens)))
+
+
+# ---- PDF writer↔parser round-trip (sources/pdf.py) ----------------------
+
+_pdf_token = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"), blacklist_characters=" \t\n\r"
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(
+    st.lists(  # pages
+        st.lists(_pdf_token, min_size=1, max_size=12), min_size=1, max_size=4
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_pdf_roundtrip_arbitrary_tokens(pages_tokens):
+    """Any unicode tokens (incl. parens/backslashes the PDF string syntax
+    must escape) survive write→parse with content, page and order intact."""
+    from autoextract.sources.pdf import make_text_pdf, pdf_word_rows
+
+    pages = [
+        [(tok, 50.0 + 90.0 * i, 60.0 + 40.0 * i) for i, tok in enumerate(toks)]
+        for toks in pages_tokens
+    ]
+    rows = pdf_word_rows("p", make_text_pdf(pages))
+    got = {}
+    for r in rows:
+        got.setdefault(r["page"], []).append(r["content"])
+    assert got == {i + 1: toks for i, toks in enumerate(pages_tokens)}
+
+
+@given(st.lists(st.integers(0, 50), min_size=8, max_size=60), st.integers(0, 40))
+@settings(max_examples=40, deadline=None)
+def test_winnowing_shared_run_guarantee(vocab_ids, start):
+    """Schleimer/Wilkerson/Aiken guarantee, property-tested: two docs
+    sharing a run of >= window+k-1 tokens share >= 1 fingerprint (checked on
+    the pure hash/window math, mirroring dedup.winnowing_fingerprints)."""
+    import hashlib
+
+    k, w = 3, 4
+    run_len = w + k - 1  # 6 tokens shared => guaranteed common fingerprint
+
+    def fingerprints(toks):
+        if len(toks) < k:
+            shingles = [" ".join(toks)]
+        else:
+            shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles
+        ]
+        n_win = max(len(hs) - w + 1, 1)
+        return {min(hs[i : i + w]) for i in range(n_win)}
+
+    toks_a = [f"t{v}" for v in vocab_ids]
+    start = min(start, len(toks_a) - run_len)
+    shared = toks_a[start : start + run_len]
+    toks_b = ["x1", "x2"] + shared + ["x3", "x4"]
+    assert fingerprints(toks_a) & fingerprints(toks_b)
