@@ -329,3 +329,85 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+#: planted ids live far above any real doc id so the two never collide
+#: (mirrors similarity.PLANT_ID_OFFSET for the embedding verdicts)
+PLANT_ID_OFFSET = 10_000_000
+
+
+def simhash_verdict(
+    docs: DataFrame,
+    n_docs: int = 100,
+    max_hamming: int = 3,
+    near_cap: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DRIVER-CHECKED verdict for the SimHash sketch family, one boolean row
+    per document. Three properties, each pinned to a production component:
+
+      1. ``dup_found`` — an exact planted duplicate (same text, id +
+         PLANT_ID_OFFSET) is recovered by ``simhash_near_dup_pairs``'s
+         Manku segment blocking with hamming == 0.  GUARANTEED by
+         construction (identical text ⇒ identical sketch ⇒ pigeonhole block
+         hit), so any regression in the hash family, the segment explode, or
+         the bit_count verify flips rows.
+      2. ``near`` locality — dropping the document's LAST token moves the
+         sketch by ≤ ``near_cap`` bits (one-token edits flip only
+         low-margin bits; measured max 10 across sf0.001–0.1 for this
+         corpus's ~40-token docs — Hamming ≤ 3 needs 1000-token docs, which
+         this table does not have).
+      3. separation — the one-token twin is STRICTLY closer than an
+         unrelated partner doc ((id + n/2) mod n; measured margin ≥ 5 at
+         sf0.01/sf0.1 — sf0.001's tiny docs overlap, so gate-SF only).
+
+    Oracle shape: ``SELECT range AS doc_id, true AS simhash_ok``.
+    """
+    d = docs.where(F.col(id_col) < n_docs).select(id_col, text_col)
+    planted = d.select(
+        (F.col(id_col) + PLANT_ID_OFFSET).alias(id_col), F.col(text_col)
+    )
+    pairs = simhash_near_dup_pairs(
+        d.unionByName(planted), text_col=text_col, max_hamming=max_hamming
+    )
+    dup_found = (
+        pairs.where(
+            (F.col("doc_b") == F.col("doc_a") + PLANT_ID_OFFSET)
+            & (F.col("hamming") == 0)
+        )
+        .select(F.col("doc_a").alias(id_col))
+        .distinct()
+        .withColumn("dup_found", F.lit(True))
+    )
+
+    toks = F.split(F.trim(text_col), r"\s+")
+    near_text = F.array_join(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1))), " "
+    )
+    h = d.select(
+        id_col,
+        simhash64(F.col(text_col)).alias("h0"),
+        simhash64(near_text).alias("hn"),
+    )
+    far = (
+        h.alias("a")
+        .join(
+            h.alias("b"),
+            F.col(f"b.{id_col}")
+            == (F.col(f"a.{id_col}") + n_docs // 2) % n_docs,
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.bit_count(F.col("a.h0").bitwiseXOR(F.col("a.hn"))).alias("ham_near"),
+            F.bit_count(F.col("a.h0").bitwiseXOR(F.col("b.h0"))).alias("ham_far"),
+        )
+    )
+    return far.join(dup_found, id_col, "left").select(
+        F.col(id_col).cast("long").alias(id_col),
+        (
+            F.coalesce(F.col("dup_found"), F.lit(False))
+            & (F.col("ham_near") <= near_cap)
+            & (F.col("ham_near") < F.col("ham_far"))
+        ).alias("simhash_ok"),
+    )

@@ -207,3 +207,72 @@ def test_batch_ann_knn_join(spark, embeddings):
     assert all(1 <= r["rank"] <= 3 for r in out)
     # every bucketed row got at least one neighbor (multi-probe coverage)
     assert len(by_q) >= 45
+
+
+# ----------------------------------------------------------------------
+# driver-checked verdict tables (r3): the engine-side facts behind the
+# constant all-true oracles in __spark_entry__.oracle_sql
+# ----------------------------------------------------------------------
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def test_plant_near_neighbors_twin_geometry(spark):
+    """The planted ε-twin is deterministic and nearly colinear with its
+    query (cosine ≈ 1), and its id is offset by PLANT_ID_OFFSET."""
+    import numpy as np
+
+    e = spark.read.parquet(SF001 + "/embeddings.parquet")
+    planted = SIM.plant_near_neighbors(e, n_queries=4)
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in planted.where(
+        (F.col("vec_id") < 4) | (F.col("vec_id") >= SIM.PLANT_ID_OFFSET)
+    ).collect()}
+    for qid in range(4):
+        a, b = rows[qid], rows[qid + SIM.PLANT_ID_OFFSET]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.99
+    once = {r["vec_id"]: list(r["embedding"]) for r in planted.where(
+        F.col("vec_id") >= SIM.PLANT_ID_OFFSET).collect()}
+    again = {r["vec_id"]: list(r["embedding"]) for r in SIM.plant_near_neighbors(
+        e, n_queries=4).where(F.col("vec_id") >= SIM.PLANT_ID_OFFSET).collect()}
+    assert again == once
+
+
+def test_srp_ann_verdict_all_true(spark):
+    e = spark.read.parquet(SF001 + "/embeddings.parquet")
+    rows = SIM.srp_ann_verdict(e, n_queries=8, k=10, n_planes=4).collect()
+    assert len(rows) == 8 and all(r["ann_ok"] for r in rows)
+
+
+def test_ivf_ann_verdict_all_true(spark):
+    e = spark.read.parquet(SF001 + "/embeddings.parquet")
+    rows = SIM.ivf_ann_verdict(e, n_queries=8, k=10, n_cells=8, nprobe=2).collect()
+    assert len(rows) == 8 and all(r["ann_ok"] for r in rows)
+
+
+def test_batch_knn_verdict_all_true(spark):
+    e = spark.read.parquet(SF001 + "/embeddings.parquet")
+    dim = len(e.select("embedding").first()["embedding"])
+    rows = SIM.batch_knn_verdict(e, dim=dim, n_queries=50, k=5).collect()
+    assert len(rows) == 50 and all(r["ann_ok"] for r in rows)
+
+
+def test_ann_verdict_detects_broken_probing(spark):
+    """Negative control: recall floor above 1.0 is unsatisfiable, so the
+    verdict machinery must actually flip rows (not be hardwired true)."""
+    e = spark.read.parquet(SF001 + "/embeddings.parquet")
+    rows = SIM.srp_ann_verdict(e, n_queries=4, k=10, n_planes=4, recall_floor=1.1).collect()
+    assert not any(r["ann_ok"] for r in rows)
+
+
+def test_simhash_verdict_all_true(spark):
+    d = spark.read.parquet(SF001 + "/documents.parquet")
+    rows = DD.simhash_verdict(d, n_docs=100).collect()
+    assert len(rows) == 100 and all(r["simhash_ok"] for r in rows)
+
+
+def test_simhash_verdict_detects_broken_locality(spark):
+    """Negative control: a zero near-cap rejects any real one-token edit."""
+    d = spark.read.parquet(SF001 + "/documents.parquet")
+    rows = DD.simhash_verdict(d, n_docs=20, near_cap=0).collect()
+    assert sum(1 for r in rows if not r["simhash_ok"]) > 0
