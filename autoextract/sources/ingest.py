@@ -57,7 +57,11 @@ def dispatch(sniffed: DataFrame) -> dict[str, DataFrame]:
     html = sniffed.where(F.col("fmt") == "html").select(
         "doc_id", F.col("payload").cast("string").alias("html")
     )
-    images = sniffed.where(F.col("fmt").isin("png", "jpeg", "gif", "webp"))
+    # the images branch presents the multimodal contract (media_ref), so it
+    # pipes straight into resize_image / frame_sample / embed_media
+    images = sniffed.where(F.col("fmt").isin("png", "jpeg", "gif", "webp")).select(
+        F.col("doc_id").alias("media_ref"), "payload", "fmt"
+    )
     pdfs = sniffed.where(F.col("fmt") == "pdf")
     other = sniffed.where(
         ~F.col("fmt").isin("html", "png", "jpeg", "gif", "webp", "pdf")

@@ -53,23 +53,55 @@ def test_resize_plan_policy(spark):
     assert plan["small"]["too_small_warning"]
 
 
-def test_resize_stub_flags(spark):
+def test_resize_flags(spark):
+    """A genuinely decodable over-size PNG resizes for real; under-size
+    payloads pass through byte-identical."""
+    import numpy as np
+
+    from autoextract.operators.png_codec import decode_png, encode_png
+
+    big = encode_png(
+        np.random.RandomState(3).randint(0, 256, (200, 1600, 3), dtype=np.uint8)
+    )
     media = spark.createDataFrame(
-        [("big", ING.make_png(4000, 4000)), ("ok", ING.make_png(100, 100))],
+        [("big", big), ("ok", ING.make_png(100, 100))],
         ["media_ref", "payload"],
     )
     rows = {r["media_ref"]: r for r in MM.resize_image_stub(media).collect()}
     assert rows["big"]["resized"] is True
+    out = decode_png(bytes(rows["big"]["payload"]))
+    assert out.shape[1] == MM.MAX_LONG_EDGE  # long edge capped
     assert rows["ok"]["resized"] is False
     assert bytes(rows["ok"]["payload"]) == ING.make_png(100, 100)
 
 
-def test_frame_sample_shape(spark):
-    vids = spark.createDataFrame([("v1", b"\x01" * 6400)], ["media_ref", "payload"])
-    rows = MM.frame_sample_stub(vids, every_n=30).collect()
-    assert len(rows) > 1
-    assert all(r["media_ref"] == "v1" for r in rows)
-    assert [r["frame_idx"] for r in rows] == sorted(r["frame_idx"] for r in rows)
+def test_resize_nonresizable_formats_pass_through_byte_identical(spark):
+    """Formats without an in-container codec must NEVER emit modified bytes
+    (r2 VERDICT: the truncation stub was strictly worse than a no-op) —
+    over-size JPEG/GIF pass through unchanged with resized=false."""
+    big_jpeg = ING.make_jpeg(4000, 3000)
+    big_gif = ING.make_gif(4000, 3000)
+    corrupt_png = ING.make_png(4000, 4000)[:40]  # valid header, dead stream
+    media = spark.createDataFrame(
+        [("j", big_jpeg), ("g", big_gif), ("p", corrupt_png)],
+        ["media_ref", "payload"],
+    )
+    rows = {r["media_ref"]: r for r in MM.resize_image(media).collect()}
+    assert bytes(rows["j"]["payload"]) == big_jpeg and rows["j"]["resized"] is False
+    assert bytes(rows["g"]["payload"]) == big_gif and rows["g"]["resized"] is False
+    assert bytes(rows["p"]["payload"]) == corrupt_png and rows["p"]["resized"] is False
+
+
+def test_frame_sample_non_gif_emits_no_fake_frames(spark):
+    """Containers without a demuxer yield ZERO rows, not fabricated byte
+    slices; real GIFs still demux (test_gif_demux_real_frames)."""
+    vids = spark.createDataFrame(
+        [("v1", b"\x01" * 6400), ("g1", _make_animated_gif(1))],
+        ["media_ref", "payload"],
+    )
+    rows = MM.frame_sample_stub(vids, every_n=1).collect()
+    assert all(r["media_ref"] == "g1" for r in rows)
+    assert len(rows) == 1  # the single-frame GIF's one real frame
 
 
 def test_embed_media_deterministic(spark):
@@ -99,6 +131,9 @@ def test_ingest_sniff_dispatch(spark):
 
     spans = html_spans_table(routed["html"])
     assert spans.count() == by_fmt["html"]
+    # images branch presents the multimodal contract and pipes straight in
+    assert "media_ref" in routed["images"].columns
+    assert MM.resize_image(routed["images"]).count() == by_fmt["png"] + by_fmt["jpeg"] + by_fmt["gif"]
     sniffed.unpersist()
 
 
@@ -153,3 +188,28 @@ def test_embed_media_real_png_features(spark):
     assert cos(vecs["a"], vecs["b"]) > 0.999  # near-identical images
     assert cos(vecs["a"], vecs["c"]) < cos(vecs["a"], vecs["b"])
     assert len(vecs["a"]) == 16
+
+
+def test_embed_media_gray_alpha_ignores_alpha(spark):
+    """Gray+alpha PNGs must pool intensity from the gray channel only — a
+    varying alpha channel over identical gray pixels may not move the
+    feature (ADVICE r2: alpha was being averaged into intensity)."""
+    import numpy as np
+
+    from autoextract.operators.png_codec import encode_png
+    from autoextract.operators.multimodal import embed_media
+
+    rng = np.random.RandomState(9)
+    gray = rng.randint(0, 256, (16, 16, 1), dtype=np.uint8)
+    ga_opaque = np.concatenate([gray, np.full((16, 16, 1), 255, np.uint8)], axis=2)
+    ga_varied = np.concatenate(
+        [gray, rng.randint(0, 256, (16, 16, 1), dtype=np.uint8)], axis=2
+    )
+    media = spark.createDataFrame(
+        [("opaque", encode_png(ga_opaque)), ("varied", encode_png(ga_varied))],
+        ["media_ref", "payload"],
+    )
+    vecs = {
+        r["media_ref"]: list(r["embedding"]) for r in embed_media(media).collect()
+    }
+    assert vecs["opaque"] == vecs["varied"]
