@@ -12,15 +12,22 @@ pipeline (XY-cut, line clustering, span assembly) takes over, identical to
 the OCR path. A production deployment swaps the parser for a rasterize+OCR
 kernel behind the same ``pdf_words_table`` signature.
 
-Scope: uncompressed streams, literal ``(...)`` strings with standard
-escapes, one implicit text space (no ``Tm`` matrices) — exactly the subset
-the writer emits; anything else parses to zero words and is surfaced as an
-error row by ``pdf_meta`` (O6 per-doc containment, never a thrown task).
+Scope (r3, widened to the real-world text-layer subset the reference's
+uploads actually use — ``utils/pdf.py:53-87`` consumes arbitrary PDFs):
+``/Filter /FlateDecode`` content streams (stdlib zlib inflate), absolute
+``Tm`` text matrices (translation + axis scales; skew ignored), relative
+``Td``/``TD``, leading-driven ``T*``/``TL``/``'``, ``TJ`` show-arrays (kern
+offsets ≤ -100/1000 em read as word breaks), ``/Contents`` arrays
+(concatenated in order), and literal ``(...)`` strings with standard
+escapes. Hex strings / font cmaps / arbitrary CTMs stay out of scope:
+those parse to zero words and surface as an error row via ``pdf_meta``
+(O6 per-doc containment, never a thrown task).
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -49,7 +56,10 @@ def _esc(s: str) -> bytes:
 
 
 def make_text_pdf(
-    pages: list[list[tuple]], font_size: float = 12.0
+    pages: list[list[tuple]],
+    font_size: float = 12.0,
+    compress: bool = False,
+    use_tm: bool = False,
 ) -> bytes:
     """Pages of interleaved elements → a real PDF file.
 
@@ -60,6 +70,11 @@ def make_text_pdf(
     reads back, is real). ``y_top`` is in top-left image coordinates (what
     the layout operators use); the writer converts to PDF's bottom-left
     convention.
+
+    ``compress=True`` emits ``/Filter /FlateDecode`` content streams and
+    ``use_tm=True`` positions text with absolute ``Tm`` matrices instead of
+    ``Td`` — the two real-world shapes the parser must read back
+    identically (round-trip tested).
     """
     n = len(pages)
     font_num = 3 + 2 * n
@@ -88,14 +103,12 @@ def make_text_pdf(
                 continue
             text, x, y_top = el
             y_pdf = PAGE_H - float(y_top) - font_size
+            pos_op = b"1 0 0 1 %s %s Tm" if use_tm else b"%s %s Td"
             parts.append(
-                b"BT /F1 %s Tf %s %s Td (%s) Tj ET"
-                % (
-                    f"{font_size:g}".encode(),
-                    f"{float(x):g}".encode(),
-                    f"{y_pdf:g}".encode(),
-                    _esc(text),
-                )
+                b"BT /F1 %s Tf " % f"{font_size:g}".encode()
+                + pos_op
+                % (f"{float(x):g}".encode(), f"{y_pdf:g}".encode())
+                + b" (%s) Tj ET" % _esc(text)
             )
         stream = b"\n".join(parts)
         objs.append(
@@ -110,11 +123,16 @@ def make_text_pdf(
                 ).encode(),
             )
         )
+        if compress:
+            stream = zlib.compress(stream)
+            filt = b" /Filter /FlateDecode"
+        else:
+            filt = b""
         objs.append(
             (
                 ct_num,
-                b"<< /Length %d >>\nstream\n%s\nendstream"
-                % (len(stream), stream),
+                b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                % (len(stream), filt, stream),
             )
         )
     objs.append(
@@ -154,19 +172,33 @@ def make_text_pdf(
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
-_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+#: /Contents as a single ref or an array of refs (concatenated in order)
+_CONTENTS_RE = re.compile(rb"/Contents\s+(?:(\d+)\s+0\s+R|\[([^\]]*)\])")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[([^\]]*)\]")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
-#: one regex pass over the content stream: font set, move, show, image
-#: placement (scale+translate cm followed by an XObject Do), begin/end
+_FLATE_RE = re.compile(rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])")
+_NUM = rb"-?[\d.]+"
+_LIT = rb"\((?:[^()\\]|\\.)*\)"
+#: one regex pass over the content stream: font set, text matrix, moves,
+#: leading, shows (Tj / ' / TJ array), image placement (scale+translate cm
+#: followed by an XObject Do), begin/end text object
 _OP_RE = re.compile(
-    rb"/F\d+\s+([\d.]+)\s+Tf"
-    rb"|(-?[\d.]+)\s+(-?[\d.]+)\s+Td"
-    rb"|\(((?:[^()\\]|\\.)*)\)\s*Tj"
-    rb"|([\d.]+)\s+0\s+0\s+([\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+cm\s*/\w+\s+Do"
-    rb"|BT|ET"
+    rb"/F\d+\s+(?P<fs>[\d.]+)\s+Tf"
+    rb"|(?P<tma>%(n)s)\s+%(n)s\s+%(n)s\s+(?P<tmd>%(n)s)\s+(?P<tme>%(n)s)\s+(?P<tmf>%(n)s)\s+Tm"
+    rb"|(?P<tdx>%(n)s)\s+(?P<tdy>%(n)s)\s+(?P<tdop>TD|Td)"
+    rb"|(?P<tl>%(n)s)\s+TL"
+    rb"|(?P<tstar>T\*)"
+    rb"|\((?P<lit>(?:[^()\\]|\\.)*)\)\s*(?P<showop>Tj|')"
+    rb"|\[(?P<tjarr>(?:[^\[\]()]|%(lit)s)*)\]\s*TJ"
+    rb"|(?P<cma>[\d.]+)\s+0\s+0\s+(?P<cmd>[\d.]+)\s+(?P<cme>%(n)s)\s+(?P<cmf>%(n)s)\s+cm\s*/\w+\s+Do"
+    rb"|(?P<bt>BT)|(?P<et>ET)"
+    % {b"n": _NUM, b"lit": _LIT}
 )
+#: TJ array items: literal string or kern offset (1/1000 em; ≤ -100 ⇒ gap)
+_TJ_ITEM_RE = re.compile(rb"\((?P<s>(?:[^()\\]|\\.)*)\)|(?P<k>%s)" % _NUM)
 _UNESC_RE = re.compile(rb"\\(.)")
+#: kern offset magnitude (thousandths of an em) read as a word break
+TJ_WORD_GAP = 100.0
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
@@ -189,9 +221,17 @@ def _stream_of(body: bytes) -> bytes:
         j += 1
     m = _LENGTH_RE.search(body[:i])
     if m:
-        return body[j : j + int(m.group(1))]
-    k = body.find(b"endstream", j)
-    return body[j:k] if k != -1 else b""
+        raw = body[j : j + int(m.group(1))]
+    else:
+        k = body.find(b"endstream", j)
+        raw = body[j:k] if k != -1 else b""
+    if _FLATE_RE.search(body[:i]):
+        try:
+            # decompressobj tolerates a trailing EOL before 'endstream'
+            raw = zlib.decompressobj().decompress(raw)
+        except zlib.error:  # corrupt deflate → zero words, pdf_meta flags it
+            return b""
+    return raw
 
 
 def pdf_pages(data: bytes) -> list[tuple[float, bytes]]:
@@ -213,7 +253,17 @@ def pdf_pages(data: bytes) -> list[tuple[float, bytes]]:
         mb = _MEDIABOX_RE.search(body)
         page_h = float(mb.group(1).split()[3]) if mb else PAGE_H
         cm = _CONTENTS_RE.search(body)
-        stream = _stream_of(objs.get(int(cm.group(1)), b"")) if cm else b""
+        stream = b""
+        if cm:
+            refs = (
+                [cm.group(1)]
+                if cm.group(1) is not None
+                else _REF_RE.findall(cm.group(2))
+            )
+            # multiple content streams concatenate in order (PDF 32000 §7.8.2)
+            stream = b"\n".join(
+                _stream_of(objs.get(int(r), b"")) for r in refs
+            )
         out.append((page_h, stream))
     return out
 
@@ -222,29 +272,77 @@ def pdf_page_count(data: bytes) -> int:
     return len(pdf_pages(data))
 
 
+def _unesc(raw: bytes) -> str:
+    return _UNESC_RE.sub(rb"\1", raw).decode("utf-8", errors="replace")
+
+
+def _tj_array_text(arr: bytes) -> str:
+    """TJ show-array → text: literal parts concatenate; a kern offset of
+    magnitude ≥ TJ_WORD_GAP (thousandths of an em, negative = widen)
+    between parts reads as a word break. The honest extraction without
+    font-metric glyph advances."""
+    parts: list[str] = []
+    for m in _TJ_ITEM_RE.finditer(arr):
+        if m.group("s") is not None:
+            parts.append(_unesc(m.group("s")))
+        elif abs(float(m.group("k"))) >= TJ_WORD_GAP and parts:
+            parts.append(" ")
+    return "".join(parts)
+
+
 def _replay_text_ops(stream: bytes, page_h: float) -> list[tuple]:
     """Content stream → interleaved elements in stream order:
     ``("text", content, x, y_top, font_size)`` and
-    ``("media", None, x, y_top, w, h)``."""
+    ``("media", None, x, y_top, w, h)``.
+
+    Text-positioning state per PDF 32000 §9.4 (simplified to translations +
+    axis scales): ``Tm`` sets the line origin absolutely and carries the
+    font scale in d; ``Td``/``TD`` translate the line origin; ``TL`` sets
+    the leading consumed by ``T*`` and ``'``; ``BT`` resets everything.
+    """
     out: list[tuple] = []
     fs = 12.0
-    tx = ty = 0.0
+    sy = 1.0  # Tm vertical scale (multiplies the nominal font size)
+    lx = ly = 0.0  # line-start (line matrix translation)
+    leading = 0.0
+
+    def emit(text: str) -> None:
+        eff = fs * sy
+        out.append(("text", text, lx, page_h - ly - eff, eff))
+
     for m in _OP_RE.finditer(stream):
-        if m.group(1) is not None:  # Tf
-            fs = float(m.group(1))
-        elif m.group(2) is not None:  # Td (relative within the text object)
-            tx += float(m.group(2))
-            ty += float(m.group(3))
-        elif m.group(4) is not None:  # Tj
-            raw = _UNESC_RE.sub(rb"\1", m.group(4))
-            text = raw.decode("utf-8", errors="replace")
-            out.append(("text", text, tx, page_h - ty - fs, fs))
-        elif m.group(5) is not None:  # cm + Do: image placement
-            w, h = float(m.group(5)), float(m.group(6))
-            x, y_pdf = float(m.group(7)), float(m.group(8))
+        g = m.lastgroup
+        if g == "fs":  # Tf
+            fs = float(m.group("fs"))
+        elif g == "tmf":  # Tm: absolute line origin + scales
+            sy = abs(float(m.group("tmd"))) or 1.0
+            lx, ly = float(m.group("tme")), float(m.group("tmf"))
+        elif g == "tdop":  # Td / TD (TD also sets leading = -ty)
+            dx, dy = float(m.group("tdx")), float(m.group("tdy"))
+            if m.group("tdop") == b"TD":
+                leading = -dy
+            lx += dx
+            ly += dy
+        elif g == "tl":
+            leading = float(m.group("tl"))
+        elif g == "tstar":
+            ly -= leading
+        elif g == "showop":  # Tj or ' (apostrophe = T* then show)
+            if m.group("showop") == b"'":
+                ly -= leading
+            emit(_unesc(m.group("lit")))
+        elif g == "tjarr":
+            text = _tj_array_text(m.group("tjarr"))
+            if text:
+                emit(text)
+        elif g == "cmf":  # cm + Do: image placement
+            w, h = float(m.group("cma")), float(m.group("cmd"))
+            x, y_pdf = float(m.group("cme")), float(m.group("cmf"))
             out.append(("media", None, x, page_h - y_pdf - h, w, h))
-        elif m.group(0) == b"BT":
-            tx = ty = 0.0
+        elif g == "bt":
+            lx = ly = 0.0
+            sy = 1.0
+            leading = 0.0
     return out
 
 
@@ -368,10 +466,16 @@ def render_docs_to_pdf(
     words_per_line: int = 6,
     lines_per_page: int = 5,
     text_col: str = "text",
+    compress: bool = True,
+    use_tm: bool = True,
 ) -> DataFrame:
     """Deterministically typeset each document's leading tokens into a real
     multi-page PDF payload — the sandbox stand-in for a landing prefix of
-    uploaded PDFs (the round-trip ground truth stays in the source table)."""
+    uploaded PDFs (the round-trip ground truth stays in the source table).
+    Defaults emit the REAL-WORLD shape — FlateDecode streams + ``Tm``
+    positioning — so the driver-checked ``pdf_ingest_spans`` round-trip
+    exercises the inflate + matrix paths; the plain ``Td`` uncompressed
+    shape stays covered by the pytest round-trips."""
 
     def kernel(batches):
         for pdf in batches:
@@ -388,7 +492,12 @@ def render_docs_to_pdf(
                     y = 60.0 + line_in_page * 40.0
                     pages[page_i].append((tok, x, y))
                 rows.append(
-                    {"doc_id": str(doc_id), "payload": make_text_pdf(pages or [[]])}
+                    {
+                        "doc_id": str(doc_id),
+                        "payload": make_text_pdf(
+                            pages or [[]], compress=compress, use_tm=use_tm
+                        ),
+                    }
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 

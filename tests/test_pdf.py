@@ -140,3 +140,89 @@ def test_interleaved_media_roundtrip(spark):
     assert [s["kind"] for s in spans] == ["text", "text", "media", "text", "text"]
     assert spans[2]["media_ref"] == "pdf:m1:0" and spans[2]["text"] is None
     assert [s["offset"] for s in spans] == [0, 1, 2, 3, 4]
+
+
+# ----------------------------------------------------------------------
+# r3: real-world text-layer subset — FlateDecode, Tm, TD/TL/T*/', TJ,
+# /Contents arrays
+# ----------------------------------------------------------------------
+
+from autoextract.sources import pdf as P
+
+
+def _sig(rows):
+    return [(r["page"], r["word_seq"], r["kind"], r["content"], r["points"])
+            for r in rows]
+
+
+def test_flate_and_tm_roundtrip_identical():
+    """Compressed streams and absolute Tm positioning must parse back to
+    exactly the same word boxes as the plain Td/uncompressed shape."""
+    pages = [
+        [("hello", 50, 60), ("world", 140, 60), (None, 50, 120, 80, 40)],
+        [("page2", 50, 60)],
+    ]
+    base = _sig(P.pdf_word_rows("d", P.make_text_pdf(pages)))
+    for compress in (False, True):
+        for use_tm in (False, True):
+            b = P.make_text_pdf(pages, compress=compress, use_tm=use_tm)
+            assert _sig(P.pdf_word_rows("d", b)) == base, (compress, use_tm)
+    assert len(base) == 4
+
+
+def test_corrupt_flate_stream_contained():
+    b = P.make_text_pdf([[("hi", 50, 60)]], compress=True)
+    # truncate the deflate body mid-stream: parse yields zero words, no raise
+    i = b.find(b"stream\n") + 7
+    corrupted = b[: i + 4] + b"\x00\x00" + b[i + 6 :]
+    assert P.pdf_word_rows("d", corrupted) == []
+
+
+def test_text_positioning_operators():
+    """TD (move + set leading), TL, T*, ' (next-line show), TJ arrays with
+    word-gap kerning — the real-world operator set beyond the writer's."""
+    stream = (
+        b"BT /F1 10 Tf 14 TL 1 0 0 1 50 700 Tm (alpha) Tj "
+        b"0 -20 TD (beta) Tj T* (gamma) Tj (delta)' "
+        b"[(ep)-50(si)-200(lon)] TJ ET"
+    )
+    els = P._replay_text_ops(stream, 792.0)
+    assert [e[1] for e in els] == ["alpha", "beta", "gamma", "delta", "epsi lon"]
+    # alpha at 792-700-10; each subsequent line 20 lower (TD leading, T*, ')
+    assert [e[3] for e in els][:4] == [82.0, 102.0, 122.0, 142.0]
+
+
+def test_tm_scale_multiplies_font_size():
+    els = P._replay_text_ops(
+        b"BT /F1 10 Tf 2 0 0 2 50 700 Tm (big) Tj ET", 792.0
+    )
+    assert els == [("text", "big", 50.0, 792.0 - 700.0 - 20.0, 20.0)]
+
+
+def test_contents_array_concatenates_streams():
+    """A page whose /Contents is an array of two stream refs reads both, in
+    order (PDF 32000 §7.8.2)."""
+    s1 = b"BT /F1 12 Tf 50 700 Td (first) Tj ET"
+    s2 = b"BT /F1 12 Tf 50 650 Td (second) Tj ET"
+    objs = (
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents [4 0 R 5 0 R] >>\nendobj\n"
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+    ) % (len(s1), s1, len(s2), s2)
+    pdf = b"%PDF-1.4\n" + objs + b"%%EOF"
+    rows = P.pdf_word_rows("d", pdf)
+    assert [r["content"] for r in rows] == ["first", "second"]
+
+
+def test_render_docs_defaults_are_realworld_shape(spark):
+    """render_docs_to_pdf emits FlateDecode + Tm by default (the shape the
+    driver-checked pdf_ingest_spans round-trip therefore exercises)."""
+    docs = spark.createDataFrame([("d0", "alpha beta gamma")], ["doc_id", "text"])
+    payload = bytes(P.render_docs_to_pdf(docs).first()["payload"])
+    assert b"/Filter /FlateDecode" in payload
+    assert b" Td" not in payload  # positioning is via Tm inside the deflate
+    rows = P.pdf_word_rows("d0", payload)
+    assert [r["content"] for r in rows] == ["alpha", "beta", "gamma"]
