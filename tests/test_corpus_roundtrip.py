@@ -121,3 +121,21 @@ def test_spans_table_fused_equals_two_step(spark, gen, got_spans):
     fused = spans_table(corpus.ocr_words_view(gen))
     diff = fused.exceptAll(got_spans).union(got_spans.exceptAll(fused))
     assert diff.count() == 0
+
+
+def test_order_words_auto_single_source_scan(spark):
+    """r3: the router reads its source ONCE — clean+shuffle on doc_id once,
+    window-tag sizes on that partitioning, partition-local filters route;
+    the second branch consumes the same shuffle via AQE stage reuse (the
+    former census + dual-rescan read a 100 TB table twice). Pinned against
+    a parquet source (reuse over cached relations prints differently)."""
+    import __spark_entry__ as E
+
+    from autoextract.operators.layout import order_words_auto
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    words = E._docs_to_word_boxes(docs)
+    auto = order_words_auto(words, mega_threshold=30)  # both branches fire
+    auto.collect()  # AQE finalizes; reuse is a runtime property
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedQueryStage" in plan or "ReusedExchange" in plan
