@@ -89,7 +89,7 @@ SCALE_REPLICATE = 48
 #: ~16–20 cores and passes only in the host's best windows — it is attempted
 #: as an upgrade once a robust pass is banked and time remains.  Each entry:
 #: ((lo, hi), cal_floor, max_attempts).
-SCALE_PAIRS = (((1, 4), 10.0, 3), ((2, 8), 16.0, 1))
+SCALE_PAIRS = (((1, 4), 10.0, 3), ((2, 8), 16.0, 2))
 #: wall budget for the whole protocol / cutoff past which the (2,8) upgrade
 #: attempt is skipped (a slow robust phase = a bad window anyway).
 SCALE_TIME_BUDGET_S = 1500.0
@@ -193,11 +193,20 @@ def main() -> None:
 
     qs = E.queries()
     timings: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {}
+    # best-of-2 per headline query (r2 VERDICT "What's wrong" #3: single-shot
+    # timings made round-over-round diffs unfalsifiable under this host's
+    # minute-scale noise); both walls are recorded so regressions are
+    # distinguishable from window noise.
     for name in HEADLINE:
-        t0 = time.monotonic()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            df = qs[name](spark, SF_DIR)
+            df.count()
+            runs.append(round(time.monotonic() - t0, 3))
+        query_runs[name] = runs
+        timings[name] = min(runs)
 
     # span-pipeline throughput at this session's parallelism (full
     # materialization via noop sink; best-of-2 — min wall is the standard
@@ -216,6 +225,10 @@ def main() -> None:
     # scaling: same job, same input, at N and 4N parallelism — paired,
     # calibration-gated attempts (see module docstring for the protocol).
     scaling = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        scaling = {"skipped": "SPARK_GRAFT_SKIP_SCALING set (smoke run)"}
+        _print_result(timings, query_runs, n_docs, span_wall, scaling)
+        return
     try:
         def measure(cpus: int) -> dict:
             out = subprocess.run(
@@ -305,12 +318,17 @@ def main() -> None:
     except Exception as exc:  # scaling evidence is best-effort in-harness
         scaling = {"error": str(exc)[:200]}
 
+    _print_result(timings, query_runs, n_docs, span_wall, scaling)
+
+
+def _print_result(timings, query_runs, n_docs, span_wall, scaling) -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "span_extraction_headline_suite",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "query_runs": query_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "docs_per_sec": round(n_docs / span_wall, 2),
         "scaling": scaling,
