@@ -93,6 +93,14 @@ def merge_reextract(
         .partitionBy("bucket")
         .parquet(staging)
     )
+    # swap phase: per-bucket atomic renames only — NO deletion until every
+    # affected bucket has its replacement installed, so a crash anywhere in
+    # this loop leaves every old bucket recoverable from its trash dir
+    # (r2 ADVICE: deleting trash inside the loop lost the old contents if a
+    # later rename crashed). Readers must not LIST data_dir during a merge —
+    # a bucket is briefly absent between its two renames; per-bucket reads
+    # see old-or-new, never a mix.
+    trashed: list[str] = []
     for b in affected:
         src = os.path.join(staging, f"bucket={b}")
         dst = os.path.join(data_dir, f"bucket={b}")
@@ -101,8 +109,11 @@ def merge_reextract(
         trash = os.path.join(out_dir, f".extracted_trash_{token}_b{b}")
         if os.path.exists(dst):
             os.rename(dst, trash)  # atomic: readers see old or new, no mix
+            trashed.append(trash)
         if os.path.exists(src):
             os.rename(src, dst)
+    # cleanup phase: all replacements are durable — now drop the old copies
+    for trash in trashed:
         shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     # the swap happened outside Spark's writers, so cached plans/file

@@ -58,8 +58,19 @@ def iceberg_available(spark: SparkSession, catalog: str = "autoextract") -> bool
         return False
 
 
-def _require(spark: SparkSession, catalog: str) -> None:
-    if not iceberg_available(spark, catalog):
+def _catalog_of(spark: SparkSession, table: str) -> str:
+    """The catalog a table identifier resolves in: the explicit first part
+    of a 3-part name, else the session's current catalog (r2 ADVICE: a bare
+    ``db.table`` was misread as catalog ``db`` and misreported as
+    Iceberg-unavailable)."""
+    parts = table.split(".")
+    if len(parts) >= 3:
+        return parts[0]
+    return spark.conf.get("spark.sql.defaultCatalog", "spark_catalog")
+
+
+def _require(spark: SparkSession, table: str) -> None:
+    if not iceberg_available(spark, _catalog_of(spark, table)):
         raise IcebergUnavailable()
 
 
@@ -97,8 +108,10 @@ WHEN MATCHED THEN UPDATE SET
 WHEN NOT MATCHED THEN INSERT *
 """
 
-#: wholesale per-document replacement (the reference's edit contract,
-#: database.py:200-230): delete the doc's rows, then append the fresh ones
+#: legacy two-snapshot form of wholesale replacement (kept for parse-audit
+#: coverage and as the fallback where overwrite-by-condition is unavailable);
+#: the production path is the single-snapshot ``overwrite`` in
+#: ``replace_docs_wholesale``
 DELETE_DOCS_SQL = """
 DELETE FROM {table}
 WHERE doc_id IN (SELECT doc_id FROM {edited_docs})
@@ -110,14 +123,14 @@ def create_spans_table(
 ) -> None:
     """Create the interleaved-spans Iceberg table (10^12-doc design point:
     512 hidden buckets ≈ comfortable file counts at 0.5 GB target files)."""
-    _require(spark, table.split(".")[0])
+    _require(spark, table)
     spark.sql(SPANS_DDL.format(table=table, n_buckets=n_buckets))
 
 
 def write_spans(spark: SparkSession, spans: DataFrame, table: str) -> None:
     """Append a spans batch; Iceberg's hash distribution mode does the
     bucket-aligned shuffle the emulation does by hand."""
-    _require(spark, table.split(".")[0])
+    _require(spark, table)
     spans.writeTo(table).append()
 
 
@@ -127,7 +140,7 @@ def merge_extracted(
     """Snapshot-atomic upsert of re-extracted fields (the production
     ``merge_reextract``). The updates view is tiny relative to the target —
     Iceberg prunes touched files by the bucket transform on doc_id."""
-    _require(spark, table.split(".")[0])
+    _require(spark, table)
     updates.createOrReplaceTempView("_ae_merge_updates")
     spark.sql(MERGE_EXTRACTED_SQL.format(table=table, updates="_ae_merge_updates"))
 
@@ -135,9 +148,17 @@ def merge_extracted(
 def replace_docs_wholesale(
     spark: SparkSession, edited: DataFrame, fresh: DataFrame, table: str
 ) -> None:
-    """The reference's full-overwrite edit semantics as delete+append inside
-    one job (both operations commit as Iceberg snapshots)."""
-    _require(spark, table.split(".")[0])
-    edited.select("doc_id").distinct().createOrReplaceTempView("_ae_edited_docs")
-    spark.sql(DELETE_DOCS_SQL.format(table=table, edited_docs="_ae_edited_docs"))
-    fresh.writeTo(table).append()
+    """The reference's full-overwrite edit semantics in ONE snapshot:
+    ``DataFrameWriterV2.overwrite(condition)`` deletes every row of the
+    edited documents and appends the fresh rows as a single atomic Iceberg
+    commit — no window where a concurrent reader sees a document deleted but
+    not yet re-inserted (r2 ADVICE: the former delete-then-append committed
+    two snapshots). The edited id set is collected to build the condition —
+    it is the human-edit set, tiny by construction."""
+    from pyspark.sql import functions as F
+
+    _require(spark, table)
+    ids = [r["doc_id"] for r in edited.select("doc_id").distinct().collect()]
+    if not ids:
+        return
+    fresh.writeTo(table).overwrite(F.col("doc_id").isin(ids))

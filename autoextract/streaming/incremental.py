@@ -25,6 +25,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import await_deregistration
 from ..operators.layout import spans_table
 from ..plans.checkpoint import with_bucket
 
@@ -68,10 +69,4 @@ def stream_spans_available_now(
         .start()
     )
     q.awaitTermination()
-    # deregistration from the StreamingQueryManager is asynchronous after
-    # termination; wait it out so an immediate re-run against the same
-    # checkpoint isn't rejected as a concurrent query
-    import time
-
-    while any(a.id == q.id for a in spark.streams.active):
-        time.sleep(0.05)
+    await_deregistration(spark, q)

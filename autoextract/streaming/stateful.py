@@ -23,6 +23,8 @@ import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from . import await_deregistration
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -74,7 +76,13 @@ def _sessionize_group(key, pdfs, state: GroupState):
     for sid, grp in grouped:
         start, last, n = grp.iloc[0], grp.iloc[-1], len(grp)
         if int(sid) == 0 and carried is not None:
-            start = carried[0]
+            # merge with min(start)/max(last): a late-but-within-watermark
+            # event may predate the carried session's start or trail behind
+            # its last_ts — the open session must never move backward
+            # (r2 ADVICE: taking the batch's own bounds let negative gaps
+            # drag last_ts back and diverge from the batch oracle)
+            start = min(carried[0], start)
+            last = max(carried[1], last)
             n += int(carried[2])
         if int(sid) == last_sid:
             open_start, open_last, open_n = start, last, n
@@ -138,10 +146,7 @@ def stream_sessionize(
         .start()
     )
     q.awaitTermination()
-    import time
-
-    while any(a.id == q.id for a in spark.streams.active):
-        time.sleep(0.05)
+    await_deregistration(spark, q)
 
 
 def read_sessions(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -27,6 +27,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+from . import await_deregistration
 from pyspark.sql import functions as F
 
 HOURLY_SINK = "events_hourly"
@@ -78,10 +80,7 @@ def stream_hourly_rollup(
         .start()
     )
     q.awaitTermination()
-    import time
-
-    while any(a.id == q.id for a in spark.streams.active):
-        time.sleep(0.05)
+    await_deregistration(spark, q)
 
 
 def read_hourly(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -27,3 +27,38 @@ def test_available_detects_configured_catalog(spark):
         assert ICE.iceberg_available(spark, "probe") is False
     finally:
         spark.conf.unset("spark.sql.catalog.probe")
+
+
+def test_sql_constants_parse(spark):
+    """r2 VERDICT "Next round" #7: short of a runtime jar, every SQL constant
+    must at least survive Spark's SQL parser (syntax-validated without a
+    catalog), so the production path is not wrong-by-typo."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    statements = [
+        ICE.SPANS_DDL.format(table="c.db.spans", n_buckets=512),
+        ICE.EXTRACTED_DDL.format(table="c.db.extracted", n_buckets=512),
+        ICE.MERGE_EXTRACTED_SQL.format(table="c.db.extracted", updates="u"),
+        ICE.DELETE_DOCS_SQL.format(table="c.db.extracted", edited_docs="e"),
+    ]
+    for sql in statements:
+        parser.parsePlan(sql)  # raises ParseException on any syntax error
+    with pytest.raises(Exception):  # the probe actually rejects bad SQL
+        parser.parsePlan("MERGE INTOO x")
+
+
+def test_catalog_of_fallback(spark):
+    """A bare db.table resolves in the session default catalog, not a
+    catalog literally named 'db' (r2 ADVICE)."""
+    assert ICE._catalog_of(spark, "cat.db.t") == "cat"
+    default = spark.conf.get("spark.sql.defaultCatalog", "spark_catalog")
+    assert ICE._catalog_of(spark, "db.t") == default
+    assert ICE._catalog_of(spark, "t") == default
+
+
+def test_replace_docs_wholesale_gated(spark):
+    """The single-snapshot overwrite path still gates cleanly in-sandbox."""
+    df = spark.createDataFrame([("d1", "f", "v", [0], 1.0)],
+                               "doc_id string, field_path string, value string, "
+                               "word_ids array<int>, confidence double")
+    with pytest.raises(ICE.IcebergUnavailable):
+        ICE.replace_docs_wholesale(spark, df.select("doc_id"), df, "autoextract.db.x")

@@ -228,3 +228,54 @@ def test_stateful_sessionize_parity(spark, tmp_path):
     )
     assert got.count() == expected.count() == 4  # u1: 2, u2: 1, u3: 1
     assert got.exceptAll(expected).union(expected.exceptAll(got)).count() == 0
+
+
+def test_stateful_sessionize_out_of_order_within_watermark(spark, tmp_path):
+    """r3 (r2 ADVICE): late-but-within-watermark events that predate the
+    carried session's start or trail its last_ts must MERGE with
+    min(start)/max(last) — the open session never moves backward, and the
+    final closed session equals the batch semantics over all events."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from autoextract.streaming.stateful import read_sessions, stream_sessionize
+
+    events_dir = str(tmp_path / "events")
+    out_dir = str(tmp_path / "out")
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+    def deliver(minutes, eid0):
+        rows = [
+            {"event_id": eid0 + i, "ts": base + dt.timedelta(minutes=m),
+             "user_id": 7, "event_type": "view", "value": 0.0}
+            for i, m in enumerate(minutes)
+        ]
+        spark.createDataFrame(pd.DataFrame(rows), schema=schema).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    deliver([10, 20], 0)  # open session: start=10, last=20
+    stream_sessionize(spark, events_dir, out_dir, watermark="30 minutes")
+    # late events at 5 and 15 (older than carried last_ts, one predating the
+    # carried start) plus a fresh one at 25 — all within the watermark
+    deliver([5, 15, 25], 100)
+    stream_sessionize(spark, events_dir, out_dir, watermark="30 minutes")
+    # sentinel far ahead: the watermark passes the open session's timeout
+    sent = [{"event_id": 999, "ts": base + dt.timedelta(hours=48),
+             "user_id": 99, "event_type": "view", "value": 0.0}]
+    spark.createDataFrame(pd.DataFrame(sent), schema=schema).write.mode(
+        "append"
+    ).parquet(events_dir)
+    stream_sessionize(spark, events_dir, out_dir, watermark="30 minutes")
+
+    got = read_sessions(spark, out_dir).where(F.col("user_id") == 7).collect()
+    assert len(got) == 1
+    s = got[0]
+    assert s["session_start"] == base + dt.timedelta(minutes=5)
+    assert s["session_end"] == base + dt.timedelta(minutes=25)
+    assert s["n_events"] == 5
