@@ -318,6 +318,35 @@ def _q_fingerprint(spark, sf):
     )
 
 
+def _q_pii_redaction(spark, sf):
+    """Training-data scrubbing: deterministic PII is injected per doc (so
+    the op provably fires on every row), then redacted; audit counts ride
+    along. Pure JVM regexp — the oracle runs the identical patterns."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" tel +1 555-01"),
+        F.format_string("%02d", (F.col("doc_id") % 100).cast("int")),
+    )
+    counts = TX.pii_counts(injected)
+    return d.select(
+        "doc_id",
+        TX.redact_pii(injected).alias("redacted"),
+        *[v.cast("long").alias(k) for k, v in counts.items()],
+    )
+
+
+def _q_repetition_metrics(spark, sf):
+    """Gopher-style repetition quality stats over word 2-grams."""
+    return TX.repetition_metrics(
+        _t(spark, sf, "documents").where(F.col("doc_id") < 500), n=2
+    )
+
+
 def _q_sessionize(spark, sf):
     from pyspark.sql import Window
 
@@ -483,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": _q_quality,
         "bpe_token_count": _q_bpe_tokens,
         "fingerprint": _q_fingerprint,
+        "pii_redaction": _q_pii_redaction,
+        "repetition_metrics": _q_repetition_metrics,
         "sessionize": _q_sessionize,
         "events_hourly": _q_events_hourly,
         "layout_reading_order": _q_layout_reading_order,
@@ -705,6 +736,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "pii_redaction": """
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com ip 10.0.0.'
+                          || (doc_id % 256) || ' tel +1 555-01'
+                          || printf('%02d', doc_id % 100) AS injected
+              FROM documents WHERE doc_id < 300)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(injected,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\+\\d{1,3}[- ]?\\d{3}[- ]?\\d{3,4}(?:[- ]?\\d{3,4})?', '<PHONE>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(injected, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(injected, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(injected, '\\+\\d{1,3}[- ]?\\d{3}[- ]?\\d{3,4}(?:[- ]?\\d{3,4})?')) AS BIGINT) AS n_phones
+            FROM inj
+        """,
+        "repetition_metrics": """
+            WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                          FROM documents WHERE doc_id < 500),
+            g AS (SELECT doc_id,
+                         unnest([array_to_string(l[i:i+1], ' ')
+                                 for i in range(1, greatest(len(l)-1, 1)+1)]) AS gram
+                  FROM toks),
+            pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+                          round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_gram_frac
+                   FROM pg GROUP BY 1),
+            t AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+            pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+            ts AS (SELECT doc_id,
+                          round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                                / CAST(sum(c) AS DOUBLE), 6) AS dup_token_frac
+                   FROM pt GROUP BY 1)
+            SELECT gs.doc_id, n_grams, top_gram_frac, dup_token_frac
+            FROM gs JOIN ts USING (doc_id)
         """,
         "sessionize": """
             SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,

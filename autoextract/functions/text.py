@@ -192,3 +192,78 @@ def fingerprint(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     normalized = F.trim(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "))
     return F.md5(normalized)
+
+
+# ----------------------------------------------------------------------
+# PII redaction (training-data scrubbing; pure JVM regexp_replace)
+# ----------------------------------------------------------------------
+
+#: deliberately common-subset regex (Java regex ∩ RE2) so the DuckDB oracle
+#: runs the IDENTICAL patterns; conservative by design — a training-data
+#: scrubber prefers false positives on emails/IPs and requires an explicit
+#: +country prefix for phones to avoid eating ordinary numbers
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PHONE_PATTERN = r"\+\d{1,3}[- ]?\d{3}[- ]?\d{3,4}(?:[- ]?\d{3,4})?"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails → ``<EMAIL>``, IPv4 → ``<IP>``, +prefixed phones →
+    ``<PHONE>``. Order matters: emails first (their domains would otherwise
+    partially match nothing, but an IP-looking local part must already be
+    gone), then IPs, then phones."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>")
+    c = F.regexp_replace(c, IPV4_PATTERN, "<IP>")
+    return F.regexp_replace(c, PHONE_PATTERN, "<PHONE>")
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-doc counts of each PII class (audit table / drop-threshold
+    input)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(EMAIL_PATTERN), 0)),
+        "n_ips": F.size(F.regexp_extract_all(c, F.lit(IPV4_PATTERN), 0)),
+        "n_phones": F.size(F.regexp_extract_all(c, F.lit(PHONE_PATTERN), 0)),
+    }
+
+
+# ----------------------------------------------------------------------
+# repetition metrics (Gopher-style quality rules)
+# ----------------------------------------------------------------------
+
+
+def repetition_metrics(docs, n: int = 2, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc repetition statistics, the Gopher repetition family adapted
+    to word n-grams:
+
+      * ``top_gram_frac`` — occurrences of the single most frequent word
+        ``n``-gram / total n-grams (templated/boilerplate docs score high);
+      * ``dup_token_frac`` — fraction of token occurrences whose token
+        appears ≥ 2× in the doc.
+
+    Shape at 100 TB: explode n-grams (constant factor over tokens), ONE
+    partial-aggregating shuffle on (doc_id, gram), then a per-doc
+    re-aggregation riding the same doc_id keys. The gram strings are short
+    and low-cardinality per doc; raw text never shuffles.
+    """
+    toks = tokens(F.col(text_col))
+    grams = docs.select(
+        id_col, F.explode(shingles_of_tokens(toks, k=n)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    gram_stats = per_gram.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_gram_frac"),
+    )
+    tok_rows = docs.select(id_col, F.explode(toks).alias("tok"))
+    per_tok = tok_rows.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    tok_stats = per_tok.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            6,
+        ).alias("dup_token_frac")
+    )
+    return gram_stats.join(tok_stats, id_col)

@@ -18,10 +18,11 @@ uploads actually use — ``utils/pdf.py:53-87`` consumes arbitrary PDFs):
 ``Tm`` text matrices (translation + axis scales; skew ignored), relative
 ``Td``/``TD``, leading-driven ``T*``/``TL``/``'``, ``TJ`` show-arrays (kern
 offsets ≤ -100/1000 em read as word breaks), ``/Contents`` arrays
-(concatenated in order), and literal ``(...)`` strings with standard
-escapes. Hex strings / font cmaps / arbitrary CTMs stay out of scope:
-those parse to zero words and surface as an error row via ``pdf_meta``
-(O6 per-doc containment, never a thrown task).
+(concatenated in order), literal ``(...)`` strings with standard escapes,
+and byte-level hex strings ``<...>`` (UTF-8 else Latin-1 — simple fonts;
+no cmap resolution for composite fonts). Font cmaps / arbitrary CTMs stay
+out of scope: those parse to zero words and surface as an error row via
+``pdf_meta`` (O6 per-doc containment, never a thrown task).
 """
 
 from __future__ import annotations
@@ -189,6 +190,7 @@ _OP_RE = re.compile(
     rb"|(?P<tl>%(n)s)\s+TL"
     rb"|(?P<tstar>T\*)"
     rb"|\((?P<lit>(?:[^()\\]|\\.)*)\)\s*(?P<showop>Tj|')"
+    rb"|<(?P<hex>[0-9A-Fa-f\s]*)>\s*(?P<hexop>Tj|')"
     rb"|\[(?P<tjarr>(?:[^\[\]()]|%(lit)s)*)\]\s*TJ"
     rb"|(?P<cma>[\d.]+)\s+0\s+0\s+(?P<cmd>[\d.]+)\s+(?P<cme>%(n)s)\s+(?P<cmf>%(n)s)\s+cm\s*/\w+\s+Do"
     rb"|(?P<bt>BT)|(?P<et>ET)"
@@ -276,6 +278,25 @@ def _unesc(raw: bytes) -> str:
     return _UNESC_RE.sub(rb"\1", raw).decode("utf-8", errors="replace")
 
 
+def _hex_text(raw: bytes) -> str:
+    """Hex string ``<...>`` → text. Without a font cmap the honest reading
+    is byte-level: UTF-8 if it decodes, else Latin-1 (simple-font PDFs put
+    ASCII there; composite-font glyph ids come out as replacement-ish text
+    rather than crashing the parse). Odd-length hex pads a trailing 0 per
+    PDF 32000 §7.3.4.3."""
+    h = b"".join(raw.split())
+    if len(h) % 2:
+        h += b"0"
+    try:
+        b = bytes.fromhex(h.decode("ascii"))
+    except ValueError:
+        return ""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _tj_array_text(arr: bytes) -> str:
     """TJ show-array → text: literal parts concatenate; a kern offset of
     magnitude ≥ TJ_WORD_GAP (thousandths of an em, negative = widen)
@@ -331,6 +352,12 @@ def _replay_text_ops(stream: bytes, page_h: float) -> list[tuple]:
             if m.group("showop") == b"'":
                 ly -= leading
             emit(_unesc(m.group("lit")))
+        elif g == "hexop":  # hex-string show
+            if m.group("hexop") == b"'":
+                ly -= leading
+            text = _hex_text(m.group("hex"))
+            if text:
+                emit(text)
         elif g == "tjarr":
             text = _tj_array_text(m.group("tjarr"))
             if text:

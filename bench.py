@@ -64,6 +64,8 @@ HEADLINE = [
     "lang_id",
     "quality_metrics",
     "bpe_token_count",
+    "pii_redaction",
+    "repetition_metrics",
     "simhash_sketches",
     "srp_ann_topk",
     "spans_reassemble",

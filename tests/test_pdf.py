@@ -226,3 +226,15 @@ def test_render_docs_defaults_are_realworld_shape(spark):
     assert b" Td" not in payload  # positioning is via Tm inside the deflate
     rows = P.pdf_word_rows("d0", payload)
     assert [r["content"] for r in rows] == ["alpha", "beta", "gamma"]
+
+
+def test_hex_string_show():
+    """<hex> Tj shows byte-level text (simple-font PDFs); odd length pads."""
+    els = P._replay_text_ops(
+        b"BT /F1 12 Tf 50 700 Td <48656C6C6F> Tj 0 -20 TD <776F726C64> Tj ET",
+        792.0,
+    )
+    assert [e[1] for e in els] == ["Hello", "world"]
+    # odd-length pads a trailing zero nibble: 0x4 0x10 -> 'A\x00'... just parse
+    assert P._hex_text(b"41") == "A" and P._hex_text(b"4") == "@"
+    assert P._hex_text(b"zz") == ""

@@ -70,3 +70,53 @@ def test_minhash_signature_deterministic(spark):
     rows = df.select(sig.alias("s")).collect()
     assert rows[0]["s"] == rows[1]["s"]
     assert len(rows[0]["s"]) == 4
+
+
+# ----------------------------------------------------------------------
+# r3: PII redaction + repetition metrics
+# ----------------------------------------------------------------------
+
+
+def test_redact_pii_classes(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org today"),
+            (2, "server 192.168.001.5 and also 10.0.0.1."),
+            (3, "call +44 207-946-0958 or +1 555 0100"),
+            (4, "no pii here, just 12345 and version 1.2"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["red"] for r in rows.select(
+        "doc_id", TX.redact_pii("text").alias("red")).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert got[2] == "server <IP> and also <IP>."
+    assert got[3] == "call <PHONE> or <PHONE>"
+    assert got[4] == "no pii here, just 12345 and version 1.2"  # untouched
+
+
+def test_pii_counts(spark):
+    rows = spark.createDataFrame(
+        [(1, "a@b.co c@d.org 1.2.3.4 +1 555-0100 plain")], ["doc_id", "text"]
+    )
+    m = TX.pii_counts(F.col("text"))
+    r = rows.select(*[v.alias(k) for k, v in m.items()]).first()
+    assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (2, 1, 1)
+
+
+def test_repetition_metrics_flags_templated_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "the quick brown fox jumps over a lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in TX.repetition_metrics(docs, n=2).collect()}
+    # doc 1: 7 bigrams, 'buy now' appears 4× -> 4/7; every token duplicated
+    assert got[1]["n_grams"] == 7
+    assert abs(got[1]["top_gram_frac"] - 4 / 7) < 1e-6
+    assert got[1]["dup_token_frac"] == 1.0
+    # doc 2: all bigrams unique, no repeated tokens
+    assert abs(got[2]["top_gram_frac"] - 1 / 8) < 1e-6
+    assert got[2]["dup_token_frac"] == 0.0
