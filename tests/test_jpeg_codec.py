@@ -1,0 +1,116 @@
+"""Pure-Python baseline JPEG codec (operators/jpeg_codec): encode/decode
+round-trips across subsampling and restart-marker shapes, resize path, and
+integration with the multimodal resize kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from autoextract.operators import jpeg_codec as J
+
+
+def _gradient_rgb(h=70, w=100):
+    g = (np.add.outer(np.linspace(0, 255, h), np.linspace(0, 255, w)) / 2).astype(
+        np.uint8
+    )
+    return np.stack([g, g[::-1], np.full_like(g, 90)], axis=2)
+
+
+def test_gray_roundtrip_low_error():
+    g = _gradient_rgb()[:, :, 0]
+    dec = J.decode_jpeg(J.encode_jpeg(g, quality=90))
+    assert dec.shape == (*g.shape, 1)
+    assert np.abs(dec[:, :, 0].astype(float) - g.astype(float)).mean() < 2.0
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("dri", [0, 3])
+def test_rgb_roundtrip_all_shapes(sub, dri):
+    """4:4:4 and 4:2:0 sampling, with and without restart markers — the
+    decoder handles interleaved MCUs, chroma upsampling, and RSTn resets."""
+    rgb = _gradient_rgb()
+    b = J.encode_jpeg(rgb, quality=90, subsampling=sub, restart_interval=dri)
+    dec = J.decode_jpeg(b)
+    assert dec.shape == rgb.shape
+    mae = np.abs(dec.astype(float) - rgb.astype(float)).mean()
+    assert mae < 3.0, (sub, dri, mae)
+
+
+def test_non_multiple_of_8_and_of_16_dims():
+    """Edge blocks pad by replication and crop back exactly — including the
+    4:2:0 case where the MCU grid is 16×16."""
+    for h, w in ((17, 23), (9, 40)):
+        rgb = _gradient_rgb(h, w)
+        for sub in ("4:4:4", "4:2:0"):
+            dec = J.decode_jpeg(J.encode_jpeg(rgb, subsampling=sub))
+            assert dec.shape == (h, w, 3)
+
+
+def test_quality_tradeoff():
+    noisy = np.random.RandomState(11).randint(0, 256, (48, 48, 3), dtype=np.uint8)
+    b90 = J.encode_jpeg(noisy, quality=90)
+    b30 = J.encode_jpeg(noisy, quality=30)
+    assert len(b30) < len(b90)
+    e90 = np.abs(J.decode_jpeg(b90).astype(float) - noisy).mean()
+    e30 = np.abs(J.decode_jpeg(b30).astype(float) - noisy).mean()
+    assert e90 < e30
+
+
+def test_resize_jpeg_bytes_hits_targets():
+    rgb = _gradient_rgb(64, 96)
+    out = J.resize_jpeg_bytes(J.encode_jpeg(rgb), 48, 32)
+    dec = J.decode_jpeg(out)
+    assert dec.shape == (32, 48, 3)
+
+
+def test_unsupported_streams_raise_jpeg_error():
+    from autoextract.sources.ingest import make_jpeg
+
+    with pytest.raises(J.JpegError):
+        J.decode_jpeg(b"not a jpeg")
+    with pytest.raises(J.JpegError):
+        J.decode_jpeg(make_jpeg(10, 10))  # header-only, no tables/scan
+    # progressive SOF2 is declared out of scope, not misdecoded
+    prog = b"\xff\xd8\xff\xc2" + b"\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with pytest.raises(J.JpegError, match="non-baseline"):
+        J.decode_jpeg(prog)
+
+
+def test_resize_kernel_resizes_real_jpeg(spark):
+    """The multimodal resize kernel now really resizes oversize baseline
+    JPEGs (decoded dims == resize_plan targets) and still passes header-only
+    payloads through untouched."""
+    from autoextract.operators import multimodal as MM
+    from autoextract.sources.ingest import make_jpeg
+
+    big = J.encode_jpeg(_gradient_rgb(200, 1600), quality=85)
+    header_only = make_jpeg(4000, 3000)
+    media = spark.createDataFrame(
+        [("real", big), ("hdr", header_only)], ["media_ref", "payload"]
+    )
+    rows = {r["media_ref"]: r for r in MM.resize_image(media).collect()}
+    assert rows["real"]["resized"] is True
+    dec = J.decode_jpeg(bytes(rows["real"]["payload"]))
+    assert dec.shape[1] == MM.MAX_LONG_EDGE
+    assert rows["hdr"]["resized"] is False
+    assert bytes(rows["hdr"]["payload"]) == header_only
+
+
+def test_embed_media_jpeg_features_near_png(spark):
+    """The same image through the JPEG and PNG paths pools to nearly the
+    same feature vector (lossy codec, cosine ≈ 1)."""
+    from autoextract.operators.multimodal import embed_media
+    from autoextract.operators.png_codec import encode_png
+
+    img = _gradient_rgb(32, 32)
+    media = spark.createDataFrame(
+        [("jpg", J.encode_jpeg(img, quality=95)), ("png", encode_png(img))],
+        ["media_ref", "payload"],
+    )
+    vecs = {r["media_ref"]: np.array(r["embedding"]) for r in embed_media(media).collect()}
+    cos = float(
+        vecs["jpg"] @ vecs["png"]
+        / (np.linalg.norm(vecs["jpg"]) * np.linalg.norm(vecs["png"]))
+    )
+    assert cos > 0.999
