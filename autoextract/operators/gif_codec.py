@@ -1,0 +1,261 @@
+"""Pure-Python GIF87a/89a pixel codec (LZW, public spec).
+
+Completes the in-container codec family (PNG: ``png_codec``, baseline JPEG:
+``jpeg_codec``): ``multimodal.gif_frames`` already demuxes frame sections;
+this module decodes the actual pixels (LZW + palette, interlace supported)
+and re-encodes, so oversize single-frame GIFs really resize. The resize
+path never quantizes: GIF pixels are palette INDICES, so nearest-neighbor
+resampling happens on the index array and the original palette is reused —
+output colors are exactly a subset of input colors.
+
+Animated GIFs are out of scope for resize (frame re-composition with
+disposal methods is a Pillow job) — ``resize_gif_bytes`` raises ``GifError``
+for them and the resize kernel falls back to its honest pass-through.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class GifError(ValueError):
+    pass
+
+
+# ----------------------------------------------------------------------
+# LZW
+# ----------------------------------------------------------------------
+
+
+def lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: variable code width from ``min_code_size``+1 up to
+    12 bits, CLEAR resets the dictionary, EOI terminates."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+
+    # bit reader: GIF packs codes LSB-first
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return eoi
+        byte0 = bitpos >> 3
+        v = int.from_bytes(data[byte0 : byte0 + 3], "little")
+        v = (v >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        return v
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    prev: bytes | None = None
+    next_code = eoi + 1
+    while n_out < n_pixels:
+        code = read_code(width)
+        if code == clear:
+            table, width = reset()
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise GifError("corrupt LZW stream")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out < n_pixels:
+        out[n_out:] = 0  # tolerate truncated streams (containment)
+    return out
+
+
+def lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW compression with dictionary growth + CLEAR resets."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    buf = b""
+    for px in indices.tobytes():
+        cand = buf + bytes([px])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # dictionary full: reset (keeps width bounded)
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        buf = bytes([px])
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# ----------------------------------------------------------------------
+# container
+# ----------------------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(rows: np.ndarray) -> np.ndarray:
+    h = rows.shape[0]
+    order = []
+    for start, step in _INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    out = np.empty_like(rows)
+    out[np.array(order, dtype=np.int64)] = rows
+    return out
+
+
+def decode_gif_indexed(data: bytes):
+    """First frame → ``(indices (H,W) uint8, palette (N,3) uint8)``.
+    Raises ``GifError`` on non-GIF / missing palette / corrupt streams."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        raise GifError("not a GIF")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(data):
+            size = data[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+        return p
+
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos = skip_subblocks(pos + 2)
+            continue
+        if block != 0x2C:
+            break
+        # image descriptor
+        _, _, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+        ipacked = data[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise GifError("no color table")
+        min_code_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data):
+            size = data[pos]
+            pos += 1
+            if size == 0:
+                break
+            lzw += data[pos : pos + size]
+            pos += size
+        idx = lzw_decode(bytes(lzw), min_code_size, w * h).reshape(h, w)
+        if ipacked & 0x40:
+            idx = _deinterlace(idx)
+        return idx, pal
+    raise GifError("no image data")
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First frame → (H, W, 3) uint8 RGB via palette lookup."""
+    idx, pal = decode_gif_indexed(data)
+    return pal[np.minimum(idx, len(pal) - 1)]
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """Single-frame GIF89a from an index array + (N,3) palette. The palette
+    is padded to the next power of two (GIF color tables must be 2^k)."""
+    h, w = indices.shape
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    size = 1 << bits
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) & 0x07), 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code_size = max(bits, 2)
+    out += bytes([min_code_size])
+    lzw = lzw_encode(indices.astype(np.uint8), min_code_size)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def gif_frame_count(data: bytes) -> int:
+    from .multimodal import gif_frames
+
+    return len(gif_frames(data))
+
+
+def resize_gif_bytes(data: bytes, tw: int, th: int) -> bytes:
+    """Single-frame GIF → nearest-neighbor resize ON THE INDEX ARRAY →
+    re-encode with the ORIGINAL palette (exact color preservation, no
+    quantization). Animated GIFs raise (caller falls back to pass-through).
+    """
+    from .png_codec import resize_nearest
+
+    if gif_frame_count(data) != 1:
+        raise GifError("animated GIF resize needs frame re-composition")
+    idx, pal = decode_gif_indexed(data)
+    resized = resize_nearest(idx, tw, th)
+    return encode_gif(resized.astype(np.uint8), pal)

@@ -9,13 +9,13 @@ metadata alongside — never base64, never per-row Python.
 
 The image/audio libraries are not available in this container, so codec
 coverage is tiered: ``decode_image_meta`` parses real magic bytes + header
-dimensions (pure Python — PNG/JPEG/GIF); ``resize_image`` resamples PNG
-*for real* (stdlib-zlib codec in ``operators.png_codec``) AND baseline
-JPEG *for real* (pure-Python T.81 codec in ``operators.jpeg_codec``),
-passing other formats through byte-identical; ``frame_sample`` demuxes GIF
-frames *for real* (block-structure walk) and emits zero rows for other
-containers; ``embed_media`` computes a real pooled-intensity feature for
-decodable PNGs/JPEGs and hash-stubs the rest. Every kernel keeps the same
+dimensions (pure Python — PNG/JPEG/GIF); ``resize_image`` resamples PNG,
+baseline JPEG, and single-frame GIF *for real* (pure-Python codecs in
+``operators.png_codec`` / ``jpeg_codec`` / ``gif_codec``), passing other
+formats through byte-identical; ``frame_sample`` demuxes GIF frames *for
+real* (block-structure walk) and emits zero rows for other containers;
+``embed_media`` computes a real pooled-intensity feature for decodable
+PNGs/JPEGs/GIFs and hash-stubs the rest. Every kernel keeps the same
 Arrow-batched production interface — swap the fallback bodies for
 Pillow/ffmpeg/torchcodec in production.
 """
@@ -145,22 +145,28 @@ def resize_image(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Arrow-batched ≤1568-long-edge resize (``helpers.py:58-104`` policy).
 
     PNG payloads resample FOR REAL (pure-stdlib decode → NumPy
-    nearest-neighbor → re-encode, ``operators.png_codec``) and so do
-    baseline JPEGs (pure-Python T.81 codec, ``operators.jpeg_codec`` —
-    re-encoded 4:2:0 q90): decoded output dims equal the ``resize_plan``
-    targets. Formats still without an in-container codec (GIF pixel data,
-    WEBP, progressive JPEG) pass through UNMODIFIED with ``resized=false``
-    — an honest no-op, never corrupt bytes (r2 VERDICT "What's wrong" #1).
-    A payload that fails its codec likewise passes through unmodified (O6
-    containment).
+    nearest-neighbor → re-encode, ``operators.png_codec``), baseline JPEGs
+    too (pure-Python T.81 codec, ``operators.jpeg_codec`` — re-encoded
+    4:2:0 q90), and single-frame GIFs resample on their palette INDEX
+    array (``operators.gif_codec`` LZW — exact color preservation):
+    decoded output dims equal the ``resize_plan`` targets. Formats still
+    without an in-container codec (animated GIF, WEBP, progressive JPEG)
+    pass through UNMODIFIED with ``resized=false`` — an honest no-op,
+    never corrupt bytes (r2 VERDICT "What's wrong" #1). A payload that
+    fails its codec likewise passes through unmodified (O6 containment).
     """
     schema = "media_ref string, payload binary, resized boolean"
 
     def kernel(batches):
+        from .gif_codec import resize_gif_bytes
         from .jpeg_codec import resize_jpeg_bytes
         from .png_codec import resize_png_bytes
 
-        codecs = {"png": resize_png_bytes, "jpeg": resize_jpeg_bytes}
+        codecs = {
+            "png": resize_png_bytes,
+            "jpeg": resize_jpeg_bytes,
+            "gif": resize_gif_bytes,  # single-frame; animated pass through
+        }
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
@@ -178,8 +184,8 @@ def resize_image(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                         out_b, resized = codecs[fmt](b, tw, th), True
                     except Exception:  # corrupt/unsupported → pass-through
                         out_b, resized = b, False
-                # PRODUCTION: GIF/WEBP/progressive-JPEG → Pillow here; until
-                # then those over-size payloads pass through byte-identical
+                # PRODUCTION: animated-GIF/WEBP/progressive-JPEG → Pillow
+                # here; those over-size payloads pass through byte-identical
                 rows.append({"media_ref": ref, "payload": out_b, "resized": resized})
             yield pd.DataFrame(rows, columns=["media_ref", "payload", "resized"])
 
@@ -277,8 +283,8 @@ def embed_media(media: DataFrame, dim: int = 16, payload_col: str = "payload") -
     """Media → feature vector (``array<float>``), the hand-off into the
     similarity operators.
 
-    Decodable PNGs and baseline JPEGs get a REAL (if deliberately simple)
-    visual feature: the
+    Decodable PNGs, baseline JPEGs, and GIF first frames get a REAL (if
+    deliberately simple) visual feature: the
     image is nearest-neighbor-pooled to a 4×4 gray intensity grid and
     L2-normalized — 16 numbers that actually describe the pixels, so
     near-identical images land near each other under cosine (tested).
@@ -290,10 +296,11 @@ def embed_media(media: DataFrame, dim: int = 16, payload_col: str = "payload") -
     pool_ok = side * side == dim  # pooled grid needs a square dim
 
     def kernel(batches):
+        from .gif_codec import decode_gif
         from .jpeg_codec import decode_jpeg
         from .png_codec import decode_png, resize_nearest
 
-        decoders = {"png": decode_png, "jpeg": decode_jpeg}
+        decoders = {"png": decode_png, "jpeg": decode_jpeg, "gif": decode_gif}
         for pdf in batches:
             refs = pdf["media_ref"].tolist()
             feats = []
