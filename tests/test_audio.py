@@ -1,0 +1,79 @@
+"""Audio branch (operators/audio): WAV parse/decode round-trips, metadata
+kernel containment, RMS-envelope features."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from autoextract.operators import audio as A
+
+
+def _tone(freq=440.0, seconds=0.25, rate=8000):
+    t = np.arange(int(seconds * rate)) / rate
+    return np.sin(2 * np.pi * freq * t) * 0.5
+
+
+def test_wav_roundtrip_16bit():
+    x = _tone()
+    b = A.make_wav(x, sample_rate=8000, bits=16)
+    y, rate = A.decode_wav(b)
+    assert rate == 8000 and y.shape == (len(x), 1)
+    assert np.abs(y[:, 0] - x).max() < 1e-3  # 16-bit quantization only
+
+
+def test_wav_roundtrip_8bit_and_stereo():
+    x = np.stack([_tone(440), _tone(880)], axis=1)
+    y, rate = A.decode_wav(A.make_wav(x, sample_rate=8000, bits=8))
+    assert y.shape == x.shape
+    assert np.abs(y - x).max() < 2e-2  # 8-bit quantization
+
+
+def test_header_facts():
+    b = A.make_wav(_tone(seconds=0.5, rate=16000), sample_rate=16000)
+    h = A.parse_wav_header(b)
+    assert h["sample_rate"] == 16000
+    assert h["n_channels"] == 1
+    assert h["bits_per_sample"] == 16
+    assert h["n_frames"] == 8000
+
+
+def test_garbage_raises():
+    with pytest.raises(A.WavError):
+        A.parse_wav_header(b"RIFFxxxxNOPE")
+    with pytest.raises(A.WavError):
+        A.decode_wav(b"")
+
+
+def test_decode_audio_meta_kernel(spark):
+    good = A.make_wav(_tone(seconds=0.5, rate=16000), sample_rate=16000)
+    media = spark.createDataFrame(
+        [("a", good), ("junk", b"not audio")], ["media_ref", "payload"]
+    )
+    rows = {r["media_ref"]: r for r in A.decode_audio_meta(media).collect()}
+    assert rows["a"]["valid"] and rows["a"]["sample_rate"] == 16000
+    assert abs(rows["a"]["duration_s"] - 0.5) < 1e-9
+    assert not rows["junk"]["valid"]
+
+
+def test_embed_audio_envelope_similarity(spark):
+    """Same clip + tiny noise → cosine ≈ 1; a clip with a silent half has a
+    visibly different envelope."""
+    rng = np.random.RandomState(4)
+    base = _tone(seconds=0.5)
+    near = base + rng.randn(len(base)) * 1e-3
+    gated = base.copy()
+    gated[: len(gated) // 2] = 0.0
+    media = spark.createDataFrame(
+        [
+            ("base", A.make_wav(base)),
+            ("near", A.make_wav(near)),
+            ("gated", A.make_wav(gated)),
+        ],
+        ["media_ref", "payload"],
+    )
+    vecs = {r["media_ref"]: np.array(r["embedding"]) for r in A.embed_audio(media).collect()}
+    cos = lambda a, b: float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos(vecs["base"], vecs["near"]) > 0.999
+    assert cos(vecs["base"], vecs["gated"]) < 0.9
+    assert len(vecs["base"]) == 16
