@@ -1,0 +1,143 @@
+"""Generate PLANS.md: formatted physical plans for representative queries,
+with the scale-relevant facts extracted (exchange count, pushed filters,
+read schema width, whole-stage-codegen coverage).
+
+The per-operator plan *assertions* live in tests/test_plans.py (they fail
+the suite when a shape regresses); this tool renders the current plans into
+a reviewable artifact: ``python tools/plan_audit.py [--sf DIR] [--out PLANS.md]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: query name → one-line note on what the plan should show (the claim the
+#: extracted facts let a reviewer check)
+AUDITED = {
+    "tpch_q1": "single scan → partial agg → one exchange → final agg; "
+    "shipdate filter and column pruning pushed to the parquet scan",
+    "dim_broadcast_join": "nation broadcast (no shuffle for the dim side); "
+    "one exchange for the fact-side aggregation",
+    "pending_anti_join": "broadcast anti-join — no shuffle of the big side",
+    "minhash_band_buckets": "two partial-agg exchanges on short keys (the "
+    "per-doc signature agg, then the band-bucket agg after a constant-factor "
+    "explode) — raw shingles never shuffle",
+    "winnowing_fingerprints": "pure JVM expression pipeline — zero Python, "
+    "zero joins, one distinct exchange",
+    "repetition_metrics": "partial-agg shuffles on (doc_id, gram/tok) short "
+    "keys for the gram and token statistics, then a broadcast join of the "
+    "two per-doc stat tables; raw text never shuffles",
+    "pii_redaction": "pure codegen'd regexp projection over one scan — "
+    "no exchange at all",
+    "batch_ann_knn": "probe-explode (constant factor) → shuffle on the "
+    "short bucket key → window top-k; vector norms computed before the join",
+}
+
+
+def split_sections(plan: str) -> tuple[str, str]:
+    """Executed-AQE formatted explain → (settled node tree, detail blocks).
+    Layout: ``== Final Plan ==`` tree, then ``== Initial Plan ==`` (the
+    pre-AQE tree, dropped — it would double every count), then the per-node
+    detail blocks (PushedFilters / ReadSchema / codegen ids)."""
+    if "== Final Plan ==" in plan:
+        after_final = plan.split("== Final Plan ==", 1)[1]
+        tree, rest = after_final.split("== Initial Plan ==", 1)
+        details = rest.split("\n\n", 1)[1] if "\n\n" in rest else ""
+        return tree, details
+    parts = plan.split("\n\n", 1)
+    return parts[0], parts[1] if len(parts) > 1 else ""
+
+
+def facts(tree: str, details: str) -> dict:
+    """The scale facts: exchange / python-stage counts from the settled
+    tree; codegen spans, pushdown, and pruned read schemas from the detail
+    blocks (initial-plan-only nodes carry no codegen ids, so the distinct
+    id count reflects the executed plan)."""
+    return {
+        "exchanges": len(re.findall(r"\bExchange \(\d+\)", tree)),
+        "broadcast_exchanges": len(re.findall(r"BroadcastExchange \(\d+\)", tree)),
+        "wholestage_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", details))),
+        "python_stages": len(
+            re.findall(
+                r"(?:MapInPandas|MapInArrow|ArrowEvalPython|"
+                r"FlatMapGroupsInPandas|PythonMapInArrow) \(\d+\)",
+                tree,
+            )
+        ),
+        "pushed_filters": [
+            f for f in re.findall(r"PushedFilters: \[([^\]]*)\]", details) if f
+        ],
+        "read_schemas": [
+            s[:120] for s in re.findall(r"ReadSchema: struct<([^>]*)>", details)
+        ],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=os.path.join(REPO, "PLANS.md"))
+    args = ap.parse_args()
+
+    import __spark_entry__ as E
+    from autoextract.session import get_spark
+
+    spark = get_spark(app_name="plan-audit", parallelism=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    sections = []
+    for name, note in AUDITED.items():
+        df = qs[name](spark, args.sf)
+        df.collect()  # finalize THIS QueryExecution: AQE settles the plan
+        # and codegen ids are assigned (a bare explain shows the pre-AQE
+        # tree without codegen annotations below exchanges)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        tree, details = split_sections(buf.getvalue())
+        f = facts(tree, details)
+        head = [
+            f"## {name}",
+            "",
+            f"**Claim:** {note}",
+            "",
+            f"- exchanges: {f['exchanges']} (+{f['broadcast_exchanges']} broadcast)",
+            f"- whole-stage-codegen spans: {f['wholestage_spans']}; "
+            f"python stages: {f['python_stages']}",
+        ]
+        if f["pushed_filters"]:
+            head.append(f"- pushed filters: {f['pushed_filters']}")
+        if f["read_schemas"]:
+            head.append(f"- read schemas (pruned): {f['read_schemas']}")
+        # keep the plan section compact: settled node tree, not the detail dump
+        sections.append(
+            "\n".join(head) + "\n\n```\n== Final Plan ==\n"
+            + tree.strip() + "\n```\n"
+        )
+
+    body = (
+        "# PLANS — physical-plan audit of representative queries\n\n"
+        "Generated by `python tools/plan_audit.py` at "
+        f"`{args.sf}` (plan SHAPES are scale-invariant; assertions that fail "
+        "the suite on regression live in `tests/test_plans.py`). For every "
+        "query: the scale claim, the extracted facts (exchange/codegen/"
+        "python-stage counts, pushdown, pruned read schemas), and the "
+        "operator tree.\n\n" + "\n".join(sections)
+    )
+    with open(args.out, "w") as fh:
+        fh.write(body)
+    print(f"wrote {args.out} ({len(sections)} queries)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
