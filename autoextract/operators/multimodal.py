@@ -92,6 +92,29 @@ def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _webp_dims(b: bytes) -> tuple[int, int] | None:
+    """WEBP header dims across all three container flavors: VP8X (extended:
+    24-bit canvas minus one), VP8L (lossless: 14-bit packed minus one),
+    VP8 (lossy: 14-bit little-endian at the frame tag)."""
+    if len(b) < 30:
+        return None
+    chunk = b[12:16]
+    if chunk == b"VP8X":
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        return w, h
+    if chunk == b"VP8L" and b[20] == 0x2F:
+        bits = int.from_bytes(b[21:25], "little")
+        return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+    if chunk == b"VP8 ":
+        # key frame: 3-byte frame tag, then 0x9D 0x01 0x2A, then dims
+        if b[23:26] == b"\x9d\x01\x2a":
+            w = struct.unpack("<H", b[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", b[28:30])[0] & 0x3FFF
+            return w, h
+    return None
+
+
 def decode_image_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """``(media_ref, payload binary)`` → typed metadata. REAL decoder for
     header-level facts (format + dimensions); no external libs."""
@@ -106,6 +129,7 @@ def decode_image_meta(media: DataFrame, payload_col: str = "payload") -> DataFra
                     "png": _png_dims,
                     "gif": _gif_dims,
                     "jpeg": _jpeg_dims,
+                    "webp": _webp_dims,
                 }.get(fmt, lambda _: None)(b)
                 rows.append(
                     {

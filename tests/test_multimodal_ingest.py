@@ -213,3 +213,28 @@ def test_embed_media_gray_alpha_ignores_alpha(spark):
         r["media_ref"]: list(r["embedding"]) for r in embed_media(media).collect()
     }
     assert vecs["opaque"] == vecs["varied"]
+
+
+def _make_webp(kind: str, w: int, h: int) -> bytes:
+    """Minimal header-only WEBP payloads for each container flavor."""
+    import struct as S
+
+    if kind == "vp8x":
+        body = b"VP8X" + S.pack("<I", 10) + b"\x00\x00\x00\x00" \
+            + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    elif kind == "vp8l":
+        bits = (w - 1) | ((h - 1) << 14)
+        body = b"VP8L" + S.pack("<I", 5) + b"\x2f" + S.pack("<I", bits)
+    else:  # lossy vp8
+        body = b"VP8 " + S.pack("<I", 10) + b"\x00\x00\x00" \
+            + b"\x9d\x01\x2a" + S.pack("<HH", w, h)
+    riff = b"WEBP" + body
+    return b"RIFF" + S.pack("<I", len(riff)) + riff + b"\x00" * 8
+
+
+def test_webp_dims_all_flavors():
+    assert MM._webp_dims(_make_webp("vp8x", 640, 480)) == (640, 480)
+    assert MM._webp_dims(_make_webp("vp8l", 123, 77)) == (123, 77)
+    assert MM._webp_dims(_make_webp("vp8", 320, 240)) == (320, 240)
+    assert MM.sniff_format(_make_webp("vp8x", 2, 2)) == "webp"
+    assert MM._webp_dims(b"RIFF\x00\x00\x00\x00WEBPnope") is None
