@@ -411,3 +411,101 @@ def simhash_verdict(
             & (F.col("ham_near") < F.col("ham_far"))
         ).alias("simhash_ok"),
     )
+
+
+# ----------------------------------------------------------------------
+# duplicate clusters: near-dup pairs → connected components → keeper
+# ----------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list → ``(doc_id,
+    component)`` where component = the minimum node id reachable.
+
+    Iterative min-label propagation with POINTER JUMPING: each round every
+    node takes the min of its own label, its neighbors' labels, and its
+    label's label (path halving), so convergence is O(log diameter) rounds,
+    not O(diameter) — star-shaped dup clusters (the common case) settle in
+    2–3 rounds. Per round: one shuffle for the neighbor min, one self-join
+    for the jump; lineage is truncated every round with ``localCheckpoint``
+    (iterative plans otherwise stack exponentially). The driver loop stops
+    at fixpoint (no label changed). This is the standard Spark CC recipe;
+    at extreme graph sizes swap in large-star/small-star (same contract).
+    """
+    spark = edges.sparkSession
+    bidir = (
+        edges.select(F.col(id_a).alias("node"), F.col(id_b).alias("nbr"))
+        .unionByName(edges.select(F.col(id_b).alias("node"), F.col(id_a).alias("nbr")))
+        .distinct()
+    )
+    if nodes is None:
+        nodes = bidir.select("node").distinct()
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            bidir.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+            )
+        )
+        jumped = (
+            stepped.alias("l")
+            .join(
+                stepped.select(
+                    F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+                ),
+                F.col("l.label") == F.col("jnode"),
+                "left",
+            )
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(F.col("l.label"), F.coalesce("jlabel", "l.label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("a")
+            .join(labels.alias("b"), "node")
+            .where(F.col("a.label") != F.col("b.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.6,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """The full corpus-dedup step a training pipeline runs: MinHash LSH
+    candidates → exact Jaccard verify → connected components → ``(doc_id,
+    component)`` with component = cluster keeper (min doc id; singletons are
+    their own keeper). Downstream keeps ``doc_id == component`` rows."""
+    pairs = minhash_verified_pairs(
+        docs, text_col, threshold=threshold, n_hashes=n_hashes, n_bands=n_bands, k=k
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs, nodes=docs.select("doc_id"))

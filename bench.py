@@ -70,6 +70,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_normalized",
     "minhash_band_buckets",
+    # dedup_components is oracle-gated but not a headline timing: its wall
+    # is dominated by the CC driver loop's fixed per-round job overhead at
+    # a capped 500-doc input — a constant, not a scale signal
     "ngram_jaccard_topk",
     "embedding_cosine_topk",
     "embedding_neardup",

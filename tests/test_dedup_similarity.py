@@ -276,3 +276,56 @@ def test_simhash_verdict_detects_broken_locality(spark):
     d = spark.read.parquet(SF001 + "/documents.parquet")
     rows = DD.simhash_verdict(d, n_docs=20, near_cap=0).collect()
     assert sum(1 for r in rows if not r["simhash_ok"]) > 0
+
+
+def test_connected_components_known_graph(spark):
+    """Chain, triangle, pair, singleton — min-label + pointer jumping lands
+    the minimum reachable id on every node."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["doc_a", "doc_b"],
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 10, 11, 20, 21, 22, 30]], ["doc_id"]
+    )
+    cc = {r["doc_id"]: r["component"] for r in DD.connected_components(edges, nodes).collect()}
+    assert all(cc[i] == 0 for i in (0, 1, 2, 3))
+    assert cc[10] == cc[11] == 10
+    assert cc[20] == cc[21] == cc[22] == 20
+    assert cc[30] == 30
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 64-node path graph needs pointer jumping (plain propagation would
+    take 64 rounds; the jump makes it O(log n) < max_iters)."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["doc_a", "doc_b"]
+    )
+    cc = DD.connected_components(edges, max_iters=12).collect()
+    assert len(cc) == 64 and all(r["component"] == 0 for r in cc)
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """The Spark component labels equal a driver union-find over the same
+    verified pair list, on the real sf0.01 corpus."""
+    docs = spark.read.parquet(SF001 + "/documents.parquet")
+    pairs = DD.minhash_verified_pairs(docs, threshold=0.6).select(
+        "doc_a", "doc_b"
+    ).collect()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    got = {r["doc_id"]: r["component"] for r in DD.duplicate_clusters(docs, threshold=0.6).collect()}
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert len(got) == len(all_ids)
+    assert all(got[i] == find(i) for i in all_ids)
+    assert sum(1 for i in all_ids if got[i] != i) > 0  # corpus has real dups
