@@ -359,6 +359,49 @@ def _q_repetition_metrics(spark, sf):
     )
 
 
+def _q_asof_join(spark, sf):
+    """As-of join (custom temporal operator): each purchase gets the user's
+    latest view at-or-before it via the union-window composition — one
+    shuffle, no range explode. DuckDB's native ASOF JOIN is the oracle."""
+    from autoextract.operators import temporal as TMP
+
+    e = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), "ts"
+    )
+    out = TMP.as_of_join(
+        purchases, views, on="user_id",
+        right_cols=["view_event_id", "ts"], right_id="view_event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("view_event_id_right").cast("long").alias("view_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).cast("long").alias("lag_us"),
+    )
+
+
+def _q_interval_count(spark, sf):
+    """Range join (custom temporal operator): clicks inside each signup's
+    30-minute window, via bucketized candidates + exact predicate."""
+    from autoextract.operators import temporal as TMP
+
+    e = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    signups = e.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = TMP.interval_count_join(
+        signups, clicks, on="user_id", start_col="start_ts", end_col="end_ts",
+        count_alias="n_clicks",
+    )
+    return out.select("event_id", "user_id", F.col("n_clicks").cast("long").alias("n_clicks"))
+
+
 def _q_sessionize(spark, sf):
     from pyspark.sql import Window
 
@@ -527,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "pii_redaction": _q_pii_redaction,
         "repetition_metrics": _q_repetition_metrics,
+        "asof_join": _q_asof_join,
+        "interval_count_join": _q_interval_count,
         "sessionize": _q_sessionize,
         "events_hourly": _q_events_hourly,
         "layout_reading_order": _q_layout_reading_order,
@@ -820,6 +865,26 @@ def oracle_sql() -> dict[str, str]:
                    FROM pt GROUP BY 1)
             SELECT gs.doc_id, n_grams, top_gram_frac, dup_token_frac
             FROM gs JOIN ts USING (doc_id)
+        """,
+        "asof_join": """
+            WITH v AS (SELECT user_id, ts, max(event_id) AS view_event_id
+                       FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+            p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id,
+                   CAST(v.view_event_id AS BIGINT) AS view_event_id,
+                   CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "interval_count_join": """
+            SELECT s.event_id, s.user_id,
+                   CAST(count(c.ts) AS BIGINT) AS n_clicks
+            FROM events s LEFT JOIN events c
+              ON s.user_id = c.user_id AND c.event_type = 'click'
+             AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 30 MINUTE
+            WHERE s.event_type = 'signup'
+            GROUP BY 1, 2
         """,
         "sessionize": """
             SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,

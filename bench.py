@@ -67,6 +67,8 @@ HEADLINE = [
     "dim_broadcast_join",
     "latest_first_topk",
     "sessionize",
+    "asof_join",
+    "interval_count_join",
     "dedup_exact",
     "dedup_normalized",
     "minhash_band_buckets",
