@@ -359,6 +359,12 @@ def _q_repetition_metrics(spark, sf):
     )
 
 
+def _q_document_filter(spark, sf):
+    """The composed corpus filter: lang==en AND quality_keep AND repetition
+    bounds AND zero PII, with the first failing rule as reject_reason."""
+    return TX.document_filter(_t(spark, sf, "documents").where(F.col("doc_id") < 500))
+
+
 def _q_asof_join(spark, sf):
     """As-of join (custom temporal operator): each purchase gets the user's
     latest view at-or-before it via the union-window composition — one
@@ -570,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "pii_redaction": _q_pii_redaction,
         "repetition_metrics": _q_repetition_metrics,
+        "document_filter": _q_document_filter,
         "asof_join": _q_asof_join,
         "interval_count_join": _q_interval_count,
         "sessionize": _q_sessionize,
@@ -865,6 +872,57 @@ def oracle_sql() -> dict[str, str]:
                    FROM pt GROUP BY 1)
             SELECT gs.doc_id, n_grams, top_gram_frac, dup_token_frac
             FROM gs JOIN ts USING (doc_id)
+        """,
+        "document_filter": f"""
+            WITH scalar AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                          WHEN s_es >= s_fr THEN 'es'
+                          ELSE 'fr' END AS lg,
+                     (n_words >= 10
+                      AND (CASE WHEN n_words > 0 THEN CAST(n_chars - n_words + 1 AS DOUBLE)/n_words ELSE 0.0 END) >= 2.0
+                      AND (CASE WHEN n_words > 0 THEN CAST(n_chars - n_words + 1 AS DOUBLE)/n_words ELSE 0.0 END) <= 12.0
+                      AND (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE)/n_chars ELSE 0.0 END) >= 0.6
+                      AND (CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE)/n_chars ELSE 0.0 END) <= 0.2) AS qk,
+                     pii
+              FROM (SELECT doc_id, len(text) AS n_chars,
+                           CASE WHEN len(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+                           len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                           len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars,
+                           {_LANG_SCORE['de']} AS s_de,
+                           {_LANG_SCORE['en']} AS s_en,
+                           {_LANG_SCORE['es']} AS s_es,
+                           {_LANG_SCORE['fr']} AS s_fr,
+                           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                           + len(regexp_extract_all(text, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))
+                           + len(regexp_extract_all(text, '\\+\\d{{1,3}}[- ]?\\d{{3}}[- ]?\\d{{3,4}}(?:[- ]?\\d{{3,4}})?')) AS pii
+                    FROM documents WHERE doc_id < 500)),
+            toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                     FROM documents WHERE doc_id < 500),
+            g AS (SELECT doc_id,
+                         unnest([array_to_string(l[i:i+1], ' ')
+                                 for i in range(1, greatest(len(l)-1, 1)+1)]) AS gram
+                  FROM toks),
+            pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            gs AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS tg
+                   FROM pg GROUP BY 1),
+            t AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+            pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+            ts AS (SELECT doc_id,
+                          round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                                / CAST(sum(c) AS DOUBLE), 6) AS dt
+                   FROM pt GROUP BY 1)
+            SELECT s.doc_id,
+                   (lg = 'en' AND qk AND tg <= 0.2 AND dt <= 0.5 AND pii = 0) AS keep,
+                   CASE WHEN lg != 'en' THEN 'lang'
+                        WHEN NOT qk THEN 'quality'
+                        WHEN NOT (tg <= 0.2 AND dt <= 0.5) THEN 'repetition'
+                        WHEN pii > 0 THEN 'pii'
+                        ELSE NULL END AS reject_reason
+            FROM scalar s JOIN gs USING (doc_id) JOIN ts USING (doc_id)
         """,
         "asof_join": """
             WITH v AS (SELECT user_id, ts, max(event_id) AS view_event_id

@@ -267,3 +267,58 @@ def repetition_metrics(docs, n: int = 2, id_col: str = "doc_id", text_col: str =
         ).alias("dup_token_frac")
     )
     return gram_stats.join(tok_stats, id_col)
+
+
+# ----------------------------------------------------------------------
+# the composed corpus filter (what a training-data run actually applies)
+# ----------------------------------------------------------------------
+
+#: filter thresholds — one place, mirrored verbatim in the DuckDB oracle
+FILTER_TARGET_LANG = "en"
+FILTER_MAX_TOP_GRAM_FRAC = 0.2
+FILTER_MAX_DUP_TOKEN_FRAC = 0.5
+
+
+def document_filter(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc keep/reject decision composing the whole quality family:
+    language == target, the quality_keep heuristics, repetition bounds
+    (Gopher-style), and zero PII hits. ``reject_reason`` names the FIRST
+    failing rule in a fixed order (lang → quality → repetition → pii) so
+    downstream drop-audits aggregate deterministically.
+
+    Plan shape: the scalar rules are one codegen'd projection over the scan;
+    only the repetition stats join in (two short-key partial-agg shuffles,
+    see ``repetition_metrics``). Raw text never shuffles.
+    """
+    c = F.col(text_col)
+    q = quality_metrics(c)
+    p = pii_counts(c)
+    scalar = docs.select(
+        id_col,
+        lang_guess(c).alias("__lang"),
+        q["quality_keep"].alias("__q"),
+        (p["n_emails"] + p["n_ips"] + p["n_phones"]).alias("__pii"),
+    )
+    rep = repetition_metrics(docs, n=2, id_col=id_col, text_col=text_col).select(
+        id_col, "top_gram_frac", "dup_token_frac"
+    )
+    j = scalar.join(rep, id_col)
+    rep_ok = (F.col("top_gram_frac") <= FILTER_MAX_TOP_GRAM_FRAC) & (
+        F.col("dup_token_frac") <= FILTER_MAX_DUP_TOKEN_FRAC
+    )
+    keep = (
+        (F.col("__lang") == FILTER_TARGET_LANG)
+        & F.col("__q")
+        & rep_ok
+        & (F.col("__pii") == 0)
+    )
+    reason = (
+        F.when(F.col("__lang") != FILTER_TARGET_LANG, "lang")
+        .when(~F.col("__q"), "quality")
+        .when(~rep_ok, "repetition")
+        .when(F.col("__pii") > 0, "pii")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        id_col, keep.alias("keep"), reason.alias("reject_reason")
+    )

@@ -83,6 +83,7 @@ HEADLINE = [
     "bpe_token_count",
     "pii_redaction",
     "repetition_metrics",
+    "document_filter",
     "simhash_sketches",
     "srp_ann_topk",
     "spans_reassemble",

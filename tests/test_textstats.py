@@ -120,3 +120,25 @@ def test_repetition_metrics_flags_templated_doc(spark):
     # doc 2: all bigrams unique, no repeated tokens
     assert abs(got[2]["top_gram_frac"] - 1 / 8) < 1e-6
     assert got[2]["dup_token_frac"] == 0.0
+
+
+def test_document_filter_reasons(spark):
+    """Each rule fires in its fixed precedence order; a clean doc keeps."""
+    good = ("the quick brown fox jumps over the lazy dog and then walks to "
+            "the river bank before the evening comes around quietly")
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                     # keep
+            (1, "der hund und die katze sind nicht im haus und der garten ist gross heute"),  # lang
+            (2, "the cat and the dog of it"),              # quality (< 10 words)
+            (3, "the deal is " * 15),                       # repetition
+            (4, good + " contact me at a@b.co"),            # pii
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["keep"], r["reject_reason"]) for r in TX.document_filter(docs).collect()}
+    assert got[0] == (True, None)
+    assert got[1] == (False, "lang")
+    assert got[2] == (False, "quality")
+    assert got[3] == (False, "repetition")
+    assert got[4] == (False, "pii")
