@@ -7,7 +7,7 @@ analysis); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
 SQL-expressible one (same column names/aliases on both sides — the driver
 hash-compares values after sorting columns by name).
 
-Every entry is oracle-checked (37/37). Non-SQL-expressible facts (layout
+Every entry is oracle-checked (38/38). Non-SQL-expressible facts (layout
 reading order, extraction parity, SimHash locality, ANN recall) use the
 verdict pattern: the engine computes a per-row pass/fail boolean and the
 oracle SQL is the expected all-true table, so the driver's hash compare
