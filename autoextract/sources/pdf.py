@@ -61,6 +61,7 @@ def make_text_pdf(
     font_size: float = 12.0,
     compress: bool = False,
     use_tm: bool = False,
+    image_jpeg: bytes | None = None,
 ) -> bytes:
     """Pages of interleaved elements → a real PDF file.
 
@@ -75,7 +76,10 @@ def make_text_pdf(
     ``compress=True`` emits ``/Filter /FlateDecode`` content streams and
     ``use_tm=True`` positions text with absolute ``Tm`` matrices instead of
     ``Td`` — the two real-world shapes the parser must read back
-    identically (round-trip tested).
+    identically (round-trip tested). ``image_jpeg`` embeds a REAL baseline
+    JPEG as the shared image XObject (``/Filter /DCTDecode`` — how PDFs
+    actually carry photos) instead of the 1×1 gray placeholder;
+    ``pdf_media_table`` extracts those bytes back per placement.
     """
     n = len(pages)
     font_num = 3 + 2 * n
@@ -139,14 +143,28 @@ def make_text_pdf(
     objs.append(
         (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     )
-    objs.append(
-        (
-            img_num,
-            b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
-            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\n"
-            b"stream\n\x00\nendstream",
+    if image_jpeg is not None:
+        from ..operators.multimodal import _jpeg_dims
+
+        dims = _jpeg_dims(image_jpeg) or (1, 1)
+        objs.append(
+            (
+                img_num,
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                b"/Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
+                % (dims[0], dims[1], len(image_jpeg), image_jpeg),
+            )
         )
-    )
+    else:
+        objs.append(
+            (
+                img_num,
+                b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 1 >>\n"
+                b"stream\n\x00\nendstream",
+            )
+        )
 
     out = bytearray(b"%PDF-1.4\n")
     offsets: dict[int, int] = {}
@@ -192,7 +210,7 @@ _OP_RE = re.compile(
     rb"|\((?P<lit>(?:[^()\\]|\\.)*)\)\s*(?P<showop>Tj|')"
     rb"|<(?P<hex>[0-9A-Fa-f\s]*)>\s*(?P<hexop>Tj|')"
     rb"|\[(?P<tjarr>(?:[^\[\]()]|%(lit)s)*)\]\s*TJ"
-    rb"|(?P<cma>[\d.]+)\s+0\s+0\s+(?P<cmd>[\d.]+)\s+(?P<cme>%(n)s)\s+(?P<cmf>%(n)s)\s+cm\s*/\w+\s+Do"
+    rb"|(?P<cma>[\d.]+)\s+0\s+0\s+(?P<cmd>[\d.]+)\s+(?P<cme>%(n)s)\s+(?P<cmf>%(n)s)\s+cm\s*/(?P<doname>\w+)\s+Do"
     rb"|(?P<bt>BT)|(?P<et>ET)"
     % {b"n": _NUM, b"lit": _LIT}
 )
@@ -362,10 +380,11 @@ def _replay_text_ops(stream: bytes, page_h: float) -> list[tuple]:
             text = _tj_array_text(m.group("tjarr"))
             if text:
                 emit(text)
-        elif g == "cmf":  # cm + Do: image placement
+        elif g == "doname":  # cm + Do: image placement
             w, h = float(m.group("cma")), float(m.group("cmd"))
             x, y_pdf = float(m.group("cme")), float(m.group("cmf"))
-            out.append(("media", None, x, page_h - y_pdf - h, w, h))
+            name = m.group("doname").decode("ascii", errors="replace")
+            out.append(("media", name, x, page_h - y_pdf - h, w, h))
         elif g == "bt":
             lx = ly = 0.0
             sy = 1.0
@@ -531,3 +550,89 @@ def render_docs_to_pdf(
     return docs.select("doc_id", text_col).mapInPandas(
         kernel, schema="doc_id string, payload binary"
     )
+
+
+# ----------------------------------------------------------------------
+# embedded media extraction (the payload half of interleaved documents)
+# ----------------------------------------------------------------------
+
+_XOBJ_BLOCK_RE = re.compile(rb"/XObject\s*<<([^>]*)>>")
+_XOBJ_ENTRY_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+
+
+def pdf_media_payloads(data: bytes) -> list[bytes]:
+    """Placement-ordered embedded image payloads: each ``cm /Name Do`` is
+    resolved through the page's ``/XObject`` resource map to its object's
+    raw stream bytes (``/Filter /DCTDecode`` images come back as the actual
+    JPEG file bytes — PDFs store photos as embedded JPEGs). Index k aligns
+    with ``pdf_word_rows``'s ``pdf:{doc_id}:{k}`` media_ref numbering."""
+    objs = _objects(data)
+    pages_body = next(
+        (b for b in objs.values() if re.search(rb"/Type\s*/Pages\b", b)), None
+    )
+    if pages_body is None:
+        return []
+    kids = _KIDS_RE.search(pages_body)
+    if not kids:
+        return []
+    out: list[bytes] = []
+    for ref in _REF_RE.findall(kids.group(1)):
+        body = objs.get(int(ref))
+        if body is None:
+            continue
+        xmap: dict[str, int] = {}
+        xm = _XOBJ_BLOCK_RE.search(body)
+        if xm:
+            xmap = {
+                name.decode("ascii"): int(num)
+                for name, num in _XOBJ_ENTRY_RE.findall(xm.group(1))
+            }
+        mb = _MEDIABOX_RE.search(body)
+        page_h = float(mb.group(1).split()[3]) if mb else PAGE_H
+        cm = _CONTENTS_RE.search(body)
+        stream = b""
+        if cm:
+            refs = (
+                [cm.group(1)] if cm.group(1) is not None
+                else _REF_RE.findall(cm.group(2))
+            )
+            stream = b"\n".join(_stream_of(objs.get(int(r), b"")) for r in refs)
+        for el in _replay_text_ops(stream, page_h):
+            if el[0] == "media":
+                objnum = xmap.get(el[1]) if el[1] else None
+                out.append(_stream_of(objs.get(objnum, b"")) if objnum else b"")
+    return out
+
+
+def pdf_media_table(pdfs: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """``(doc_id, payload)`` PDFs → one row per media PLACEMENT:
+    ``(doc_id, media_ref, payload, fmt)`` with media_ref matching the span
+    pipeline's ``pdf:{doc_id}:{k}`` placeholders — joining this table to the
+    spans table on media_ref rehydrates interleaved documents with their
+    actual media bytes, ready for the multimodal kernels (decode / resize /
+    embed). Over-cap or unparseable docs contribute zero rows (O6)."""
+    from ..operators.multimodal import sniff_format
+
+    schema = "doc_id string, media_ref string, payload binary, fmt string"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                if pdf_page_count(b) > MAX_PAGES:
+                    continue
+                for k, media in enumerate(pdf_media_payloads(b)):
+                    rows.append(
+                        {
+                            "doc_id": str(doc_id),
+                            "media_ref": f"pdf:{doc_id}:{k}",
+                            "payload": media,
+                            "fmt": sniff_format(media),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "payload", "fmt"]
+            )
+
+    return pdfs.mapInPandas(kernel, schema=schema)

@@ -238,3 +238,43 @@ def test_hex_string_show():
     # odd-length pads a trailing zero nibble: 0x4 0x10 -> 'A\x00'... just parse
     assert P._hex_text(b"41") == "A" and P._hex_text(b"4") == "@"
     assert P._hex_text(b"zz") == ""
+
+
+def test_embedded_media_rehydration_end_to_end(spark):
+    """The full interleaved-document loop: PDFs carrying a REAL embedded
+    JPEG (DCTDecode XObject) → spans with media_ref placeholders AND a media
+    table with the actual bytes → join rehydrates placements → the
+    multimodal kernels decode real pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from autoextract.operators import jpeg_codec as J
+    from autoextract.operators.multimodal import embed_media
+
+    img = (np.add.outer(np.linspace(0, 255, 24), np.linspace(0, 255, 32)) / 2).astype(np.uint8)
+    jpeg = J.encode_jpeg(np.stack([img, img[::-1], np.full_like(img, 80)], axis=2))
+    pages = [[("intro", 50, 60), (None, 50, 120, 320, 240), ("after", 50, 400)]]
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": ["m1", "m2"],
+            "payload": [P.make_text_pdf(pages, compress=True, image_jpeg=jpeg)] * 2,
+        }),
+        schema="doc_id string, payload binary",
+    )
+    media = P.pdf_media_table(df)
+    rows = media.collect()
+    assert len(rows) == 2
+    assert {r["fmt"] for r in rows} == {"jpeg"}
+    assert all(bytes(r["payload"]) == jpeg for r in rows)
+
+    spans = spans_table(pdf_words_table(df))
+    placements = spans.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).where(F.col("s.kind") == "media").select("doc_id", F.col("s.media_ref").alias("media_ref"))
+    joined = placements.join(media, ["doc_id", "media_ref"])
+    assert joined.count() == 2  # every placeholder rehydrates
+
+    vecs = embed_media(media).collect()
+    assert len(vecs) == 2 and len(vecs[0]["embedding"]) == 16
+    # identical payloads → identical pooled features
+    assert list(vecs[0]["embedding"]) == list(vecs[1]["embedding"])
