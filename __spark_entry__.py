@@ -7,7 +7,7 @@ analysis); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
 SQL-expressible one (same column names/aliases on both sides — the driver
 hash-compares values after sorting columns by name).
 
-Every entry is oracle-checked (38/38). Non-SQL-expressible facts (layout
+Every entry is oracle-checked (39/39). Non-SQL-expressible facts (layout
 reading order, extraction parity, SimHash locality, ANN recall) use the
 verdict pattern: the engine computes a per-row pass/fail boolean and the
 oracle SQL is the expected all-true table, so the driver's hash compare
@@ -513,6 +513,72 @@ def _q_pdf_ingest_spans(spark, sf):
 # oracle is the expected all-true table, so the hash compare enforces it) ----
 
 
+def _q_pdf_media_roundtrip(spark, sf):
+    """The embedded-media half of interleaved documents as a DRIVER-CHECKED
+    verdict: 50 docs are typeset into PDFs carrying a deterministic per-doc
+    baseline JPEG (DCTDecode XObject); ``pdf_media_table`` must extract each
+    placement byte-identically AND the bytes must decode to the expected
+    pixel grid. Oracle = the expected all-true table."""
+    import numpy as np
+
+    from autoextract.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from autoextract.sources.pdf import make_text_pdf, pdf_media_table
+
+    def doc_jpeg(doc_id: int) -> bytes:
+        g = np.tile(
+            np.arange(16, dtype=np.float64)[None, :] * 10 + (doc_id % 100), (16, 1)
+        )
+        return encode_jpeg(np.clip(g, 0, 255).astype(np.uint8), quality=95)
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                pages = [[("w0", 50.0, 60.0), (None, 50.0, 120.0, 200.0, 150.0),
+                          ("w1", 50.0, 320.0)]]
+                rows.append(
+                    {"doc_id": str(doc_id),
+                     "payload": make_text_pdf(
+                         pages, compress=True, image_jpeg=doc_jpeg(int(doc_id))
+                     )}
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    raw = docs.mapInPandas(build, schema="doc_id string, payload binary")
+    media = pdf_media_table(raw)
+
+    def check(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, payload, fmt in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"], pdf["fmt"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                ok = fmt == "jpeg" and ref == f"pdf:{doc_id}:0" and b == doc_jpeg(int(doc_id))
+                if ok:
+                    try:
+                        ok = decode_jpeg(b).shape == (16, 16, 1)
+                    except Exception:
+                        ok = False
+                rows.append({"doc_id": int(doc_id), "media_ok": bool(ok)})
+            yield pd.DataFrame(rows, columns=["doc_id", "media_ok"])
+
+    verdict = media.mapInPandas(check, schema="doc_id long, media_ok boolean")
+    # exactly one media row per doc AND every row ok
+    agg = verdict.groupBy("doc_id").agg(
+        (F.count("*") == 1).alias("one_row"), F.min("media_ok").alias("all_ok")
+    )
+    return docs.select(F.col("doc_id").cast("long").alias("doc_id")).join(
+        agg, "doc_id", "left"
+    ).select(
+        "doc_id",
+        (F.coalesce(F.col("one_row"), F.lit(False))
+         & F.coalesce(F.col("all_ok"), F.lit(False))).alias("media_ok"),
+    )
+
+
 def _q_winnowing(spark, sf):
     return DD.winnowing_fingerprints(_t(spark, sf, "documents"), k=3, window=4)
 
@@ -583,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "layout_reading_order": _q_layout_reading_order,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
+        "pdf_media_roundtrip": _q_pdf_media_roundtrip,
         "extraction_oracle": _q_extraction_oracle,
         "winnowing_fingerprints": _q_winnowing,
         "simhash_sketches": _q_simhash,
@@ -981,6 +1048,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         # verdict oracles: the engine computes the pass/fail fact; the SQL is
         # the expected all-true table (ids are deterministic by construction)
+        "pdf_media_roundtrip": """
+            SELECT CAST(range AS BIGINT) AS doc_id, true AS media_ok
+            FROM range(50)
+        """,
         "simhash_sketches": """
             SELECT CAST(range AS BIGINT) AS doc_id, true AS simhash_ok
             FROM range(100)
