@@ -35,11 +35,23 @@ def as_of_join(
     right_cols: list[str] | None = None,
     right_id: str | None = None,
     suffix: str = "_right",
+    hot_key_bucket_seconds: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the latest right row with ``right_ts`` ≤
     ``left_ts`` for the same ``on`` key (left rows with no prior right row
     keep nulls). ``right_id`` (when given) breaks exact-timestamp ties —
-    the highest id wins, making the result deterministic."""
+    the highest id wins, making the result deterministic.
+
+    ``hot_key_bucket_seconds`` selects the TIME-CHUNKED variant for skewed
+    key distributions: the default single running window serializes each
+    key into one task, so a mega-key (one instrument carrying 10⁹ ticks)
+    becomes the straggler at scale. Chunked, the running ``last`` is
+    computed within (key, coarse time bucket) — many parallel tasks per
+    key — and the value carried across buckets comes from a second window
+    over the per-(key, bucket) summaries (one row per bucket, ~|rows|/10⁵
+    of the data), then joined back. Identical results (pytest-pinned);
+    costs one extra small window + one co-partitioned join, so the default
+    stays the unchunked single-window path."""
     right_cols = right_cols or [c for c in right.columns if c not in (on,)]
     r = right
     if right_id is not None:
@@ -72,14 +84,49 @@ def as_of_join(
             "__ts", "__side", "__payload",
         )
     )
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    )
+    if hot_key_bucket_seconds is None:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.withColumn(
+            "__match", F.last("__payload", ignorenulls=True).over(w)
+        )
+    else:
+        # time-chunked: running last within (key, coarse bucket) — parallel
+        # across a hot key's buckets — then carry the last non-null payload
+        # of each bucket forward over the tiny per-bucket summary table.
+        chunked = unioned.withColumn(
+            "__cb",
+            F.floor(F.col("__ts").cast("long") / hot_key_bucket_seconds),
+        )
+        w_local = (
+            Window.partitionBy(on, "__cb")
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = chunked.withColumn(
+            "__local", F.last("__payload", ignorenulls=True).over(w_local)
+        )
+        # bucket summary: the running value at the bucket's final row == the
+        # bucket's last non-null payload (or null if the bucket saw none)
+        blast = local.groupBy(on, "__cb").agg(
+            F.max_by("__local", F.struct(F.col("__ts"), F.col("__side"))).alias(
+                "__blast"
+            )
+        )
+        w_carry = (
+            Window.partitionBy(on)
+            .orderBy("__cb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = blast.withColumn(
+            "__carry", F.last("__blast", ignorenulls=True).over(w_carry)
+        ).select(on, "__cb", "__carry")
+        carried = local.join(carry, [on, "__cb"], "left").withColumn(
+            "__match", F.coalesce("__local", "__carry")
+        )
     out = carried.where(F.col("__side") == 1).select(
         *[F.col(c) for c in left.columns],
         *[F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in right_cols],
@@ -98,24 +145,55 @@ def interval_count_join(
     count_alias: str = "n_points",
 ) -> DataFrame:
     """Per interval row: how many point rows share the key and fall inside
-    [start, end] (inclusive). Joined via time buckets, verified exactly."""
-    ivl = intervals.withColumn(
-        "__b0", F.floor(F.col(start_col).cast("long") / bucket_seconds)
-    ).withColumn("__b1", F.floor(F.col(end_col).cast("long") / bucket_seconds))
-    # explode each interval over its covered buckets (bounded: len/width + 1)
-    ivl = ivl.withColumn(
-        "__bucket", F.explode(F.sequence(F.col("__b0"), F.col("__b1")))
+    [start, end] (inclusive). Joined via time buckets, verified exactly.
+
+    Each interval row gets a surrogate ``monotonically_increasing_id`` and
+    carries its full payload as a struct through a LEFT join + conditional
+    count, so (a) duplicate interval rows keep distinct per-row counts
+    instead of silently merging, (b) the aggregation key is one long, not
+    the full wide row (nullable/float columns never become join keys), and
+    (c) the plan is LINEAR — no self-rejoin of the intervals table, which
+    also sidesteps the id-stability caveat of evaluating a nondeterministic
+    expression in two plan branches."""
+    ivl = (
+        intervals.withColumn("__iid", F.monotonically_increasing_id())
+        .withColumn("__row", F.struct(*[F.col(c) for c in intervals.columns]))
+        .select(
+            "__iid",
+            "__row",
+            F.col(on).alias(on),
+            F.col(start_col).alias("__s"),
+            F.col(end_col).alias("__e"),
+        )
+        # explode each interval over its covered buckets (bounded: len/width+1)
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__s").cast("long") / bucket_seconds),
+                    F.floor(F.col("__e").cast("long") / bucket_seconds),
+                )
+            ),
+        )
     )
     pts = points.select(
         F.col(on).alias(on),
         F.col(point_ts).alias("__pt"),
         F.floor(F.col(point_ts).cast("long") / bucket_seconds).alias("__bucket"),
     )
-    joined = ivl.join(pts, [on, "__bucket"]).where(
-        (F.col("__pt") >= F.col(start_col)) & (F.col("__pt") <= F.col(end_col))
+    inside = (
+        F.col("__pt").isNotNull()
+        & (F.col("__pt") >= F.col("__s"))
+        & (F.col("__pt") <= F.col("__e"))
     )
-    keys = [c for c in intervals.columns]
-    counted = joined.groupBy(*keys).agg(
-        F.count("*").cast("long").alias(count_alias)
+    # LEFT join keeps every (interval, bucket) candidate row, so every
+    # interval survives to the aggregation with count >= 0 — no rejoin.
+    counted = (
+        ivl.join(pts, [on, "__bucket"], "left")
+        .groupBy("__iid")
+        .agg(
+            F.first("__row").alias("__row"),
+            F.sum(inside.cast("long")).cast("long").alias(count_alias),
+        )
     )
-    return intervals.join(counted, keys, "left").fillna({count_alias: 0})
+    return counted.select("__row.*", count_alias)

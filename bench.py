@@ -349,17 +349,55 @@ def main() -> None:
 
 
 def _print_result(timings, query_runs, n_docs, span_wall, scaling) -> None:
+    """Emit a COMPACT one-line JSON summary on stdout and write the full
+    detail (per-query best-of-2 walls, every scaling attempt, protocol
+    text) to bench_detail.json next to this file.
+
+    r3 lesson: the all-in-one final line (with query_runs pairs and the
+    multi-attempt scaling block) overflowed the driver's stdout capture and
+    BENCH_r03.json recorded ``parsed: null`` — the round lost its
+    machine-readable perf record.  The driver parses the LAST stdout line,
+    so that line must stay small; everything else goes to the detail file.
+    """
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # compact scaling summary: scalars only — attempts/protocol go to detail
+    if "pair" in scaling:
+        lo_n, hi_n = scaling["pair"]
+        scaling_summary = {
+            "pair": scaling["pair"],
+            f"docs_per_sec_local{lo_n}": scaling[f"docs_per_sec_local{lo_n}"],
+            f"docs_per_sec_local{hi_n}": scaling[f"docs_per_sec_local{hi_n}"],
+            "docs_per_sec_local32_informational": scaling.get(
+                "docs_per_sec_local32_informational"
+            ),
+            "efficiency_n_to_4n": scaling["efficiency_n_to_4n"],
+            f"efficiency_n_to_4n_{lo_n}_to_{hi_n}": scaling["efficiency_n_to_4n"],
+            "accepted": scaling["accepted"],
+            "attempts_made": len(scaling.get("attempts", [])),
+            "protocol": "paired taskset-bounded N vs 4N attempts; full "
+                        "attempt log + protocol in bench_detail.json",
+        }
+    else:
+        scaling_summary = scaling  # skipped/error forms are already small
     result = {
         "metric": "span_extraction_headline_suite",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "query_runs": query_runs,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
         "docs_per_sec": round(n_docs / span_wall, 2),
-        "scaling": scaling,
+        "scaling": scaling_summary,
+        "detail_file": "bench_detail.json",
     }
+    detail = dict(result)
+    detail["query_runs"] = query_runs
+    detail["scaling"] = scaling
+    try:
+        with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError as exc:
+        result["detail_file"] = f"unwritable: {exc}"[:120]
     print(json.dumps(result))
 
 
