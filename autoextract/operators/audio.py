@@ -166,13 +166,16 @@ def embed_audio(
     windowed-RMS loudness envelope over ``dim`` equal time slices (mono mix,
     L2-normalized) — near-identical clips land near each other under cosine;
     undecodable payloads fall back to the deterministic hash stub
-    (production: a learned audio encoder behind the same signature)."""
-    schema = "media_ref string, embedding array<float>"
+    (production: a learned audio encoder behind the same signature).
+    ``real_feature`` marks which path fired — stub vectors are noise that
+    would silently poison similarity ops, so pipelines filter on it."""
+    schema = "media_ref string, embedding array<float>, real_feature boolean"
 
     def kernel(batches):
         for pdf in batches:
             refs = pdf["media_ref"].tolist()
             feats = []
+            real_flags = []
             for payload in pdf[payload_col]:
                 b = bytes(payload) if payload is not None else b""
                 vec = None
@@ -187,6 +190,7 @@ def embed_audio(
                         vec = (rms / norm if norm > 0 else rms).astype("float32")
                 except WavError:
                     vec = None
+                real_flags.append(vec is not None)
                 if vec is None:
                     seed = int.from_bytes(
                         __import__("hashlib").md5(b).digest()[:4], "little"
@@ -194,7 +198,11 @@ def embed_audio(
                     vec = np.random.RandomState(seed).rand(dim).astype("float32")
                 feats.append(vec)
             yield pd.DataFrame(
-                {"media_ref": refs, "embedding": [f.tolist() for f in feats]}
+                {
+                    "media_ref": refs,
+                    "embedding": [f.tolist() for f in feats],
+                    "real_feature": real_flags,
+                }
             )
 
     return media.mapInPandas(kernel, schema=schema)

@@ -490,6 +490,19 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+    else:
+        # pointer jumping makes non-convergence within 25 rounds practically
+        # unreachable (O(log diameter)), but a silent wrong answer is worse
+        # than a loud one: labels here are NOT a fixpoint.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: no fixpoint after {max_iters} rounds "
+            f"({changed} labels still changing) — returned components may "
+            "merge incompletely; raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 

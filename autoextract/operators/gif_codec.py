@@ -217,9 +217,43 @@ def decode_gif(data: bytes) -> np.ndarray:
     return pal[np.minimum(idx, len(pal) - 1)]
 
 
-def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+def gif_transparency_index(data: bytes) -> int | None:
+    """Transparent color index from the Graphic Control Extension preceding
+    the first image descriptor, or ``None`` (no GCE / flag clear). Lets the
+    resize path carry transparency through a re-encode instead of silently
+    rendering the background as an opaque palette color."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        return None
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    while pos < len(data):
+        if data[pos] != 0x21:  # image descriptor / trailer: no GCE seen
+            return None
+        label = data[pos + 1] if pos + 1 < len(data) else 0
+        if label == 0xF9 and pos + 7 < len(data) and data[pos + 2] == 4:
+            return data[pos + 6] if data[pos + 3] & 0x01 else None
+        p = pos + 2  # skip this extension's sub-blocks
+        while p < len(data):
+            size = data[p]
+            p += 1
+            if size == 0:
+                break
+            p += size
+        pos = p
+    return None
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    transparent_index: int | None = None,
+) -> bytes:
     """Single-frame GIF89a from an index array + (N,3) palette. The palette
-    is padded to the next power of two (GIF color tables must be 2^k)."""
+    is padded to the next power of two (GIF color tables must be 2^k);
+    ``transparent_index`` (when given) is emitted as a Graphic Control
+    Extension with the transparency flag set."""
     h, w = indices.shape
     n = len(palette)
     bits = max(1, (n - 1).bit_length())
@@ -230,6 +264,8 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     out += struct.pack("<HH", w, h)
     out += bytes([0x80 | ((bits - 1) & 0x07), 0, 0])
     out += pal.tobytes()
+    if transparent_index is not None:
+        out += b"\x21\xf9\x04\x01\x00\x00" + bytes([transparent_index & 0xFF]) + b"\x00"
     out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
     min_code_size = max(bits, 2)
     out += bytes([min_code_size])
@@ -258,4 +294,8 @@ def resize_gif_bytes(data: bytes, tw: int, th: int) -> bytes:
         raise GifError("animated GIF resize needs frame re-composition")
     idx, pal = decode_gif_indexed(data)
     resized = resize_nearest(idx, tw, th)
-    return encode_gif(resized.astype(np.uint8), pal)
+    # transparency survives the re-encode: the index array carries the
+    # transparent index through resize_nearest, and the GCE is re-emitted
+    return encode_gif(
+        resized.astype(np.uint8), pal, transparent_index=gif_transparency_index(data)
+    )

@@ -231,6 +231,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise JpegError("marker expected")
+        # T.81 B.1.1.3: any number of 0xFF fill bytes may pad before a
+        # marker — legal in real-world files; skip to the marker byte
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -314,8 +314,12 @@ def embed_media(media: DataFrame, dim: int = 16, payload_col: str = "payload") -
     near-identical images land near each other under cosine (tested).
     Everything else falls back to the deterministic hash-derived stub
     (production swaps in a real encoder batch call — same signature, same
-    Arrow batching)."""
-    schema = "media_ref string, embedding array<float>"
+    Arrow batching). ``real_feature`` marks which path produced each row:
+    stub vectors are deterministic noise, indistinguishable from real
+    features by value alone — on a dirty corpus (many undecodable payloads)
+    downstream near-dup / ANN ops would silently pair garbage, so pipelines
+    must be able to ``filter(real_feature)`` before similarity."""
+    schema = "media_ref string, embedding array<float>, real_feature boolean"
     side = int(np.sqrt(dim))
     pool_ok = side * side == dim  # pooled grid needs a square dim
 
@@ -328,6 +332,7 @@ def embed_media(media: DataFrame, dim: int = 16, payload_col: str = "payload") -
         for pdf in batches:
             refs = pdf["media_ref"].tolist()
             feats = []
+            real_flags = []
             for payload in pdf[payload_col]:
                 b = bytes(payload) if payload is not None else b""
                 vec = None
@@ -346,6 +351,7 @@ def embed_media(media: DataFrame, dim: int = 16, payload_col: str = "payload") -
                         vec = (flat / norm if norm > 0 else flat).astype("float32")
                     except Exception:
                         vec = None
+                real_flags.append(vec is not None)
                 if vec is None:
                     # deterministic per-content seed; PRODUCTION: model.encode
                     seed = int.from_bytes(
@@ -353,7 +359,13 @@ def embed_media(media: DataFrame, dim: int = 16, payload_col: str = "payload") -
                     )
                     vec = np.random.RandomState(seed).rand(dim).astype("float32")
                 feats.append(vec)
-            yield pd.DataFrame({"media_ref": refs, "embedding": [f.tolist() for f in feats]})
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "embedding": [f.tolist() for f in feats],
+                    "real_feature": real_flags,
+                }
+            )
 
     return media.mapInPandas(kernel, schema=schema)
 

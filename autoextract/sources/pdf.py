@@ -13,7 +13,12 @@ the OCR path. A production deployment swaps the parser for a rasterize+OCR
 kernel behind the same ``pdf_words_table`` signature.
 
 Scope (r3, widened to the real-world text-layer subset the reference's
-uploads actually use — ``utils/pdf.py:53-87`` consumes arbitrary PDFs):
+uploads actually use — ``utils/pdf.py:53-87`` consumes arbitrary PDFs; r4
+adds ``/LZWDecode`` streams and PDF 1.5+ object streams — ``/Type /ObjStm``
+bodies are expanded into the object map, so modern files whose dictionary
+objects hide inside compressed streams parse identically; xref/xref-stream
+tables are never consulted, objects are located by a sequential scan that
+skips stream payloads via ``/Length``):
 ``/Filter /FlateDecode`` content streams (stdlib zlib inflate), absolute
 ``Tm`` text matrices (translation + axis scales; skew ignored), relative
 ``Td``/``TD``, leading-driven ``T*``/``TL``/``'``, ``TJ`` show-arrays (kern
@@ -59,7 +64,7 @@ def _esc(s: str) -> bytes:
 def make_text_pdf(
     pages: list[list[tuple]],
     font_size: float = 12.0,
-    compress: bool = False,
+    compress: bool | str = False,
     use_tm: bool = False,
     image_jpeg: bytes | None = None,
 ) -> bytes:
@@ -73,7 +78,8 @@ def make_text_pdf(
     the layout operators use); the writer converts to PDF's bottom-left
     convention.
 
-    ``compress=True`` emits ``/Filter /FlateDecode`` content streams and
+    ``compress=True`` emits ``/Filter /FlateDecode`` content streams
+    (``compress="lzw"`` emits ``/Filter /LZWDecode``) and
     ``use_tm=True`` positions text with absolute ``Tm`` matrices instead of
     ``Td`` — the two real-world shapes the parser must read back
     identically (round-trip tested). ``image_jpeg`` embeds a REAL baseline
@@ -128,7 +134,10 @@ def make_text_pdf(
                 ).encode(),
             )
         )
-        if compress:
+        if compress == "lzw":
+            stream = lzw_encode_pdf(stream)
+            filt = b" /Filter /LZWDecode"
+        elif compress:
             stream = zlib.compress(stream)
             filt = b" /Filter /FlateDecode"
         else:
@@ -185,6 +194,104 @@ def make_text_pdf(
 
 
 # ----------------------------------------------------------------------
+# stream filters: LZWDecode (PDF 7.4.4 / TIFF rev 6) — pure Python
+# ----------------------------------------------------------------------
+
+#: LZW control codes (8-bit data): 256 clears the table, 257 ends the data
+_LZW_CLEAR, _LZW_EOD = 256, 257
+
+
+def lzw_encode_pdf(data: bytes) -> bytes:
+    """PDF ``LZWDecode`` encoder: MSB-first variable-width codes starting at
+    9 bits, EarlyChange=1 (the PDF default — the code width grows one code
+    early on the decoder side). Used by the writer to produce real-world
+    LZW-filtered fixtures; round-trip pinned against ``lzw_decode_pdf``."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    put(_LZW_CLEAR, width)
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        if next_code < 4095:
+            table[wc] = next_code
+            next_code += 1
+            # encoder bumps at the natural boundary; the decoder's
+            # EarlyChange bump lands on the same emitted code because its
+            # table lags the encoder's by exactly one entry
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:  # table nearly full: clear before the decoder's cap
+            put(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        put(table[w], width)
+    put(_LZW_EOD, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode_pdf(data: bytes) -> bytes:
+    """PDF ``LZWDecode`` decoder (EarlyChange=1). Raises ``ValueError`` on
+    corrupt streams — callers contain it per-document (O6)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == _LZW_CLEAR:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width, prev = 9, None
+                continue
+            if code == _LZW_EOD:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("LZW: first code not a literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            else:
+                raise ValueError("LZW: code beyond table")
+            out += entry
+            prev = entry
+            # EarlyChange=1: grow one code early (matches common readers)
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)  # missing EOD: tolerate (real files sometimes do)
+
+
+# ----------------------------------------------------------------------
 # parser
 # ----------------------------------------------------------------------
 
@@ -196,6 +303,7 @@ _CONTENTS_RE = re.compile(rb"/Contents\s+(?:(\d+)\s+0\s+R|\[([^\]]*)\])")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[([^\]]*)\]")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])")
+_LZWF_RE = re.compile(rb"/Filter\s*(?:/LZWDecode\b|\[\s*/LZWDecode\s*\])")
 _NUM = rb"-?[\d.]+"
 _LIT = rb"\((?:[^()\\]|\\.)*\)"
 #: one regex pass over the content stream: font set, text matrix, moves,
@@ -222,12 +330,145 @@ TJ_WORD_GAP = 100.0
 
 
 def _objects(data: bytes) -> dict[int, bytes]:
+    """Split the file into numbered object bodies.
+
+    Walks the file SEQUENTIALLY and jumps over stream payloads (via
+    ``/Length`` when present) before looking for ``endobj`` — raw stream
+    bytes (an embedded DCTDecode JPEG, say) can contain runs matching
+    ``<n> 0 obj`` / ``endobj`` that a whole-file regex scan would misread
+    as object boundaries and corrupt the split. No xref table is consulted
+    (objects are located by scanning); a stream without ``/Length`` falls
+    back to the nearest ``endstream``."""
     objs: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(data):
-        end = data.find(b"endobj", m.end())
-        if end != -1:
-            objs.setdefault(int(m.group(1)), data[m.end():end])
+    pos = 0
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if not m:
+            break
+        cursor = m.end()
+        si = data.find(b"stream", cursor)
+        ei = data.find(b"endobj", cursor)
+        if si != -1 and (ei == -1 or si < ei):
+            # this object carries a stream: skip its payload bytes entirely
+            j = si + len(b"stream")
+            if data[j : j + 2] == b"\r\n":
+                j += 2
+            elif data[j : j + 1] == b"\n":
+                j += 1
+            lm = _LENGTH_RE.search(data, cursor, si)
+            k = data.find(b"endstream", j + int(lm.group(1)) if lm else j)
+            if k == -1 and lm:  # bad /Length: retry from the payload start
+                k = data.find(b"endstream", j)
+            ei = data.find(b"endobj", k if k != -1 else j)
+        if ei == -1:  # malformed object: resume after its header
+            pos = cursor
+            continue
+        objs.setdefault(int(m.group(1)), data[cursor:ei])
+        pos = ei + len(b"endobj")
+    _expand_objstms(objs)
     return objs
+
+
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_objstms(objs: dict[int, bytes]) -> None:
+    """PDF 1.5+ object streams: objects whose body is ``/Type /ObjStm``
+    carry OTHER objects compressed inside their stream (header = N pairs of
+    ``objnum offset``, offsets relative to ``/First``; bodies follow). The
+    sequential scan can't see those, so expand them into the object map —
+    this is what makes modern (1.5+) files readable without an xref stream
+    decoder: the xref stream itself is only a lookup table, which the
+    scanning parser never needed."""
+    for body in list(objs.values()):
+        if not _OBJSTM_RE.search(body):
+            continue
+        data = _stream_of(body)
+        mn, mf = _N_RE.search(body), _FIRST_RE.search(body)
+        if not (data and mn and mf):
+            continue
+        n, first = int(mn.group(1)), int(mf.group(1))
+        try:
+            nums = [int(x) for x in data[:first].split()]
+        except ValueError:
+            continue
+        pairs = list(zip(nums[0::2], nums[1::2]))[:n]
+        for k, (onum, off) in enumerate(pairs):
+            end = first + pairs[k + 1][1] if k + 1 < len(pairs) else len(data)
+            if 0 <= first + off <= end <= len(data):
+                objs.setdefault(onum, data[first + off : end])
+
+
+def to_objstm_pdf(data: bytes) -> bytes:
+    """Repackage a classic (PDF 1.4) file from ``make_text_pdf`` into the
+    PDF 1.5+ shape real-world writers emit: all dictionary-only objects move
+    into a Flate-compressed ``/Type /ObjStm`` object stream, stream-carrying
+    objects stay top-level, and a binary ``/Type /XRef`` cross-reference
+    STREAM (``/W [1 2 2]``, type-2 entries pointing into the ObjStm)
+    replaces the classic xref table + trailer. Used to build 1.5-shape
+    fixtures; the parser reads them back identically (round-trip tested)."""
+    objs = _objects(data)
+    in_stream = {n: b for n, b in objs.items() if b.find(b"stream") != -1}
+    packed = {n: b.strip() for n, b in objs.items() if n not in in_stream}
+    stm_num = max(objs) + 1
+    xref_num = stm_num + 1
+
+    bodies = [packed[n] for n in sorted(packed)]
+    offs: list[int] = []
+    payload = bytearray()
+    for b in bodies:
+        offs.append(len(payload))
+        payload += b + b"\n"
+    header = " ".join(
+        f"{n} {o}" for n, o in zip(sorted(packed), offs)
+    ).encode() + b"\n"
+    stm_data = zlib.compress(header + bytes(payload))
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    positions: dict[int, int] = {}
+    for n in sorted(in_stream):
+        positions[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + in_stream[n] + b"\nendobj\n"
+    positions[stm_num] = len(out)
+    out += (
+        f"{stm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
+        f"/First {len(header)} /Filter /FlateDecode "
+        f"/Length {len(stm_data)} >>\nstream\n".encode()
+        + stm_data
+        + b"\nendstream\nendobj\n"
+    )
+    # xref stream: W [1 4 2] rows (4-byte offsets: files can exceed 64 KiB)
+    # for objects 0..xref_num, big-endian fields per PDF 7.5.8
+    xref_pos = len(out)
+    rows = bytearray()
+    obj_in_stream_idx = {n: i for i, n in enumerate(sorted(packed))}
+    for num in range(xref_num + 1):
+        if num == 0:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif num in positions or num == xref_num:
+            pos = positions.get(num, xref_pos)
+            rows += bytes([1]) + pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        elif num in obj_in_stream_idx:
+            rows += (
+                bytes([2])
+                + stm_num.to_bytes(4, "big")
+                + obj_in_stream_idx[num].to_bytes(2, "big")
+            )
+        else:
+            rows += bytes([0]) + (0).to_bytes(4, "big") + (0).to_bytes(2, "big")
+    xref_data = zlib.compress(bytes(rows))
+    out += (
+        (
+            f"{xref_num} 0 obj\n<< /Type /XRef /Size {xref_num + 1} /W [1 4 2] "
+            f"/Root 1 0 R /Filter /FlateDecode /Length {len(xref_data)} >>\nstream\n"
+        ).encode()
+        + xref_data
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_pos}\n%%EOF".encode()
+    return bytes(out)
 
 
 def _stream_of(body: bytes) -> bytes:
@@ -250,6 +491,11 @@ def _stream_of(body: bytes) -> bytes:
             # decompressobj tolerates a trailing EOL before 'endstream'
             raw = zlib.decompressobj().decompress(raw)
         except zlib.error:  # corrupt deflate → zero words, pdf_meta flags it
+            return b""
+    elif _LZWF_RE.search(body[:i]):
+        try:
+            raw = lzw_decode_pdf(raw)
+        except Exception:  # corrupt LZW → same containment as deflate
             return b""
     return raw
 
@@ -484,7 +730,14 @@ def pdf_meta(pdfs: DataFrame, payload_col: str = "payload") -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                n_pages = pdf_page_count(b)
+                try:
+                    n_pages = pdf_page_count(b)
+                except Exception as exc:  # O6: adversarial bytes → error row
+                    rows.append(
+                        {"doc_id": str(doc_id), "n_pages": 0, "valid": False,
+                         "error": f"parse failure: {exc}"[:200]}
+                    )
+                    continue
                 if n_pages == 0:
                     rows.append(
                         {"doc_id": str(doc_id), "n_pages": 0, "valid": False,
@@ -620,9 +873,13 @@ def pdf_media_table(pdfs: DataFrame, payload_col: str = "payload") -> DataFrame:
             rows: list[dict] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                if pdf_page_count(b) > MAX_PAGES:
+                try:  # O6: adversarial bytes → zero rows, never task failure
+                    if pdf_page_count(b) > MAX_PAGES:
+                        continue
+                    media_list = pdf_media_payloads(b)
+                except Exception:
                     continue
-                for k, media in enumerate(pdf_media_payloads(b)):
+                for k, media in enumerate(media_list):
                     rows.append(
                         {
                             "doc_id": str(doc_id),

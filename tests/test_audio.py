@@ -77,3 +77,14 @@ def test_embed_audio_envelope_similarity(spark):
     assert cos(vecs["base"], vecs["near"]) > 0.999
     assert cos(vecs["base"], vecs["gated"]) < 0.9
     assert len(vecs["base"]) == 16
+
+
+def test_embed_audio_real_feature_flag(spark):
+    """Decoded WAVs are flagged real; undecodable payloads carry
+    real_feature=false so similarity pipelines can drop the hash stubs."""
+    media = spark.createDataFrame(
+        [("wav", A.make_wav(_tone(seconds=0.1))), ("junk", b"not audio")],
+        ["media_ref", "payload"],
+    )
+    flags = {r["media_ref"]: r["real_feature"] for r in A.embed_audio(media).collect()}
+    assert flags == {"wav": True, "junk": False}

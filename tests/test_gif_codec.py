@@ -60,6 +60,23 @@ def test_animated_gif_resize_raises():
         G.resize_gif_bytes(animated, 10, 10)
 
 
+def test_transparency_survives_resize():
+    """A GIF89a with a Graphic Control Extension transparency index keeps it
+    through resize → re-encode (the old re-encode dropped all extensions and
+    the background rendered as an opaque palette color)."""
+    idx, pal, _ = _random_gif(ncolors=5)
+    b = G.encode_gif(idx, pal, transparent_index=3)
+    assert G.gif_transparency_index(b) == 3
+    out = G.resize_gif_bytes(b, 30, 20)
+    assert G.gif_transparency_index(out) == 3
+    idx2, _ = G.decode_gif_indexed(out)
+    assert idx2.shape == (20, 30)
+    # opaque GIFs stay extension-free
+    _, _, plain = _random_gif()
+    assert G.gif_transparency_index(plain) is None
+    assert G.gif_transparency_index(G.resize_gif_bytes(plain, 10, 10)) is None
+
+
 def test_garbage_raises():
     with pytest.raises(G.GifError):
         G.decode_gif_indexed(b"GIF89a")

@@ -64,6 +64,18 @@ def test_resize_jpeg_bytes_hits_targets():
     assert dec.shape == (32, 48, 3)
 
 
+def test_fill_bytes_between_markers_decode():
+    """T.81 B.1.1.3 allows any number of 0xFF fill bytes before a marker —
+    real-world encoders emit them; the decoder must skip, not reject."""
+    import numpy as np
+
+    g = _gradient_rgb(24, 24)
+    b = J.encode_jpeg(g, quality=90)
+    # inject 0xFF padding immediately after SOI, before the first segment
+    padded = b[:2] + b"\xff\xff\xff" + b[2:]
+    assert np.array_equal(J.decode_jpeg(padded), J.decode_jpeg(b))
+
+
 def test_unsupported_streams_raise_jpeg_error():
     from autoextract.sources.ingest import make_jpeg
 

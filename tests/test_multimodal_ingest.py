@@ -115,6 +115,27 @@ def test_embed_media_deterministic(spark):
     assert len(rows["a"]) == 8
 
 
+def test_embed_media_real_feature_flag(spark):
+    """real_feature separates decoded features from hash-stub fallbacks, so
+    similarity pipelines on dirty corpora can filter the noise vectors out
+    before near-dup pairing."""
+    import numpy as np
+
+    from autoextract.operators.png_codec import encode_png
+
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [("good", encode_png(img)), ("junk", b"\x00not-an-image"), ("empty", None)],
+        "media_ref string, payload binary",
+    )
+    out = MM.embed_media(media)
+    assert "real_feature" in out.columns
+    flags = {r["media_ref"]: r["real_feature"] for r in out.collect()}
+    assert flags == {"good": True, "junk": False, "empty": False}
+    kept = out.where("real_feature").collect()
+    assert [r["media_ref"] for r in kept] == ["good"]
+
+
 def test_ingest_sniff_dispatch(spark):
     raw = ING.gen_raw_docs(spark, 100, seed=5)
     sniffed = ING.sniff(raw).cache()

@@ -47,6 +47,27 @@ def test_multipage_order_and_cap():
         pdf_word_rows("d", over)
 
 
+def test_stream_payload_mimicking_object_syntax():
+    """Raw stream bytes that happen to contain '<n> 0 obj' / 'endobj' runs
+    (an embedded JPEG can) must not corrupt the object split: _objects walks
+    sequentially and jumps stream payloads via /Length instead of regex-
+    scanning the whole file."""
+    from autoextract.sources.pdf import pdf_media_payloads
+
+    evil = (
+        b"\xff\xd8 fake jpeg body\n99 0 obj\n<< /Type /Pages /Kids [1 0 R] >>\n"
+        b"endobj\nstream\nendstream\nmore bytes\xff\xd9"
+    )
+    pdf = make_text_pdf(
+        [[("hello", 50, 60), (None, 50, 200, 100, 80)]], image_jpeg=evil
+    )
+    # text still parses and the payload comes back byte-identical — the fake
+    # 'endobj' inside the stream neither truncates the image object nor
+    # plants a bogus object 99 (whose /Type /Pages would hijack page lookup)
+    assert [r["content"] for r in pdf_word_rows("d", pdf) if r["kind"] == "text"] == ["hello"]
+    assert pdf_media_payloads(pdf) == [evil]
+
+
 def test_malformed_pdf_zero_pages():
     assert pdf_page_count(b"%PDF-1.4 truncated junk") == 0
     assert pdf_page_count(b"") == 0
@@ -168,6 +189,41 @@ def test_flate_and_tm_roundtrip_identical():
             b = P.make_text_pdf(pages, compress=compress, use_tm=use_tm)
             assert _sig(P.pdf_word_rows("d", b)) == base, (compress, use_tm)
     assert len(base) == 4
+
+
+def test_lzw_and_objstm_roundtrip_identical():
+    """The two highest-frequency wild-PDF features beyond r3's subset:
+    /LZWDecode content streams and PDF 1.5 object streams (dict objects
+    packed compressed inside a /Type /ObjStm, classic xref replaced by a
+    binary xref STREAM). Both must parse back identical word boxes."""
+    pages = [
+        [("hello", 50, 60), ("world", 140, 60), (None, 50, 120, 80, 40)],
+        [("page2", 50, 60)],
+    ]
+    base = _sig(P.pdf_word_rows("d", P.make_text_pdf(pages)))
+    lzw = P.make_text_pdf(pages, compress="lzw")
+    assert b"/LZWDecode" in lzw
+    assert _sig(P.pdf_word_rows("d", lzw)) == base
+    # PDF 1.5 shape: repackage each writer variant through an object stream
+    for compress in (False, True, "lzw"):
+        modern = P.to_objstm_pdf(P.make_text_pdf(pages, compress=compress))
+        assert modern.startswith(b"%PDF-1.5")
+        assert b"/ObjStm" in modern and b"/XRef" in modern
+        assert b"trailer" not in modern  # classic table fully replaced
+        assert _sig(P.pdf_word_rows("d", modern)) == base, compress
+    # embedded media also survives the 1.5 repackaging
+    jpeg = b"\xff\xd8payload\xff\xd9"
+    modern_media = P.to_objstm_pdf(
+        P.make_text_pdf([[("x", 50, 60), (None, 50, 200, 90, 70)]], image_jpeg=jpeg)
+    )
+    assert P.pdf_media_payloads(modern_media) == [jpeg]
+
+
+def test_corrupt_lzw_stream_contained():
+    b = P.make_text_pdf([[("hi", 50, 60)]], compress="lzw")
+    i = b.find(b"stream\n") + 7
+    corrupted = b[: i + 2] + b"\xff\xff\xff\xff" + b[i + 6 :]
+    assert P.pdf_word_rows("d", corrupted) == []
 
 
 def test_corrupt_flate_stream_contained():
