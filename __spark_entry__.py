@@ -508,6 +508,59 @@ def _q_pdf_ingest_spans(spark, sf):
     )
 
 
+def _q_pdf_modern_ingest(spark, sf):
+    """P1 wild-PDF widening (r4): the SAME render→parse→order→assemble
+    round-trip as ``pdf_ingest_spans``, but the payloads are PDF 1.5+ files
+    — dictionary objects packed into compressed /Type /ObjStm object
+    streams with a binary xref STREAM, content streams alternating
+    FlateDecode / LZWDecode per document. The oracle recomputes expected
+    text straight from the source table, so the ObjStm expansion and the
+    LZW decoder must reconstruct every document exactly."""
+    from autoextract.sources.pdf import pdf_words_table, render_docs_to_pdf
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    raw = render_docs_to_pdf(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+        compress="mixed",
+        modern=True,
+    )
+    spans = spans_table(pdf_words_table(raw))
+    return spans.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.array_join(F.transform("spans", lambda s: s["text"]), " ").alias(
+            "text_rebuilt"
+        ),
+    )
+
+
+def _q_asof_join_chunked(spark, sf):
+    """The time-chunked as-of variant (hot-key path) against the SAME DuckDB
+    native ASOF JOIN oracle as ``asof_join`` — proving the bucket-local
+    window + cross-bucket carry composition is result-identical to the
+    single-window default at driver-gate level, not just in pytest."""
+    from autoextract.operators import temporal as TMP
+
+    e = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), "ts"
+    )
+    out = TMP.as_of_join(
+        purchases, views, on="user_id",
+        right_cols=["view_event_id", "ts"], right_id="view_event_id",
+        hot_key_bucket_seconds=86400,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("view_event_id_right").cast("long").alias("view_event_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_right")).cast("long").alias("lag_us"),
+    )
+
+
 # ---- sketch/ANN families as DRIVER-CHECKED verdict tables (r2 VERDICT
 # "Next round" #1: the engine computes a per-row pass/fail fact; the DuckDB
 # oracle is the expected all-true table, so the hash compare enforces it) ----
@@ -644,11 +697,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": _q_repetition_metrics,
         "document_filter": _q_document_filter,
         "asof_join": _q_asof_join,
+        "asof_join_chunked": _q_asof_join_chunked,
         "interval_count_join": _q_interval_count,
         "sessionize": _q_sessionize,
         "events_hourly": _q_events_hourly,
         "layout_reading_order": _q_layout_reading_order,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
+        "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_media_roundtrip": _q_pdf_media_roundtrip,
         "extraction_oracle": _q_extraction_oracle,
         "winnowing_fingerprints": _q_winnowing,
@@ -1002,6 +1057,19 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
+        # identical oracle to asof_join: the chunked variant must be
+        # result-identical to DuckDB's native ASOF JOIN
+        "asof_join_chunked": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 v AS (SELECT user_id, event_id AS view_event_id, ts
+                       FROM events WHERE event_type = 'view')
+            SELECT p.event_id, p.user_id,
+                   CAST(v.view_event_id AS BIGINT) AS view_event_id,
+                   CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS lag_us
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
         "interval_count_join": """
             SELECT s.event_id, s.user_id,
                    CAST(count(c.ts) AS BIGINT) AS n_clicks
@@ -1045,6 +1113,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60)) AS BIGINT) AS n_spans,
                    array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60), ' ') AS text_rebuilt
             FROM documents WHERE doc_id < 300
+        """,
+        # same text-reassembly oracle as pdf_ingest_spans: the ObjStm/LZW
+        # payload shape must parse back to identical leading tokens
+        "pdf_modern_ingest": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60)) AS BIGINT) AS n_spans,
+                   array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60), ' ') AS text_rebuilt
+            FROM documents WHERE doc_id < 200
         """,
         # verdict oracles: the engine computes the pass/fail fact; the SQL is
         # the expected all-true table (ids are deterministic by construction)

@@ -765,8 +765,9 @@ def render_docs_to_pdf(
     words_per_line: int = 6,
     lines_per_page: int = 5,
     text_col: str = "text",
-    compress: bool = True,
+    compress: bool | str = True,
     use_tm: bool = True,
+    modern: bool = False,
 ) -> DataFrame:
     """Deterministically typeset each document's leading tokens into a real
     multi-page PDF payload — the sandbox stand-in for a landing prefix of
@@ -774,7 +775,13 @@ def render_docs_to_pdf(
     Defaults emit the REAL-WORLD shape — FlateDecode streams + ``Tm``
     positioning — so the driver-checked ``pdf_ingest_spans`` round-trip
     exercises the inflate + matrix paths; the plain ``Td`` uncompressed
-    shape stays covered by the pytest round-trips."""
+    shape stays covered by the pytest round-trips.
+
+    ``compress="mixed"`` alternates FlateDecode / LZWDecode per document
+    (odd-trailing-digit doc_ids get LZW) and ``modern=True`` repackages each
+    file into the PDF 1.5+ object-stream shape via ``to_objstm_pdf`` — the
+    ``pdf_modern_ingest`` driver query uses both so the LZW and ObjStm paths
+    are exercised under the same text-reassembly oracle."""
 
     def kernel(batches):
         for pdf in batches:
@@ -790,14 +797,13 @@ def render_docs_to_pdf(
                     x = 50.0 + (i % words_per_line) * 90.0
                     y = 60.0 + line_in_page * 40.0
                     pages[page_i].append((tok, x, y))
-                rows.append(
-                    {
-                        "doc_id": str(doc_id),
-                        "payload": make_text_pdf(
-                            pages or [[]], compress=compress, use_tm=use_tm
-                        ),
-                    }
-                )
+                comp = compress
+                if compress == "mixed":
+                    comp = "lzw" if str(doc_id)[-1] in "13579" else True
+                payload = make_text_pdf(pages or [[]], compress=comp, use_tm=use_tm)
+                if modern:
+                    payload = to_objstm_pdf(payload)
+                rows.append({"doc_id": str(doc_id), "payload": payload})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return docs.select("doc_id", text_col).mapInPandas(

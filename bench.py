@@ -109,11 +109,14 @@ SCALE_REPLICATE = 48
 #: ~16–20 cores and passes only in the host's best windows — it is attempted
 #: as an upgrade once a robust pass is banked and time remains.  Each entry:
 #: ((lo, hi), cal_floor, max_attempts).
-SCALE_PAIRS = (((1, 4), 10.0, 3), ((2, 8), 16.0, 2))
+SCALE_PAIRS = (((1, 4), 10.0, 3), ((2, 8), 16.0, 3))
 #: wall budget for the whole protocol / cutoff past which the (2,8) upgrade
-#: attempt is skipped (a slow robust phase = a bad window anyway).
-SCALE_TIME_BUDGET_S = 1500.0
-SCALE_UPGRADE_CUTOFF_S = 700.0
+#: attempt is skipped (a slow robust phase = a bad window anyway). r4: third
+#: 2→8 attempt allowed and budget widened — banking a bounded 2→8 pair is
+#: the round's scaling goal (its 4N side exercises 16 vCPUs, closer to a
+#: real executor fan-out); 1→4 stays the robust fallback.
+SCALE_TIME_BUDGET_S = 1800.0
+SCALE_UPGRADE_CUTOFF_S = 1000.0
 
 
 def _span_pipeline_docs(spark, sf_dir: str, replicate: int = 1):
