@@ -14,11 +14,15 @@ kernel behind the same ``pdf_words_table`` signature.
 
 Scope (r3, widened to the real-world text-layer subset the reference's
 uploads actually use — ``utils/pdf.py:53-87`` consumes arbitrary PDFs; r4
-adds ``/LZWDecode`` streams and PDF 1.5+ object streams — ``/Type /ObjStm``
-bodies are expanded into the object map, so modern files whose dictionary
-objects hide inside compressed streams parse identically; xref/xref-stream
-tables are never consulted, objects are located by a sequential scan that
-skips stream payloads via ``/Length``):
+adds ``/LZWDecode`` and cascaded ``[/ASCII85Decode /FlateDecode]`` filter
+chains, PDF 1.5+ object streams — ``/Type /ObjStm`` bodies are expanded
+into the object map, so modern files whose dictionary objects hide inside
+compressed streams parse identically; xref/xref-stream tables are never
+consulted, objects are located by a sequential scan that skips stream
+payloads via ``/Length`` — and composite Type0 / Identity-H fonts whose
+2-byte CID hex shows resolve through the font's ``/ToUnicode`` CMap, the
+shape CJK and subset-embedded-font documents use; remaining out of scope:
+encrypted PDFs, predictor-coded streams, CID text without a ToUnicode map):
 ``/Filter /FlateDecode`` content streams (stdlib zlib inflate), absolute
 ``Tm`` text matrices (translation + axis scales; skew ignored), relative
 ``Td``/``TD``, leading-driven ``T*``/``TL``/``'``, ``TJ`` show-arrays (kern
@@ -32,6 +36,7 @@ out of scope: those parse to zero words and surface as an error row via
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 
@@ -61,12 +66,37 @@ def _esc(s: str) -> bytes:
     )
 
 
+def _tounicode_cmap(cid_of: dict[str, int]) -> bytes:
+    """A standard /ToUnicode CMap mapping each assigned CID to its UTF-16BE
+    character — ``beginbfchar`` blocks capped at 100 entries per PDF 32000
+    §9.10.3 convention."""
+    parts = [
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /AE-Identity-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    ]
+    items = sorted((cid, ch) for ch, cid in cid_of.items())
+    for i in range(0, len(items), 100):
+        chunk = items[i : i + 100]
+        parts.append(f"{len(chunk)} beginbfchar\n".encode())
+        for cid, ch in chunk:
+            parts.append(
+                f"<{cid:04x}> <{ch.encode('utf-16-be').hex()}>\n".encode()
+            )
+        parts.append(b"endbfchar\n")
+    parts.append(
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    )
+    return b"".join(parts)
+
+
 def make_text_pdf(
     pages: list[list[tuple]],
     font_size: float = 12.0,
     compress: bool | str = False,
     use_tm: bool = False,
     image_jpeg: bytes | None = None,
+    font: str = "simple",
 ) -> bytes:
     """Pages of interleaved elements → a real PDF file.
 
@@ -79,7 +109,11 @@ def make_text_pdf(
     convention.
 
     ``compress=True`` emits ``/Filter /FlateDecode`` content streams
-    (``compress="lzw"`` emits ``/Filter /LZWDecode``) and
+    (``compress="lzw"`` → ``/Filter /LZWDecode``; ``compress="a85+flate"``
+    → the cascaded ``[/ASCII85Decode /FlateDecode]`` chain),
+    ``font="type0"`` typesets text as a composite Type0 / Identity-H font —
+    2-byte CID hex-string shows resolved through a real ``/ToUnicode`` CMap
+    (how CJK and subset-embedded fonts carry text in the wild) — and
     ``use_tm=True`` positions text with absolute ``Tm`` matrices instead of
     ``Td`` — the two real-world shapes the parser must read back
     identically (round-trip tested). ``image_jpeg`` embeds a REAL baseline
@@ -90,6 +124,13 @@ def make_text_pdf(
     n = len(pages)
     font_num = 3 + 2 * n
     img_num = font_num + 1
+    cid_of: dict[str, int] = {}
+    if font == "type0":  # CIDs assigned in first-use order, 1-based
+        for elements in pages:
+            for el in elements:
+                if el[0] is not None:
+                    for ch in el[0]:
+                        cid_of.setdefault(ch, len(cid_of) + 1)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n))
     objs: list[tuple[int, bytes]] = [
         (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
@@ -115,11 +156,17 @@ def make_text_pdf(
             text, x, y_top = el
             y_pdf = PAGE_H - float(y_top) - font_size
             pos_op = b"1 0 0 1 %s %s Tm" if use_tm else b"%s %s Td"
+            if font == "type0":  # 2-byte CID hex-string show
+                show = b"<%s> Tj" % "".join(
+                    f"{cid_of[ch]:04x}" for ch in text
+                ).encode()
+            else:
+                show = b"(%s) Tj" % _esc(text)
             parts.append(
                 b"BT /F1 %s Tf " % f"{font_size:g}".encode()
                 + pos_op
                 % (f"{float(x):g}".encode(), f"{y_pdf:g}".encode())
-                + b" (%s) Tj ET" % _esc(text)
+                + b" " + show + b" ET"
             )
         stream = b"\n".join(parts)
         objs.append(
@@ -137,6 +184,11 @@ def make_text_pdf(
         if compress == "lzw":
             stream = lzw_encode_pdf(stream)
             filt = b" /Filter /LZWDecode"
+        elif compress == "a85+flate":
+            # deflate then ASCII85-armor; the Filter array lists DECODING
+            # order, so ASCII85Decode comes first
+            stream = base64.a85encode(zlib.compress(stream), adobe=True)
+            filt = b" /Filter [/ASCII85Decode /FlateDecode]"
         elif compress:
             stream = zlib.compress(stream)
             filt = b" /Filter /FlateDecode"
@@ -149,9 +201,38 @@ def make_text_pdf(
                 % (len(stream), filt, stream),
             )
         )
-    objs.append(
-        (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    )
+    if font == "type0":
+        desc_num, tou_num = img_num + 1, img_num + 2
+        objs.append(
+            (
+                font_num,
+                (
+                    f"<< /Type /Font /Subtype /Type0 /BaseFont /Helvetica "
+                    f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+                    f"/ToUnicode {tou_num} 0 R >>"
+                ).encode(),
+            )
+        )
+        objs.append(
+            (
+                desc_num,
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Helvetica "
+                b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                b"/Supplement 0 >> >>",
+            )
+        )
+        cmap_z = zlib.compress(_tounicode_cmap(cid_of))
+        objs.append(
+            (
+                tou_num,
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(cmap_z), cmap_z),
+            )
+        )
+    else:
+        objs.append(
+            (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+        )
     if image_jpeg is not None:
         from ..operators.multimodal import _jpeg_dims
 
@@ -191,6 +272,179 @@ def make_text_pdf(
         f"startxref\n{xref_pos}\n%%EOF"
     ).encode()
     return bytes(out)
+
+
+# ----------------------------------------------------------------------
+# standard security handler (PDF 7.6.2-7.6.4): RC4 V1/R2, empty user
+# password — the common "encrypted but openable without a password" form.
+# Pure stdlib (hashlib MD5 + a 12-line RC4); R3/R4-AES stay out of scope.
+# ----------------------------------------------------------------------
+
+#: the 32-byte password padding string from PDF 32000 Table 21 (7.6.3.3)
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, ch in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = ch ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_pw(pw: bytes) -> bytes:
+    return (pw + _PW_PAD)[:32]
+
+
+def _file_key(user_pw: bytes, o_value: bytes, p: int, id0: bytes) -> bytes:
+    """Algorithm 2 (7.6.3.3), R2: MD5(padded pw ‖ O ‖ P-as-int32-LE ‖ ID0)
+    → first 5 bytes (40-bit key)."""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(_pad_pw(user_pw))
+    h.update(o_value)
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    return h.digest()[:5]
+
+
+def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1 (7.6.2): per-object RC4 key = MD5(file_key ‖ objnum[3 LE]
+    ‖ gen[2 LE]) truncated to len(file_key)+5 (≤16)."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def encrypt_pdf(data: bytes, owner_pw: str = "owner") -> bytes:
+    """Encrypt a classic writer-output file with the standard security
+    handler (V1/R2 40-bit RC4, EMPTY user password): every object's stream
+    payload is RC4-encrypted under its per-object key, an /Encrypt
+    dictionary + /ID land in the trailer. Produces the wild shape most
+    'protected' PDFs use — openable by any reader without a password."""
+    import hashlib
+
+    objs = _objects(data)
+    id0 = hashlib.md5(b"autoextract-fixture" + len(data).to_bytes(4, "big")).digest()
+    p = -1  # all permissions
+    # Algorithm 3 (O value): RC4 of the padded user pw under a key from the
+    # padded owner pw
+    o_key = hashlib.md5(_pad_pw(owner_pw.encode())).digest()[:5]
+    o_value = _rc4(o_key, _pad_pw(b""))
+    fkey = _file_key(b"", o_value, p, id0)
+    # Algorithm 4 (U value, R2): RC4 of the pad string under the file key
+    u_value = _rc4(fkey, _PW_PAD)
+
+    enc_num = max(objs) + 1
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        body = objs[num]
+        i = body.find(b"stream")
+        if i != -1:  # encrypt the raw payload in place (RC4 keeps length)
+            j = i + len(b"stream")
+            if body[j : j + 2] == b"\r\n":
+                j += 2
+            elif body[j : j + 1] == b"\n":
+                j += 1
+            lm = _LENGTH_RE.search(body[:i])
+            ln = int(lm.group(1)) if lm else max(
+                body.find(b"endstream", j) - j, 0
+            )
+            body = (
+                body[:j]
+                + _rc4(_object_key(fkey, num), body[j : j + ln])
+                + body[j + ln :]
+            )
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    offsets[enc_num] = len(out)
+    out += (
+        f"{enc_num} 0 obj\n<< /Filter /Standard /V 1 /R 2 "
+        f"/O <{o_value.hex()}> /U <{u_value.hex()}> /P {p} >>\nendobj\n"
+    ).encode()
+    xref_pos = len(out)
+    max_num = enc_num
+    out += f"xref\n0 {max_num + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_num + 1):
+        out += f"{offsets.get(num, 0):010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R "
+        f"/Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
+        f"startxref\n{xref_pos}\n%%EOF"
+    ).encode()
+    return bytes(out)
+
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+0\s+R")
+_ID0_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
+_OHEX_RE = re.compile(rb"/O\s*<([0-9A-Fa-f]+)>")
+_UHEX_RE = re.compile(rb"/U\s*<([0-9A-Fa-f]+)>")
+_PVAL_RE = re.compile(rb"/P\s+(-?\d+)")
+_V1R2_RE = re.compile(rb"/V\s+1\b[\s\S]*?/R\s+2\b|/R\s+2\b[\s\S]*?/V\s+1\b")
+
+
+def _decrypt_objects(objs: dict[int, bytes], data: bytes) -> None:
+    """If the trailer names a V1/R2 standard-handler /Encrypt dict, verify
+    the EMPTY user password (Algorithm 6: RC4(pad, file_key) == U) and
+    decrypt every object's stream payload in place. Unsupported revisions
+    or a failed password check leave objects untouched (→ zero words,
+    flagged via pdf_meta — O6 containment; password-protected content is
+    honestly unreadable, never garbage)."""
+    tail = data[-2048:]
+    em = _ENCRYPT_REF_RE.search(tail)
+    idm = _ID0_RE.search(tail)
+    if not em:
+        return
+    enc = objs.pop(int(em.group(1)), None)  # the dict itself is plaintext
+    if enc is None or not _V1R2_RE.search(enc):
+        return
+    om, um, pm = _OHEX_RE.search(enc), _UHEX_RE.search(enc), _PVAL_RE.search(enc)
+    if not (om and um and pm and idm):
+        return
+    o_value = bytes.fromhex(om.group(1).decode())
+    u_value = bytes.fromhex(um.group(1).decode())
+    id0 = bytes.fromhex(idm.group(1).decode())
+    fkey = _file_key(b"", o_value, int(pm.group(1)), id0)
+    if _rc4(fkey, _PW_PAD) != u_value:  # needs a real password: leave as-is
+        return
+    for num in list(objs):
+        body = objs[num]
+        i = body.find(b"stream")
+        if i == -1:
+            continue
+        j = i + len(b"stream")
+        if body[j : j + 2] == b"\r\n":
+            j += 2
+        elif body[j : j + 1] == b"\n":
+            j += 1
+        lm = _LENGTH_RE.search(body[:i])
+        ln = int(lm.group(1)) if lm else max(body.find(b"endstream", j) - j, 0)
+        objs[num] = (
+            body[:j]
+            + _rc4(_object_key(fkey, num), body[j : j + ln])
+            + body[j + ln :]
+        )
 
 
 # ----------------------------------------------------------------------
@@ -302,8 +556,6 @@ _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(?:(\d+)\s+0\s+R|\[([^\]]*)\])")
 _MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[([^\]]*)\]")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
-_FLATE_RE = re.compile(rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])")
-_LZWF_RE = re.compile(rb"/Filter\s*(?:/LZWDecode\b|\[\s*/LZWDecode\s*\])")
 _NUM = rb"-?[\d.]+"
 _LIT = rb"\((?:[^()\\]|\\.)*\)"
 #: one regex pass over the content stream: font set, text matrix, moves,
@@ -365,6 +617,8 @@ def _objects(data: bytes) -> dict[int, bytes]:
             continue
         objs.setdefault(int(m.group(1)), data[cursor:ei])
         pos = ei + len(b"endobj")
+    # decrypt BEFORE ObjStm expansion: object streams are encrypted too
+    _decrypt_objects(objs, data)
     _expand_objstms(objs)
     return objs
 
@@ -471,6 +725,13 @@ def to_objstm_pdf(data: bytes) -> bytes:
     return bytes(out)
 
 
+#: the /Filter value: a single name or an array of names (decoding order)
+_FILTERS_RE = re.compile(rb"/Filter\s*(/[A-Za-z0-9]+|\[[^\]]*\])")
+#: filters that terminate decoding with the raw image bytes (the media
+#: extraction path wants exactly those bytes back)
+_IMAGE_FILTERS = (b"DCTDecode", b"JPXDecode", b"CCITTFaxDecode", b"JBIG2Decode")
+
+
 def _stream_of(body: bytes) -> bytes:
     i = body.find(b"stream")
     if i == -1:
@@ -486,22 +747,97 @@ def _stream_of(body: bytes) -> bytes:
     else:
         k = body.find(b"endstream", j)
         raw = body[j:k] if k != -1 else b""
-    if _FLATE_RE.search(body[:i]):
+    fm = _FILTERS_RE.search(body[:i])
+    if not fm:
+        return raw
+    # apply the filter chain in array (= decoding) order: e.g. a stream
+    # deflated then ASCII85-armored carries /Filter [/ASCII85Decode
+    # /FlateDecode]. Image filters terminate with the raw payload; unknown
+    # filters pass through unchanged (the text replay then finds no
+    # operators → zero words, flagged via pdf_meta — O6 containment).
+    for name in re.findall(rb"/([A-Za-z0-9]+)", fm.group(1)):
+        if name in _IMAGE_FILTERS:
+            return raw
         try:
-            # decompressobj tolerates a trailing EOL before 'endstream'
-            raw = zlib.decompressobj().decompress(raw)
-        except zlib.error:  # corrupt deflate → zero words, pdf_meta flags it
-            return b""
-    elif _LZWF_RE.search(body[:i]):
-        try:
-            raw = lzw_decode_pdf(raw)
-        except Exception:  # corrupt LZW → same containment as deflate
+            if name == b"FlateDecode":
+                # decompressobj tolerates a trailing EOL before 'endstream'
+                raw = zlib.decompressobj().decompress(raw)
+            elif name == b"LZWDecode":
+                raw = lzw_decode_pdf(raw)
+            elif name == b"ASCII85Decode":
+                raw = base64.a85decode(raw.strip(), adobe=True)
+            else:  # unsupported (Crypt, RunLength, ...): honest pass-through
+                return raw
+        except Exception:  # corrupt body → zero words, pdf_meta flags it
             return b""
     return raw
 
 
-def pdf_pages(data: bytes) -> list[tuple[float, bytes]]:
-    """→ ``[(page_height, content_stream_bytes)]`` in document order."""
+_FONT_BLOCK_RE = re.compile(rb"/Font\s*<<([^>]*)>>")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_BFCHAR_BLOCK_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_BFRANGE_BLOCK_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_BFRANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]{4})>"
+)
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """/ToUnicode CMap stream → {CID: unicode string}: ``bfchar`` pairs
+    (dst = UTF-16BE, possibly multi-unit) and 4-hex ``bfrange`` runs (the
+    last code unit increments; array-form ranges are skipped)."""
+    out: dict[int, str] = {}
+    for block in _BFCHAR_BLOCK_RE.findall(cmap):
+        for src, dst in _BFPAIR_RE.findall(block):
+            try:
+                out[int(src, 16)] = bytes.fromhex(
+                    dst.decode() if len(dst) % 2 == 0 else dst.decode() + "0"
+                ).decode("utf-16-be", errors="replace")
+            except ValueError:
+                continue
+    for block in _BFRANGE_BLOCK_RE.findall(cmap):
+        for lo, hi, start in _BFRANGE_RE.findall(block):
+            lo_i, hi_i, base = int(lo, 16), int(hi, 16), int(start, 16)
+            for k in range(min(hi_i - lo_i + 1, 0x10000)):
+                if base + k > 0xFFFF:
+                    break
+                out.setdefault(
+                    lo_i + k,
+                    (base + k).to_bytes(2, "big").decode(
+                        "utf-16-be", errors="replace"
+                    ),
+                )
+    return out
+
+
+def _page_cid_map(objs: dict[int, bytes], page_body: bytes) -> dict[int, str] | None:
+    """Resolve the page's first font; when it is a composite Type0 font with
+    a /ToUnicode CMap, return the CID→unicode map for hex-string shows.
+    Simple fonts (or fonts without a CMap) return None — hex strings then
+    fall back to the byte-level reading."""
+    fm = _FONT_BLOCK_RE.search(page_body)
+    if not fm:
+        return None
+    rm = _REF_RE.search(fm.group(1))
+    if not rm:
+        return None
+    font = objs.get(int(rm.group(1)))
+    if font is None or not _TYPE0_RE.search(font):
+        return None
+    tm = _TOUNICODE_RE.search(font)
+    if not tm:
+        return None
+    tou = objs.get(int(tm.group(1)))
+    if tou is None:
+        return None
+    return _parse_tounicode(_stream_of(tou)) or None
+
+
+def _pdf_pages_ex(data: bytes) -> list[tuple[float, bytes, dict[int, str] | None]]:
+    """→ ``[(page_height, content_stream_bytes, cid_map_or_None)]`` in
+    document order."""
     objs = _objects(data)
     pages_body = next(
         (b for b in objs.values() if re.search(rb"/Type\s*/Pages\b", b)), None
@@ -530,8 +866,13 @@ def pdf_pages(data: bytes) -> list[tuple[float, bytes]]:
             stream = b"\n".join(
                 _stream_of(objs.get(int(r), b"")) for r in refs
             )
-        out.append((page_h, stream))
+        out.append((page_h, stream, _page_cid_map(objs, body)))
     return out
+
+
+def pdf_pages(data: bytes) -> list[tuple[float, bytes]]:
+    """→ ``[(page_height, content_stream_bytes)]`` in document order."""
+    return [(h, s) for h, s, _ in _pdf_pages_ex(data)]
 
 
 def pdf_page_count(data: bytes) -> int:
@@ -542,12 +883,13 @@ def _unesc(raw: bytes) -> str:
     return _UNESC_RE.sub(rb"\1", raw).decode("utf-8", errors="replace")
 
 
-def _hex_text(raw: bytes) -> str:
-    """Hex string ``<...>`` → text. Without a font cmap the honest reading
-    is byte-level: UTF-8 if it decodes, else Latin-1 (simple-font PDFs put
-    ASCII there; composite-font glyph ids come out as replacement-ish text
-    rather than crashing the parse). Odd-length hex pads a trailing 0 per
-    PDF 32000 §7.3.4.3."""
+def _hex_text(raw: bytes, cid_map: dict[int, str] | None = None) -> str:
+    """Hex string ``<...>`` → text. With a Type0 font's /ToUnicode map the
+    bytes are 2-byte CIDs resolved through the map (unmapped CIDs drop).
+    Without a font cmap the honest reading is byte-level: UTF-8 if it
+    decodes, else Latin-1 (simple-font PDFs put ASCII there; composite-font
+    glyph ids come out as replacement-ish text rather than crashing the
+    parse). Odd-length hex pads a trailing 0 per PDF 32000 §7.3.4.3."""
     h = b"".join(raw.split())
     if len(h) % 2:
         h += b"0"
@@ -555,6 +897,13 @@ def _hex_text(raw: bytes) -> str:
         b = bytes.fromhex(h.decode("ascii"))
     except ValueError:
         return ""
+    if cid_map is not None:
+        if len(b) % 2:
+            b += b"\x00"
+        return "".join(
+            cid_map.get(int.from_bytes(b[i : i + 2], "big"), "")
+            for i in range(0, len(b), 2)
+        )
     try:
         return b.decode("utf-8")
     except UnicodeDecodeError:
@@ -575,7 +924,9 @@ def _tj_array_text(arr: bytes) -> str:
     return "".join(parts)
 
 
-def _replay_text_ops(stream: bytes, page_h: float) -> list[tuple]:
+def _replay_text_ops(
+    stream: bytes, page_h: float, cid_map: dict[int, str] | None = None
+) -> list[tuple]:
     """Content stream → interleaved elements in stream order:
     ``("text", content, x, y_top, font_size)`` and
     ``("media", None, x, y_top, w, h)``.
@@ -619,7 +970,7 @@ def _replay_text_ops(stream: bytes, page_h: float) -> list[tuple]:
         elif g == "hexop":  # hex-string show
             if m.group("hexop") == b"'":
                 ly -= leading
-            text = _hex_text(m.group("hex"))
+            text = _hex_text(m.group("hex"), cid_map)
             if text:
                 emit(text)
         elif g == "tjarr":
@@ -642,15 +993,15 @@ def pdf_word_rows(doc_id: str, data: bytes) -> list[dict]:
     """PDF bytes → ``ocr_words``-shaped rows. Raises ``ValueError`` past the
     reference's 10-page cap (callers convert to an error row, never a task
     failure)."""
-    pages = pdf_pages(data)
+    pages = _pdf_pages_ex(data)
     if len(pages) > MAX_PAGES:
         raise ValueError(
             f"PDF has too many pages ({len(pages)}). Maximum supported: {MAX_PAGES}"
         )
     rows = []
     media_n = 0
-    for page_no, (page_h, stream) in enumerate(pages, start=1):
-        for seq, el in enumerate(_replay_text_ops(stream, page_h)):
+    for page_no, (page_h, stream, cid_map) in enumerate(pages, start=1):
+        for seq, el in enumerate(_replay_text_ops(stream, page_h, cid_map)):
             if el[0] == "media":
                 _, _, x, y_top, w, h = el
                 x0, y0, x1, y1 = x, y_top, x + w, y_top + h

@@ -4,6 +4,8 @@ bytes → spans end-to-end through dispatch + layout."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -217,6 +219,84 @@ def test_lzw_and_objstm_roundtrip_identical():
         P.make_text_pdf([[("x", 50, 60), (None, 50, 200, 90, 70)]], image_jpeg=jpeg)
     )
     assert P.pdf_media_payloads(modern_media) == [jpeg]
+
+
+def test_ascii85_flate_chain_roundtrip():
+    """Cascaded /Filter [/ASCII85Decode /FlateDecode] — the armored form
+    older real-world writers emit — parses back identically."""
+    pages = [[("hello", 50, 60), ("world", 140, 60)]]
+    base = _sig(P.pdf_word_rows("d", P.make_text_pdf(pages)))
+    b = P.make_text_pdf(pages, compress="a85+flate")
+    assert b"/ASCII85Decode" in b and b"/FlateDecode" in b
+    assert _sig(P.pdf_word_rows("d", b)) == base
+
+
+def test_type0_identity_h_tounicode_roundtrip():
+    """Composite Type0 / Identity-H fonts: text is typeset as 2-byte CID
+    hex-string shows and recovered through the real /ToUnicode CMap — the
+    wild-PDF shape CJK and subset-embedded-font documents use. Unicode
+    (incl. CJK) must survive, and geometry must match the simple-font
+    typesetting exactly."""
+    pages = [
+        [("hello", 50, 60), ("注文日：2023年", 140, 60)],
+        [("page2", 50, 60)],
+    ]
+    base = _sig(P.pdf_word_rows("d", P.make_text_pdf(pages)))
+    t0 = P.make_text_pdf(pages, font="type0")
+    assert b"/Identity-H" in t0 and b"/ToUnicode" in t0
+    assert b"(hello)" not in t0  # no literal strings: all shows are CID hex
+    assert _sig(P.pdf_word_rows("d", t0)) == base
+    # compressed + Tm + 1.5-objstm repackaged variant too
+    modern = P.to_objstm_pdf(
+        P.make_text_pdf(pages, font="type0", compress=True, use_tm=True)
+    )
+    assert _sig(P.pdf_word_rows("d", modern)) == base
+
+
+def test_encrypted_pdf_roundtrip():
+    """Standard-security-handler RC4 (V1/R2, empty user password — the
+    common 'protected but openable' wild shape): streams are ciphertext on
+    disk, the parser verifies the empty password against /U and decrypts
+    per-object, and every writer variant parses back identically."""
+    pages = [
+        [("hello", 50, 60), ("world", 140, 60), (None, 50, 120, 80, 40)],
+        [("page2", 50, 60)],
+    ]
+    base = _sig(P.pdf_word_rows("d", P.make_text_pdf(pages)))
+    for compress in (False, True, "lzw"):
+        enc = P.encrypt_pdf(P.make_text_pdf(pages, compress=compress))
+        assert b"/Encrypt" in enc
+        assert _sig(P.pdf_word_rows("d", enc)) == base, compress
+    plain_enc = P.encrypt_pdf(P.make_text_pdf(pages))
+    assert b"(hello)" not in plain_enc  # stream bodies really are ciphertext
+    # embedded media decrypts byte-identically through pdf_media_table's path
+    jpeg = b"\xff\xd8payload\xff\xd9"
+    enc = P.encrypt_pdf(
+        P.make_text_pdf([[("x", 50, 60), (None, 50, 200, 90, 70)]], image_jpeg=jpeg)
+    )
+    assert jpeg not in enc
+    assert P.pdf_media_payloads(enc) == [jpeg]
+
+
+def test_encrypted_unsupported_or_locked_contained():
+    """Unsupported revisions and real-password files are honestly unreadable
+    (zero words, pdf_meta error row) — never garbage text, never a crash."""
+    enc = P.encrypt_pdf(P.make_text_pdf([[("hi", 50, 60)]]))
+    assert P.pdf_word_rows("d", enc.replace(b"/R 2", b"/R 3")) == []
+    locked = re.sub(rb"/U <[0-9a-f]+>", b"/U <" + b"00" * 32 + b">", enc)
+    assert P.pdf_word_rows("d", locked) == []
+
+
+def test_parse_tounicode_bfchar_and_bfrange():
+    cmap = (
+        b"begincmap 1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfchar <0001> <0041> <0002> <00480049> endbfchar\n"
+        b"1 beginbfrange <0010> <0012> <0061> endbfrange endcmap"
+    )
+    m = P._parse_tounicode(cmap)
+    assert m[1] == "A"
+    assert m[2] == "HI"  # multi-unit bfchar target
+    assert (m[0x10], m[0x11], m[0x12]) == ("a", "b", "c")
 
 
 def test_corrupt_lzw_stream_contained():

@@ -17,6 +17,7 @@ import numpy as np
 import pytest
 
 from autoextract.sources.pdf import (
+    encrypt_pdf,
     make_text_pdf,
     pdf_media_table,
     pdf_meta,
@@ -39,6 +40,9 @@ def _base_pdfs() -> dict[str, bytes]:
             words, compress=True, use_tm=True, image_jpeg=jpeg
         ),
         "objstm": to_objstm_pdf(make_text_pdf(words, compress=True)),
+        "a85": make_text_pdf(words, compress="a85+flate"),
+        "type0": make_text_pdf(words, font="type0"),
+        "encrypted": encrypt_pdf(make_text_pdf(words, compress=True)),
     }
 
 
@@ -59,6 +63,15 @@ def _mutations() -> list[tuple[str, bytes]]:
     muts.append(("objstm_bad_first",
                  re.sub(rb"/First \d+", b"/First 999999", objstm)))
     muts.append(("objstm_bad_n", re.sub(rb"/N \d+", b"/N 9999", objstm)))
+    type0 = bases["type0"]
+    muts.append(("type0_no_tounicode", re.sub(rb"/ToUnicode \d+ 0 R", b"", type0)))
+    tou_stream = type0.find(b"stream", type0.find(b"/CIDSystemInfo"))
+    muts.append(("type0_corrupt_cmap",
+                 type0[: tou_stream + 10] + b"\x00" * 8 + type0[tou_stream + 18 :]))
+    encd = bases["encrypted"]
+    muts.append(("encrypted_bad_u",
+                 re.sub(rb"/U <[0-9a-f]+>", b"/U <" + b"00" * 32 + b">", encd)))
+    muts.append(("encrypted_trunc", encd[: int(len(encd) * 0.6)]))
 
     # truncations at structural boundaries and arbitrary offsets
     for frac in (0.1, 0.3, 0.5, 0.7, 0.9):
@@ -152,5 +165,5 @@ def test_fuzz_valid_bases_unaffected(spark):
     words = pdf_words_table(pdfs)
     counts = {r["doc_id"]: r["n"] for r in
               words.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
-    assert len(counts) == 7  # plain/flate/lzw/tm/media/flate_tm_media/objstm
+    assert len(counts) == 10  # plain/flate/lzw/tm/media/flate_tm_media/objstm/a85/type0/encrypted
     assert all(n == 3 for n in counts.values())  # 2 words + 1 media placeholder
