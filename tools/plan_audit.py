@@ -40,8 +40,8 @@ AUDITED = {
     "batch_ann_knn": "probe-explode (constant factor) → shuffle on the "
     "short bucket key → window top-k; vector norms computed before the join",
     "asof_join": "union-window composition: NO join node at all — one "
-    "exchange on the key, a running last() window carries the right side "
-    "onto left rows",
+    "exchange on the key for the running last() carry window, plus one for "
+    "the optional right_id equal-ts dedup window",
     "interval_count_join": "linear surrogate-id plan: bucket-explode → one "
     "join on (key, bucket) → partial-agg on the one-long __iid key; the "
     "interval payload rides as a struct, never as a join key; no rejoin "
