@@ -534,6 +534,31 @@ def _q_pdf_modern_ingest(spark, sf):
     )
 
 
+def _q_pdf_encrypted_ingest(spark, sf):
+    """P1 wild-PDF widening (r4): render → RC4-ENCRYPT (standard security
+    handler V1/R2, empty user password) with composite Type0/Identity-H
+    fonts → parse back through password verification, per-object stream
+    decryption, and /ToUnicode CID resolution → the ordinary layout/span
+    pipeline. Same text-reassembly oracle: ciphertext on disk must
+    reconstruct every document's leading tokens exactly."""
+    from autoextract.sources.pdf import pdf_words_table, render_docs_to_pdf
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 150)
+    raw = render_docs_to_pdf(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+        encrypt=True,
+        font="type0",
+    )
+    spans = spans_table(pdf_words_table(raw))
+    return spans.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.array_join(F.transform("spans", lambda s: s["text"]), " ").alias(
+            "text_rebuilt"
+        ),
+    )
+
+
 def _q_asof_join_chunked(spark, sf):
     """The time-chunked as-of variant (hot-key path) against the SAME DuckDB
     native ASOF JOIN oracle as ``asof_join`` — proving the bucket-local
@@ -704,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_reading_order": _q_layout_reading_order,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
+        "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
         "pdf_media_roundtrip": _q_pdf_media_roundtrip,
         "extraction_oracle": _q_extraction_oracle,
         "winnowing_fingerprints": _q_winnowing,
@@ -1121,6 +1147,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60)) AS BIGINT) AS n_spans,
                    array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60), ' ') AS text_rebuilt
             FROM documents WHERE doc_id < 200
+        """,
+        # encrypted + CID-font files must reassemble the same leading tokens
+        "pdf_encrypted_ingest": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60)) AS BIGINT) AS n_spans,
+                   array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60), ' ') AS text_rebuilt
+            FROM documents WHERE doc_id < 150
         """,
         # verdict oracles: the engine computes the pass/fail fact; the SQL is
         # the expected all-true table (ids are deterministic by construction)

@@ -1119,6 +1119,8 @@ def render_docs_to_pdf(
     compress: bool | str = True,
     use_tm: bool = True,
     modern: bool = False,
+    encrypt: bool = False,
+    font: str = "simple",
 ) -> DataFrame:
     """Deterministically typeset each document's leading tokens into a real
     multi-page PDF payload — the sandbox stand-in for a landing prefix of
@@ -1132,7 +1134,9 @@ def render_docs_to_pdf(
     (odd-trailing-digit doc_ids get LZW) and ``modern=True`` repackages each
     file into the PDF 1.5+ object-stream shape via ``to_objstm_pdf`` — the
     ``pdf_modern_ingest`` driver query uses both so the LZW and ObjStm paths
-    are exercised under the same text-reassembly oracle."""
+    are exercised under the same text-reassembly oracle. ``encrypt=True``
+    RC4-encrypts each file with the standard security handler (V1/R2, empty
+    user password) — the ``pdf_encrypted_ingest`` query's shape."""
 
     def kernel(batches):
         for pdf in batches:
@@ -1151,9 +1155,13 @@ def render_docs_to_pdf(
                 comp = compress
                 if compress == "mixed":
                     comp = "lzw" if str(doc_id)[-1] in "13579" else True
-                payload = make_text_pdf(pages or [[]], compress=comp, use_tm=use_tm)
+                payload = make_text_pdf(
+                    pages or [[]], compress=comp, use_tm=use_tm, font=font
+                )
                 if modern:
                     payload = to_objstm_pdf(payload)
+                if encrypt:
+                    payload = encrypt_pdf(payload)
                 rows.append({"doc_id": str(doc_id), "payload": payload})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
