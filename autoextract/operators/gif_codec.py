@@ -8,9 +8,13 @@ path never quantizes: GIF pixels are palette INDICES, so nearest-neighbor
 resampling happens on the index array and the original palette is reused —
 output colors are exactly a subset of input colors.
 
-Animated GIFs are out of scope for resize (frame re-composition with
-disposal methods is a Pillow job) — ``resize_gif_bytes`` raises ``GifError``
-for them and the resize kernel falls back to its honest pass-through.
+Animated GIFs resize too (r4): every frame's palette-index array is
+nearest-neighbor resampled and its descriptor geometry scaled uniformly, so
+composition (frame offsets, disposal regions) scales consistently; Graphic
+Control Extensions (delays, transparency, disposal) and application
+extensions (NETSCAPE looping) are preserved. Uniform per-frame scaling is
+exact for composition up to ±1px rounding at frame borders — no disposal
+re-compositing needed since all geometry scales by the same factors.
 """
 
 from __future__ import annotations
@@ -283,15 +287,133 @@ def gif_frame_count(data: bytes) -> int:
     return len(gif_frames(data))
 
 
+def parse_animated_gif(data: bytes):
+    """Full container parse → ``(W, H, header_blocks, frames)`` where
+    ``header_blocks`` is the LSD packed/bg/aspect triple + raw global color
+    table bytes, and each frame dict carries its raw GCE extension (or
+    ``b""``), descriptor geometry, local-palette bytes, min code size and
+    DECODED index array (deinterlaced). Non-GCE extensions (NETSCAPE loop,
+    comments) are collected in encounter order under ``"exts"``."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        raise GifError("not a GIF")
+    W, H = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    pos = 13
+    gct_block = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct_block = data[pos : pos + 3 * n]
+        pos += 3 * n
+    frames: list[dict] = []
+    exts: list[bytes] = []
+    pending_gce = b""
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            start = pos
+            p = pos + 2
+            while p < len(data):
+                size = data[p]
+                p += 1
+                if size == 0:
+                    break
+                p += size
+            raw_ext = data[start:p]
+            label = data[pos + 1] if pos + 1 < len(data) else 0
+            if label == 0xF9:
+                pending_gce = raw_ext
+            else:
+                exts.append(raw_ext)
+            pos = p
+            continue
+        if block != 0x2C:
+            raise GifError("unknown block")
+        fx, fy, fw, fh = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+        ipacked = data[pos + 9]
+        pos += 10
+        lpal_block = b""
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            lpal_block = data[pos : pos + 3 * n]
+            pos += 3 * n
+        min_code_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data):
+            size = data[pos]
+            pos += 1
+            if size == 0:
+                break
+            lzw += data[pos : pos + size]
+            pos += size
+        idx = lzw_decode(bytes(lzw), min_code_size, fw * fh).reshape(fh, fw)
+        if ipacked & 0x40:
+            idx = _deinterlace(idx)
+        frames.append(
+            {
+                "gce": pending_gce,
+                "x": fx, "y": fy, "w": fw, "h": fh,
+                "ipacked": ipacked,
+                "lpal": lpal_block,
+                "min_code_size": min_code_size,
+                "indices": idx,
+            }
+        )
+        pending_gce = b""
+    if not frames:
+        raise GifError("no image data")
+    return W, H, {"lsd_tail": data[10:13], "gct": gct_block, "exts": exts}, frames
+
+
+def resize_animated_gif_bytes(data: bytes, tw: int, th: int) -> bytes:
+    """Multi-frame GIF resize by UNIFORM per-frame scaling: each frame's
+    index array resamples nearest-neighbor and its descriptor geometry
+    (offset + size) scales by the same canvas factors, so composition and
+    disposal regions stay aligned (±1px rounding). GCEs (delay,
+    transparency, disposal) re-emit verbatim before their frames;
+    application/comment extensions re-emit after the global color table.
+    Palettes are reused exactly — zero quantization, like the single-frame
+    path."""
+    from .png_codec import resize_nearest
+
+    W, H, header, frames = parse_animated_gif(data)
+    sx, sy = tw / max(W, 1), th / max(H, 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", tw, th) + header["lsd_tail"] + header["gct"]
+    for ext in header["exts"]:
+        out += ext
+    for fr in frames:
+        nx = min(int(round(fr["x"] * sx)), max(tw - 1, 0))
+        ny = min(int(round(fr["y"] * sy)), max(th - 1, 0))
+        nw = max(min(int(round(fr["w"] * sx)), tw - nx), 1)
+        nh = max(min(int(round(fr["h"] * sy)), th - ny), 1)
+        ridx = resize_nearest(fr["indices"], nw, nh).astype(np.uint8)
+        out += fr["gce"]
+        out += b"\x2c" + struct.pack("<HHHH", nx, ny, nw, nh)
+        out += bytes([fr["ipacked"] & 0xBF])  # deinterlaced on decode
+        out += fr["lpal"]
+        mcs = max(fr["min_code_size"], 2)
+        out += bytes([mcs])
+        enc = lzw_encode(ridx, mcs)
+        for i in range(0, len(enc), 255):
+            chunk = enc[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def resize_gif_bytes(data: bytes, tw: int, th: int) -> bytes:
-    """Single-frame GIF → nearest-neighbor resize ON THE INDEX ARRAY →
-    re-encode with the ORIGINAL palette (exact color preservation, no
-    quantization). Animated GIFs raise (caller falls back to pass-through).
-    """
+    """GIF → nearest-neighbor resize ON THE INDEX ARRAY(s) → re-encode with
+    the ORIGINAL palette(s) (exact color preservation, no quantization).
+    Single-frame files keep the minimal one-image shape; animated files go
+    through uniform per-frame scaling (``resize_animated_gif_bytes``)."""
     from .png_codec import resize_nearest
 
     if gif_frame_count(data) != 1:
-        raise GifError("animated GIF resize needs frame re-composition")
+        return resize_animated_gif_bytes(data, tw, th)
     idx, pal = decode_gif_indexed(data)
     resized = resize_nearest(idx, tw, th)
     # transparency survives the re-encode: the index array carries the

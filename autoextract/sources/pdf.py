@@ -189,6 +189,9 @@ def make_text_pdf(
             # order, so ASCII85Decode comes first
             stream = base64.a85encode(zlib.compress(stream), adobe=True)
             filt = b" /Filter [/ASCII85Decode /FlateDecode]"
+        elif compress == "rle":
+            stream = rle_encode_pdf(stream)
+            filt = b" /Filter /RunLengthDecode"
         elif compress:
             stream = zlib.compress(stream)
             filt = b" /Filter /FlateDecode"
@@ -545,6 +548,103 @@ def lzw_decode_pdf(data: bytes) -> bytes:
     return bytes(out)  # missing EOD: tolerate (real files sometimes do)
 
 
+def rle_decode_pdf(data: bytes) -> bytes:
+    """``/RunLengthDecode`` (PDF 7.4.5, PackBits-style): length byte L —
+    0..127 copies the next L+1 bytes, 129..255 repeats the next byte
+    257-L times, 128 ends the data."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        l = data[i]
+        i += 1
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i : i + l + 1]
+            i += l + 1
+        else:
+            if i >= n:
+                raise ValueError("RunLength: truncated run")
+            out += bytes([data[i]]) * (257 - l)
+            i += 1
+    return bytes(out)
+
+
+def rle_encode_pdf(data: bytes) -> bytes:
+    """RunLengthDecode encoder (literal-runs + repeat-runs) for fixtures."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find a repeat run of >= 3
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j - i >= 2:  # repeat run of length j-i+1 (3..128)
+            out += bytes([257 - (j - i + 1), data[i]])
+            i = j + 1
+            continue
+        # literal run until the next repeat-of-3 or 128 bytes
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out += bytes([k - i - 1]) + data[i:k]
+        i = k
+    out += b"\x80"
+    return bytes(out)
+
+
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """PNG predictors 10-15 (PDF 7.4.4.4): each row carries a filter-tag
+    byte (None/Sub/Up/Average/Paeth) over ``columns*colors*bpc/8``-byte
+    rows with a ``colors*bpc/8``-byte left-pixel stride. Real writers wrap
+    ObjStm / xref streams this way (/Predictor 12 is the common case)."""
+    bpp = max((colors * bpc + 7) // 8, 1)
+    rowlen = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i = 0
+    while i < len(data):
+        tag = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        if len(row) < rowlen:
+            row += bytes(rowlen - len(row))
+        i += 1 + rowlen
+        if tag == 1:  # Sub
+            for k in range(bpp, rowlen):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for k in range(rowlen):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif tag == 3:  # Average
+            for k in range(rowlen):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + ((left + prev[k]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for k in range(rowlen):
+                a = row[k - bpp] if k >= bpp else 0
+                b = prev[k]
+                c = prev[k - bpp] if k >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[k] = (row[k] + pred) & 0xFF
+        elif tag != 0:
+            raise ValueError(f"PNG predictor: bad filter tag {tag}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 # ----------------------------------------------------------------------
 # parser
 # ----------------------------------------------------------------------
@@ -766,8 +866,22 @@ def _stream_of(body: bytes) -> bytes:
                 raw = lzw_decode_pdf(raw)
             elif name == b"ASCII85Decode":
                 raw = base64.a85decode(raw.strip(), adobe=True)
-            else:  # unsupported (Crypt, RunLength, ...): honest pass-through
+            elif name == b"RunLengthDecode":
+                raw = rle_decode_pdf(raw)
+            else:  # unsupported (Crypt, ...): honest pass-through
                 return raw
+            if name in (b"FlateDecode", b"LZWDecode"):
+                pm = _PREDICTOR_RE.search(body[:i])
+                if pm and int(pm.group(1)) >= 10:  # PNG predictors
+                    cm = _COLUMNS_RE.search(body[:i])
+                    com = _COLORS_RE.search(body[:i])
+                    bm = _BPC_RE.search(body[:i])
+                    raw = _png_unpredict(
+                        raw,
+                        int(cm.group(1)) if cm else 1,
+                        int(com.group(1)) if com else 1,
+                        int(bm.group(1)) if bm else 8,
+                    )
         except Exception:  # corrupt body → zero words, pdf_meta flags it
             return b""
     return raw

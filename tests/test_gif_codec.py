@@ -50,14 +50,73 @@ def test_resize_preserves_palette_exactly():
     assert set(np.unique(idx2)) <= set(np.unique(idx))
 
 
-def test_animated_gif_resize_raises():
-    idx, pal, b = _random_gif()
-    # splice a second image block in front of the trailer
-    second = b[b.index(b"\x2c") : -1]
-    animated = b[:-1] + second + b"\x3b"
-    assert G.gif_frame_count(animated) == 2
-    with pytest.raises(G.GifError, match="animated"):
-        G.resize_gif_bytes(animated, 10, 10)
+def _make_real_animated(W=40, H=30, n=3, ncolors=7, seed=11, loop_ext=True):
+    """Decodable multi-frame GIF89a: per-frame GCE (delay = 10*frame,
+    transparency on frame 1), varying sub-rect geometry, real LZW pixels,
+    optional NETSCAPE loop application extension."""
+    import struct as st
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (ncolors, 3), dtype=np.uint8)
+    bits = max(1, (ncolors - 1).bit_length())
+    size = 1 << bits
+    padded = np.zeros((size, 3), dtype=np.uint8)
+    padded[:ncolors] = pal
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HH", W, H) + bytes([0x80 | ((bits - 1) & 0x07), 0, 0])
+    out += padded.tobytes()
+    if loop_ext:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    frames = []
+    for f in range(n):
+        fw, fh = W - 4 * f, H - 2 * f
+        fx, fy = 2 * f, f
+        idx = rng.randint(0, ncolors, (fh, fw), dtype=np.uint8)
+        frames.append((fx, fy, fw, fh, idx))
+        gce_packed = 0x05 if f == 1 else 0x04  # transparency flag on frame 1
+        out += bytes([0x21, 0xF9, 0x04, gce_packed]) + st.pack("<H", 10 * f)
+        out += bytes([3 if f == 1 else 0, 0])  # transparent idx 3 / none
+        out += b"\x2c" + st.pack("<HHHH", fx, fy, fw, fh) + b"\x00"
+        mcs = max(bits, 2)
+        out += bytes([mcs])
+        enc = G.lzw_encode(idx, mcs)
+        for i in range(0, len(enc), 255):
+            chunk = enc[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out), pal, frames
+
+
+def test_animated_gif_resize_per_frame():
+    """Animated GIFs really resize (r4): frame count, delays, transparency,
+    the NETSCAPE loop extension, and palette subsets all survive; each
+    frame's geometry scales by the canvas factors."""
+    data, pal, frames = _make_real_animated()
+    out = G.resize_gif_bytes(data, 20, 15)  # halve both axes
+    W, H, header, rframes = G.parse_animated_gif(out)
+    assert (W, H) == (20, 15)
+    assert len(rframes) == len(frames)
+    assert any(b"NETSCAPE" in e for e in header["exts"])  # loop preserved
+    for f, (fr, (fx, fy, fw, fh, idx)) in enumerate(zip(rframes, frames)):
+        assert fr["w"] == max(round(fw * 0.5), 1)
+        assert fr["h"] == max(round(fh * 0.5), 1)
+        assert fr["x"] == round(fx * 0.5) and fr["y"] == round(fy * 0.5)
+        assert set(np.unique(fr["indices"])) <= set(np.unique(idx))
+        # GCE fields verbatim: delay at bytes 4-5, transparency flag bit 0
+        if f == 1:
+            assert fr["gce"][3] & 0x01 and fr["gce"][6] == 3
+        assert int.from_bytes(fr["gce"][4:6], "little") == 10 * f
+
+
+def test_animated_gif_resize_roundtrip_stability():
+    """Resizing to the SAME dims keeps every frame's pixels exactly (the
+    index arrays pass through resize_nearest unchanged)."""
+    data, _, frames = _make_real_animated()
+    out = G.resize_gif_bytes(data, 40, 30)
+    _, _, _, rframes = G.parse_animated_gif(out)
+    for fr, (_, _, _, _, idx) in zip(rframes, frames):
+        assert np.array_equal(fr["indices"], idx)
 
 
 def test_transparency_survives_resize():
@@ -84,7 +143,7 @@ def test_garbage_raises():
         G.decode_gif_indexed(b"nope")
 
 
-def test_resize_kernel_resizes_real_gif_and_passes_animated(spark):
+def test_resize_kernel_resizes_real_and_animated_gifs(spark):
     from autoextract.operators import multimodal as MM
 
     rng = np.random.RandomState(5)
@@ -92,7 +151,8 @@ def test_resize_kernel_resizes_real_gif_and_passes_animated(spark):
     big = G.encode_gif(rng.randint(0, 16, (100, 1600), dtype=np.uint8), pal)
     one = G.encode_gif(rng.randint(0, 16, (8, 8), dtype=np.uint8), pal)
     second = one[one.index(b"\x2c") : -1]
-    # oversize AND animated: codec refuses → honest pass-through
+    # oversize AND animated: per-frame scaling kicks in (r4) — no more
+    # pass-through for animated files
     big_anim = big[:-1] + second + b"\x3b"
     media = spark.createDataFrame(
         [("big", big), ("anim", big_anim)], ["media_ref", "payload"]
@@ -101,5 +161,7 @@ def test_resize_kernel_resizes_real_gif_and_passes_animated(spark):
     assert rows["big"]["resized"] is True
     idx, _ = G.decode_gif_indexed(bytes(rows["big"]["payload"]))
     assert idx.shape[1] == MM.MAX_LONG_EDGE
-    assert rows["anim"]["resized"] is False
-    assert bytes(rows["anim"]["payload"]) == big_anim
+    assert rows["anim"]["resized"] is True
+    _, _, _, rframes = G.parse_animated_gif(bytes(rows["anim"]["payload"]))
+    assert len(rframes) == 2
+    assert rframes[0]["indices"].shape[1] == MM.MAX_LONG_EDGE
