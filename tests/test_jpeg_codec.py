@@ -64,6 +64,39 @@ def test_resize_jpeg_bytes_hits_targets():
     assert dec.shape == (32, 48, 3)
 
 
+def test_progressive_decodes_pixel_identical_to_baseline():
+    """SOF2 progressive (DC/AC first + successive-approximation refinement
+    scans) must decode to EXACTLY the baseline encoding's pixels at the
+    same quality — progressive only reorders coefficient transmission, so
+    any discrepancy in any of the four scan-type codecs breaks equality."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    g = (np.arange(24)[:, None] * 10 + np.arange(40)[None, :] * 3).astype(np.uint8)
+    rgb = rng.randint(0, 256, (37, 53, 3), dtype=np.uint8)
+    smooth = np.tile(np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None], (48, 1, 3))
+    for img, sub in ((g, "4:4:4"), (rgb, "4:4:4"), (rgb, "4:2:0"), (smooth, "4:2:0")):
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=85, subsampling=sub))
+        prog_bytes = J.encode_progressive_jpeg(img, quality=85, subsampling=sub)
+        assert b"\xff\xc2" in prog_bytes[:200]  # really SOF2
+        assert np.array_equal(J.decode_jpeg(prog_bytes), base), sub
+
+
+def test_progressive_resize_kernel(spark):
+    """The resize kernel really resizes over-size PROGRESSIVE JPEGs now
+    (they were pass-through before r4)."""
+    import numpy as np
+
+    from autoextract.operators import multimodal as MM
+
+    big = J.encode_progressive_jpeg(_gradient_rgb(100, 1700), quality=85)
+    media = spark.createDataFrame([("p", big)], ["media_ref", "payload"])
+    row = MM.resize_image(media).collect()[0]
+    assert row["resized"] is True
+    out = J.decode_jpeg(bytes(row["payload"]))
+    assert out.shape[1] == MM.MAX_LONG_EDGE
+
+
 def test_fill_bytes_between_markers_decode():
     """T.81 B.1.1.3 allows any number of 0xFF fill bytes before a marker —
     real-world encoders emit them; the decoder must skip, not reject."""
@@ -83,10 +116,14 @@ def test_unsupported_streams_raise_jpeg_error():
         J.decode_jpeg(b"not a jpeg")
     with pytest.raises(J.JpegError):
         J.decode_jpeg(make_jpeg(10, 10))  # header-only, no tables/scan
-    # progressive SOF2 is declared out of scope, not misdecoded
+    # progressive SOF2 header with no scans: contained, not misdecoded
     prog = b"\xff\xd8\xff\xc2" + b"\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
-    with pytest.raises(J.JpegError, match="non-baseline"):
+    with pytest.raises(J.JpegError, match="no scan data"):
         J.decode_jpeg(prog)
+    # lossless SOF3 stays out of scope
+    lossless = b"\xff\xd8\xff\xc3" + b"\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with pytest.raises(J.JpegError, match="unsupported SOF"):
+        J.decode_jpeg(lossless)
 
 
 def test_resize_kernel_resizes_real_jpeg(spark):
