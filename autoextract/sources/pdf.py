@@ -1244,8 +1244,9 @@ def render_docs_to_pdf(
     exercises the inflate + matrix paths; the plain ``Td`` uncompressed
     shape stays covered by the pytest round-trips.
 
-    ``compress="mixed"`` alternates FlateDecode / LZWDecode per document
-    (odd-trailing-digit doc_ids get LZW) and ``modern=True`` repackages each
+    ``compress="mixed"`` rotates Flate / LZW / [ASCII85+Flate] / RunLength
+    content-stream filters per document (keyed on the doc_id's trailing
+    digit) and ``modern=True`` repackages each
     file into the PDF 1.5+ object-stream shape via ``to_objstm_pdf`` — the
     ``pdf_modern_ingest`` driver query uses both so the LZW and ObjStm paths
     are exercised under the same text-reassembly oracle. ``encrypt=True``
@@ -1268,7 +1269,11 @@ def render_docs_to_pdf(
                     pages[page_i].append((tok, x, y))
                 comp = compress
                 if compress == "mixed":
-                    comp = "lzw" if str(doc_id)[-1] in "13579" else True
+                    comp = [True, "lzw", "a85+flate", "rle"][
+                        int(str(doc_id)[-1] or 0) % 4
+                        if str(doc_id)[-1].isdigit()
+                        else 0
+                    ]
                 payload = make_text_pdf(
                     pages or [[]], compress=comp, use_tm=use_tm, font=font
                 )
