@@ -97,6 +97,7 @@ def make_text_pdf(
     use_tm: bool = False,
     image_jpeg: bytes | None = None,
     font: str = "simple",
+    inline_image: tuple[int, int, bytes] | None = None,
 ) -> bytes:
     """Pages of interleaved elements → a real PDF file.
 
@@ -120,6 +121,9 @@ def make_text_pdf(
     JPEG as the shared image XObject (``/Filter /DCTDecode`` — how PDFs
     actually carry photos) instead of the 1×1 gray placeholder;
     ``pdf_media_table`` extracts those bytes back per placement.
+    ``inline_image=(w, h, raw_rgb_bytes)`` emits media placements as
+    BI..ID..EI INLINE images (binary embedded straight in the content
+    stream, PDF 8.9.7) instead of XObject invocations.
     """
     n = len(pages)
     font_num = 3 + 2 * n
@@ -143,15 +147,22 @@ def make_text_pdf(
             if el[0] is None:  # media placement
                 _, x, y_top, w, h = el
                 y_pdf = PAGE_H - float(y_top) - float(h)
-                parts.append(
-                    b"q %s 0 0 %s %s %s cm /Im0 Do Q"
-                    % (
-                        f"{float(w):g}".encode(),
-                        f"{float(h):g}".encode(),
-                        f"{float(x):g}".encode(),
-                        f"{y_pdf:g}".encode(),
-                    )
+                geom = (
+                    f"{float(w):g}".encode(),
+                    f"{float(h):g}".encode(),
+                    f"{float(x):g}".encode(),
+                    f"{y_pdf:g}".encode(),
                 )
+                if inline_image is not None:
+                    iw, ih, raw = inline_image
+                    parts.append(
+                        b"q %s 0 0 %s %s %s cm BI /W %d /H %d /BPC 8 /CS /RGB ID "
+                        % (geom + (iw, ih))
+                        + raw
+                        + b"\nEI Q"
+                    )
+                else:
+                    parts.append(b"q %s 0 0 %s %s %s cm /Im0 Do Q" % geom)
                 continue
             text, x, y_top = el
             y_pdf = PAGE_H - float(y_top) - font_size
@@ -603,6 +614,19 @@ _COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
 _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 
 
+def _tiff_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """TIFF Predictor 2 (horizontal differencing, 8-bit components): each
+    sample adds its left neighbor within the row; no per-row tag byte."""
+    if bpc != 8:
+        raise ValueError("TIFF predictor: only 8-bit components supported")
+    rowlen = columns * colors
+    out = bytearray(data)
+    for r0 in range(0, len(out) - rowlen + 1, rowlen):
+        for k in range(colors, rowlen):
+            out[r0 + k] = (out[r0 + k] + out[r0 + k - colors]) & 0xFF
+    return bytes(out)
+
+
 def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
     """PNG predictors 10-15 (PDF 7.4.4.4): each row carries a filter-tag
     byte (None/Sub/Up/Average/Paeth) over ``columns*colors*bpc/8``-byte
@@ -872,19 +896,98 @@ def _stream_of(body: bytes) -> bytes:
                 return raw
             if name in (b"FlateDecode", b"LZWDecode"):
                 pm = _PREDICTOR_RE.search(body[:i])
-                if pm and int(pm.group(1)) >= 10:  # PNG predictors
+                if pm and int(pm.group(1)) >= 2:
                     cm = _COLUMNS_RE.search(body[:i])
                     com = _COLORS_RE.search(body[:i])
                     bm = _BPC_RE.search(body[:i])
-                    raw = _png_unpredict(
-                        raw,
-                        int(cm.group(1)) if cm else 1,
-                        int(com.group(1)) if com else 1,
-                        int(bm.group(1)) if bm else 8,
-                    )
+                    cols = int(cm.group(1)) if cm else 1
+                    colors = int(com.group(1)) if com else 1
+                    bpc = int(bm.group(1)) if bm else 8
+                    if int(pm.group(1)) >= 10:  # PNG predictors
+                        raw = _png_unpredict(raw, cols, colors, bpc)
+                    else:  # TIFF Predictor 2: horizontal differencing
+                        raw = _tiff_unpredict(raw, cols, colors, bpc)
         except Exception:  # corrupt body → zero words, pdf_meta flags it
             return b""
     return raw
+
+
+#: inline images (PDF 8.9.7): BI <params> ID <binary> EI embedded directly
+#: in the content stream. BI must be followed by a parameter name — bare
+#: "BI" inside shown text does not start an image.
+_BI_RE = re.compile(rb"\bBI(?=[\s\x00]+/)")
+_ID_RE = re.compile(rb"\bID[ \r\n]")
+_INLINE_W_RE = re.compile(rb"/(?:W|Width)\s+(\d+)")
+_INLINE_H_RE = re.compile(rb"/(?:H|Height)\s+(\d+)")
+_INLINE_BPC_RE = re.compile(rb"/(?:BPC|BitsPerComponent)\s+(\d+)")
+_INLINE_CS_RE = re.compile(rb"/(?:CS|ColorSpace)\s*/(\w+)")
+_INLINE_F_RE = re.compile(rb"/(?:F|Filter)\s*/(\w+)")
+_EI_RE = re.compile(rb"(?<=[\s\x00])EI(?=[\s\x00]|$)")
+_INLINE_COMPS = {
+    "RGB": 3, "DeviceRGB": 3, "G": 1, "DeviceGray": 1,
+    "CMYK": 4, "DeviceCMYK": 4,
+}
+
+
+def _extract_inline_images(stream: bytes) -> tuple[bytes, dict[str, bytes]]:
+    """Split BI..ID..EI inline images out of a content stream BEFORE the
+    operator regex ever sees it — the binary payload could otherwise contain
+    byte runs matching text operators and fabricate words. Each image block
+    is replaced by a synthetic ``/IIk Do`` invocation (so the ordinary
+    ``cm /Name Do`` placement machinery picks up its geometry) and the
+    decoded payload is returned under that name. Raw (unfiltered) data is
+    sliced by its exact computed length; Flate-abbreviated data falls back
+    to a whitespace-delimited EI scan + inflate; anything unparseable copies
+    the remainder verbatim (containment)."""
+    images: dict[str, bytes] = {}
+    out = bytearray()
+    pos = 0
+    k = 0
+    while True:
+        m = _BI_RE.search(stream, pos)
+        if not m:
+            out += stream[pos:]
+            break
+        idm = _ID_RE.search(stream, m.end())
+        if not idm:
+            out += stream[pos:]
+            break
+        params = stream[m.end() : idm.start()]
+        data_start = idm.end()
+        wm, hm = _INLINE_W_RE.search(params), _INLINE_H_RE.search(params)
+        fm = _INLINE_F_RE.search(params)
+        csm = _INLINE_CS_RE.search(params)
+        bm = _INLINE_BPC_RE.search(params)
+        comps = _INLINE_COMPS.get(csm.group(1).decode() if csm else "G", 1)
+        bpc = int(bm.group(1)) if bm else 8
+        payload = None
+        end = -1
+        if fm is None and wm and hm:
+            ln = (int(wm.group(1)) * comps * bpc + 7) // 8 * int(hm.group(1))
+            em = re.compile(rb"[\s\x00]*EI(?=[\s\x00]|$)").match(
+                stream, data_start + ln
+            )
+            if em:
+                payload = stream[data_start : data_start + ln]
+                end = em.end()
+        if payload is None:
+            em = _EI_RE.search(stream, data_start)
+            if not em:
+                out += stream[pos:]
+                break
+            payload = stream[data_start : em.start()].rstrip(b"\r\n \t")
+            end = em.end()
+            if fm and fm.group(1) in (b"Fl", b"FlateDecode"):
+                try:
+                    payload = zlib.decompressobj().decompress(payload)
+                except zlib.error:
+                    payload = b""
+        name = f"II{k}"
+        images[name] = bytes(payload)
+        k += 1
+        out += stream[pos : m.start()] + b" /" + name.encode() + b" Do "
+        pos = end
+    return bytes(out), images
 
 
 _FONT_BLOCK_RE = re.compile(rb"/Font\s*<<([^>]*)>>")
@@ -949,9 +1052,14 @@ def _page_cid_map(objs: dict[int, bytes], page_body: bytes) -> dict[int, str] | 
     return _parse_tounicode(_stream_of(tou)) or None
 
 
-def _pdf_pages_ex(data: bytes) -> list[tuple[float, bytes, dict[int, str] | None]]:
-    """→ ``[(page_height, content_stream_bytes, cid_map_or_None)]`` in
-    document order."""
+def _pdf_pages_ex(
+    data: bytes,
+) -> list[tuple[float, bytes, dict[int, str] | None, dict[str, bytes]]]:
+    """→ ``[(page_height, content_stream_bytes, cid_map_or_None,
+    inline_images)]`` in document order. Content streams come back with
+    inline-image binaries already split out (replaced by ``/IIk Do``
+    placements, payloads in the dict) so operator replay never scans
+    image bytes."""
     objs = _objects(data)
     pages_body = next(
         (b for b in objs.values() if re.search(rb"/Type\s*/Pages\b", b)), None
@@ -980,13 +1088,14 @@ def _pdf_pages_ex(data: bytes) -> list[tuple[float, bytes, dict[int, str] | None
             stream = b"\n".join(
                 _stream_of(objs.get(int(r), b"")) for r in refs
             )
-        out.append((page_h, stream, _page_cid_map(objs, body)))
+        stream, inline = _extract_inline_images(stream)
+        out.append((page_h, stream, _page_cid_map(objs, body), inline))
     return out
 
 
 def pdf_pages(data: bytes) -> list[tuple[float, bytes]]:
     """→ ``[(page_height, content_stream_bytes)]`` in document order."""
-    return [(h, s) for h, s, _ in _pdf_pages_ex(data)]
+    return [(h, s) for h, s, _, _ in _pdf_pages_ex(data)]
 
 
 def pdf_page_count(data: bytes) -> int:
@@ -1114,7 +1223,7 @@ def pdf_word_rows(doc_id: str, data: bytes) -> list[dict]:
         )
     rows = []
     media_n = 0
-    for page_no, (page_h, stream, cid_map) in enumerate(pages, start=1):
+    for page_no, (page_h, stream, cid_map, _inline) in enumerate(pages, start=1):
         for seq, el in enumerate(_replay_text_ops(stream, page_h, cid_map)):
             if el[0] == "media":
                 _, _, x, y_top, w, h = el
@@ -1334,8 +1443,12 @@ def pdf_media_payloads(data: bytes) -> list[bytes]:
                 else _REF_RE.findall(cm.group(2))
             )
             stream = b"\n".join(_stream_of(objs.get(int(r), b"")) for r in refs)
+        stream, inline = _extract_inline_images(stream)
         for el in _replay_text_ops(stream, page_h):
             if el[0] == "media":
+                if el[1] in inline:  # BI..EI payload, already decoded
+                    out.append(inline[el[1]])
+                    continue
                 objnum = xmap.get(el[1]) if el[1] else None
                 out.append(_stream_of(objs.get(objnum, b"")) if objnum else b"")
     return out

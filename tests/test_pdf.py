@@ -325,6 +325,53 @@ def test_png_predictor_flate_stream():
         assert got == img.tobytes(), f"filter {tag}"
 
 
+def test_inline_images_roundtrip_and_containment():
+    """BI..ID..EI inline images (PDF 8.9.7): placements parse with the same
+    geometry as the XObject form, payloads come back byte-identical, and —
+    the key robustness claim — binary payloads containing text-operator
+    byte runs fabricate NO words (the extractor splits them out before the
+    op regex runs)."""
+    raw = bytes(range(48))  # 4x4 RGB
+    pages = [[("hello", 50, 60), (None, 50, 120, 80, 40), ("world", 140, 60)]]
+    base = _sig(P.pdf_word_rows("d", P.make_text_pdf(pages)))
+    for compress in (False, True, "lzw"):
+        b = P.make_text_pdf(pages, compress=compress, inline_image=(4, 4, raw))
+        assert b"BI /W 4" in b or compress  # plain form carries BI verbatim
+        assert _sig(P.pdf_word_rows("d", b)) == base, compress
+        assert P.pdf_media_payloads(b) == [raw]
+    # encrypted inline images decrypt then split
+    enc = P.encrypt_pdf(P.make_text_pdf(pages, inline_image=(4, 4, raw)))
+    assert _sig(P.pdf_word_rows("d", enc)) == base
+    assert P.pdf_media_payloads(enc) == [raw]
+    # adversarial payload: looks like text operators; must add zero words
+    evil = b"BT /F1 12 Tf 50 700 Td (FAKE) Tj ET 99 0 obj endobj "
+    evil += bytes(48 - len(evil) % 48 if len(evil) % 48 else 0)
+    b = P.make_text_pdf(pages, inline_image=(4, len(evil) // 12, evil))
+    words = [r["content"] for r in P.pdf_word_rows("d", b) if r["kind"] == "text"]
+    assert words == ["hello", "world"]
+    assert P.pdf_media_payloads(b) == [evil]
+
+
+def test_tiff_predictor_2():
+    import zlib as _z
+
+    content = b"BT /F1 12 Tf 50 720 Td (tiffpred) Tj ET"
+    cols = 8
+    rows_n = -(-len(content) // cols)
+    padded = bytearray(content + b" " * (rows_n * cols - len(content)))
+    diff = bytearray(padded)
+    for r0 in range(0, len(diff), cols):  # horizontal differencing
+        for k in range(cols - 1, 0, -1):
+            diff[r0 + k] = (diff[r0 + k] - diff[r0 + k - 1]) & 0xFF
+    comp = _z.compress(bytes(diff))
+    body = (
+        b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 2 /Columns %d >> >>\nstream\n%s\nendstream"
+        % (len(comp), cols, comp)
+    )
+    assert P._stream_of(body).rstrip() == content
+
+
 def test_encrypted_pdf_roundtrip():
     """Standard-security-handler RC4 (V1/R2, empty user password — the
     common 'protected but openable' wild shape): streams are ciphertext on

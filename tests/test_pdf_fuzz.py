@@ -43,6 +43,7 @@ def _base_pdfs() -> dict[str, bytes]:
         "a85": make_text_pdf(words, compress="a85+flate"),
         "type0": make_text_pdf(words, font="type0"),
         "encrypted": encrypt_pdf(make_text_pdf(words, compress=True)),
+        "inline_img": make_text_pdf(words, inline_image=(4, 4, bytes(range(48)))),
     }
 
 
@@ -72,6 +73,9 @@ def _mutations() -> list[tuple[str, bytes]]:
     muts.append(("encrypted_bad_u",
                  re.sub(rb"/U <[0-9a-f]+>", b"/U <" + b"00" * 32 + b">", encd)))
     muts.append(("encrypted_trunc", encd[: int(len(encd) * 0.6)]))
+    inl = bases["inline_img"]
+    muts.append(("inline_no_ei", inl.replace(b"EI Q", b"   Q")))
+    muts.append(("inline_lying_dims", inl.replace(b"/W 4 /H 4", b"/W 99 /H 99")))
 
     # truncations at structural boundaries and arbitrary offsets
     for frac in (0.1, 0.3, 0.5, 0.7, 0.9):
@@ -165,5 +169,5 @@ def test_fuzz_valid_bases_unaffected(spark):
     words = pdf_words_table(pdfs)
     counts = {r["doc_id"]: r["n"] for r in
               words.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
-    assert len(counts) == 10  # plain/flate/lzw/tm/media/flate_tm_media/objstm/a85/type0/encrypted
+    assert len(counts) == 11  # plain/flate/lzw/tm/media/flate_tm_media/objstm/a85/type0/encrypted/inline_img
     assert all(n == 3 for n in counts.values())  # 2 words + 1 media placeholder
