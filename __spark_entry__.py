@@ -512,10 +512,14 @@ def _q_pdf_modern_ingest(spark, sf):
     """P1 wild-PDF widening (r4): the SAME render→parse→order→assemble
     round-trip as ``pdf_ingest_spans``, but the payloads are PDF 1.5+ files
     — dictionary objects packed into compressed /Type /ObjStm object
-    streams with a binary xref STREAM, content streams alternating
-    FlateDecode / LZWDecode per document. The oracle recomputes expected
-    text straight from the source table, so the ObjStm expansion and the
-    LZW decoder must reconstruct every document exactly."""
+    streams with a binary xref STREAM, content streams rotating the
+    Flate / LZW / ASCII85+Flate / RunLength filter chains per document.
+    The oracle recomputes expected text straight from the source table, so
+    the ObjStm expansion and every filter decoder must reconstruct each
+    document exactly. Reference parity: the reference ingests arbitrary
+    real-world uploads through PyMuPDF (lambda/api/app/utils/pdf.py:53-87),
+    which reads all of these shapes; this query pins the engine's own
+    parser to the same real-world envelope."""
     from autoextract.sources.pdf import pdf_words_table, render_docs_to_pdf
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
@@ -540,7 +544,10 @@ def _q_pdf_encrypted_ingest(spark, sf):
     fonts → parse back through password verification, per-object stream
     decryption, and /ToUnicode CID resolution → the ordinary layout/span
     pipeline. Same text-reassembly oracle: ciphertext on disk must
-    reconstruct every document's leading tokens exactly."""
+    reconstruct every document's leading tokens exactly. Reference parity:
+    PyMuPDF opens empty-user-password encrypted uploads transparently
+    (lambda/api/app/utils/pdf.py:53-87 sets no password), so the reference
+    app accepts these files; the engine must too."""
     from autoextract.sources.pdf import pdf_words_table, render_docs_to_pdf
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 150)
