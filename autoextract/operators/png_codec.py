@@ -2,8 +2,11 @@
 
 Closes the "real resample behind the stub seam" gap (VERDICT r1 #9): with no
 Pillow in the container, PNG is the one format whose pixels can round-trip
-for real — decode (all five scanline filters, 8-bit gray/RGB/RGBA,
-non-interlaced), resample with a NumPy index map, re-encode (filter 0). The
+for real — decode (all five scanline filters; gray / gray+A / RGB / RGBA /
+palette color types; bit depths 1/2/4/8/16, 16-bit reduced to the high
+byte; Adam7 interlace; tRNS palette transparency — r4 widened from the
+8-bit non-interlaced subset), resample with a NumPy index map, re-encode
+(8-bit, filter 0). The
 reference resizes with Pillow's ``thumbnail`` + LANCZOS
 (``lambda/api/app/utils/helpers.py:58-104``); nearest-neighbor is the
 dependency-free stand-in — same policy math, same byte-level contract
@@ -24,8 +27,8 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-#: channels per color type (8-bit, non-interlaced support only)
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: channels per color type (3 = palette: one index channel pre-lookup)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _chunk(tag: bytes, body: bytes) -> bytes:
@@ -65,37 +68,10 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → (H, W, C) uint8. Supports 8-bit gray/gray+A/RGB/RGBA,
-    non-interlaced, all five filters. Raises ValueError on anything else."""
-    if data[:8] != _SIG:
-        raise ValueError("not a PNG")
-    pos = 8
-    w = h = None
-    color_type = bit_depth = interlace = None
-    idat = bytearray()
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if tag == b"IHDR":
-            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
-    if w is None or color_type not in _CHANNELS:
-        raise ValueError("unsupported PNG")
-    if bit_depth != 8 or interlace != 0:
-        raise ValueError("only 8-bit non-interlaced PNG supported")
-    c = _CHANNELS[color_type]
-    stride = w * c
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("corrupt PNG scanline data")
+def _unfilter_rows(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five scanline filters over BYTE rows: ``raw`` holds h
+    rows of (1 filter tag + stride bytes); ``bpp`` is the left-neighbor
+    byte offset (ceil(bit_depth·channels/8), min 1 per the PNG spec)."""
     raw = raw.reshape(h, stride + 1)
     filters = raw[:, 0]
     lines = raw[:, 1:].astype(np.int32)
@@ -110,15 +86,15 @@ def decode_png(data: bytes) -> np.ndarray:
             out[y] = (cur + up) & 0xFF
         elif f == 1:  # Sub — cumsum per byte-lane (vectorized)
             row = cur.copy()
-            for lane in range(c):
-                row[lane::c] = np.cumsum(row[lane::c]) & 0xFF
+            for lane in range(bpp):
+                row[lane::bpp] = np.cumsum(row[lane::bpp]) & 0xFF
             out[y] = row
         else:  # Average / Paeth: left-recurrence, per-pixel
             row = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                left = row[x - c] if x >= c else 0
+                left = row[x - bpp] if x >= bpp else 0
                 above = int(up[x])
-                ul = int(out[y - 1][x - c]) if (y and x >= c) else 0
+                ul = int(out[y - 1][x - bpp]) if (y and x >= bpp) else 0
                 if f == 3:
                     row[x] = (cur[x] + ((left + above) >> 1)) & 0xFF
                 elif f == 4:
@@ -126,7 +102,113 @@ def decode_png(data: bytes) -> np.ndarray:
                 else:
                     raise ValueError(f"bad filter {f}")
             out[y] = row
-    return out.astype(np.uint8).reshape(h, w, c)
+    return out
+
+
+def _rows_to_samples(
+    rows: np.ndarray, w: int, c: int, bit_depth: int
+) -> np.ndarray:
+    """Unfiltered byte rows → (h, w, c) integer samples. 16-bit keeps the
+    high byte (the standard 8-bit reduction); sub-8-bit depths unpack
+    big-endian within each byte."""
+    h = rows.shape[0]
+    if bit_depth == 8:
+        return rows.reshape(h, w, c)
+    if bit_depth == 16:
+        return rows.reshape(h, w, c, 2)[:, :, :, 0]
+    per_byte = 8 // bit_depth
+    shifts = np.arange(per_byte - 1, -1, -1) * bit_depth
+    mask = (1 << bit_depth) - 1
+    vals = (rows[:, :, None] >> shifts[None, None, :]) & mask
+    return vals.reshape(h, -1)[:, : w * c].reshape(h, w, c)
+
+
+#: Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, C) uint8. Supports gray / gray+A / RGB / RGBA /
+    PALETTE color types at bit depths 1/2/4/8/16 (16-bit reduces to the
+    high byte), Adam7 interlacing, tRNS palette transparency, all five
+    scanline filters — the full real-world envelope except the rare
+    16-bit-specific ancillary chunks. Raises ValueError otherwise."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    color_type = bit_depth = interlace = None
+    idat = bytearray()
+    plte = trns = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None or color_type not in _CHANNELS:
+        raise ValueError("unsupported PNG")
+    if bit_depth not in (1, 2, 4, 8, 16) or interlace not in (0, 1):
+        raise ValueError("unsupported PNG bit depth / interlace")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError("sub-8-bit depth only valid for gray/palette")
+    c = _CHANNELS[color_type]
+    bpp = max((c * bit_depth + 7) // 8, 1)
+
+    def rowbytes(width: int) -> int:
+        return (width * c * bit_depth + 7) // 8
+
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace == 0:
+        stride = rowbytes(w)
+        if len(raw) != h * (stride + 1):
+            raise ValueError("corrupt PNG scanline data")
+        img = _rows_to_samples(_unfilter_rows(raw, h, stride, bpp), w, c, bit_depth)
+    else:  # Adam7: seven independently-filtered sub-images, scattered back
+        img = np.zeros((h, w, c), dtype=np.int32)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = rowbytes(pw)
+            need = ph * (stride + 1)
+            if off + need > len(raw):
+                raise ValueError("corrupt interlaced PNG data")
+            sub = _rows_to_samples(
+                _unfilter_rows(raw[off : off + need], ph, stride, bpp),
+                pw, c, bit_depth,
+            )
+            img[y0::dy, x0::dx] = sub
+            off += need
+    if color_type == 3:  # palette lookup (indices never scale)
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        idx = np.minimum(img[:, :, 0], len(plte) - 1)
+        rgb = plte[idx]
+        if trns is not None:  # tRNS: per-index alpha, default opaque
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]]).astype(np.uint8)
+        return rgb.astype(np.uint8)
+    if bit_depth < 8:  # gray: scale samples to full 8-bit range
+        img = img * (255 // ((1 << bit_depth) - 1))
+    return img.astype(np.uint8)
 
 
 def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:

@@ -79,6 +79,85 @@ def test_decode_all_filter_types():
     assert np.array_equal(decode_png(data), img)
 
 
+def _chunk(tag, body):
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png(w, h, depth, ctype, raw, interlace=0, extra=b""):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace))
+        + extra
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_decode_palette_and_trns():
+    """Color type 3: 4-bit indices → PLTE lookup; tRNS adds per-index
+    alpha (RGBA out)."""
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 1]], np.uint8)  # 5 wide
+    raw = bytearray()
+    for row in idx:  # pack 4-bit big-endian within bytes, filter 0
+        packed = bytearray()
+        for i in range(0, len(row), 2):
+            hi = int(row[i]) << 4
+            lo = int(row[i + 1]) if i + 1 < len(row) else 0
+            packed.append(hi | lo)
+        raw += bytes([0]) + bytes(packed)
+    data = _png(5, 2, 4, 3, raw, extra=_chunk(b"PLTE", pal.tobytes()))
+    out = decode_png(data)
+    assert out.shape == (2, 5, 3)
+    assert np.array_equal(out, pal[idx])
+    # with tRNS: index 0 transparent, others default opaque
+    data_t = _png(5, 2, 4, 3, raw,
+                  extra=_chunk(b"PLTE", pal.tobytes()) + _chunk(b"tRNS", b"\x00"))
+    out_t = decode_png(data_t)
+    assert out_t.shape == (2, 5, 4)
+    assert np.array_equal(out_t[:, :, :3], pal[idx])
+    assert np.array_equal(out_t[:, :, 3], np.where(idx == 0, 0, 255))
+
+
+def test_decode_16bit_and_1bit():
+    # 16-bit gray: decoder keeps the high byte
+    hi = np.array([[10, 200], [99, 7]], np.uint8)
+    raw = bytearray()
+    for row in hi:
+        raw += bytes([0])
+        for v in row:
+            raw += bytes([int(v), 0xAB])  # low byte arbitrary
+    assert np.array_equal(decode_png(_png(2, 2, 16, 0, raw))[:, :, 0], hi)
+    # 1-bit gray scales to 0/255
+    bits = np.array([[1, 0, 1, 0, 1, 1, 0, 0, 1]], np.uint8)  # 9 px: 2 bytes
+    packed = bytes([0, 0b10101100, 0b10000000])
+    out = decode_png(_png(9, 1, 1, 0, packed))
+    assert np.array_equal(out[0, :, 0], bits[0] * 255)
+
+
+def test_decode_adam7_interlaced():
+    """Adam7: seven independently-filtered passes scatter back to exactly
+    the progressive-order pixels (checked against a reference scatter)."""
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (9, 10, 3), dtype=np.uint8)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub.reshape(sub.shape[0], -1):
+            raw += bytes([0]) + row.tobytes()
+    out = decode_png(_png(10, 9, 8, 2, raw, interlace=1))
+    assert np.array_equal(out, img)
+
+
 def test_resize_nearest_dims_and_identity():
     img = _random_rgb(40, 60)
     small = resize_nearest(img, 30, 20)
