@@ -114,6 +114,43 @@ def test_embedding_near_dup_pairs(spark, embeddings):
     assert (0, 1) in pairs
 
 
+def test_embedding_near_dup_blas_matches_exact(spark, embeddings):
+    """The Gram-matrix scale variant returns the SAME pair set as the
+    expression-path exact variant (cosines within float tolerance) on a
+    blocked corpus — and its one-matmul-per-block shape is the 100 TB
+    path when combined with LSH blocking."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SIM.embedding_near_dup_pairs(
+            embeddings, threshold=0.5, block_col="label"
+        ).collect()
+    }
+    blas = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SIM.embedding_near_dup_pairs_blas(
+            embeddings, threshold=0.5, block_col="label"
+        ).collect()
+    }
+    # identical pair sets (threshold boundary coincidence is excluded by
+    # construction: random vectors don't land within 1e-9 of 0.5)
+    assert set(exact) == set(blas)
+    for k in exact:
+        assert abs(exact[k] - blas[k]) <= 1e-5, k
+
+
+def test_embedding_near_dup_blas_block_cap(spark, embeddings):
+    """Oversized blocks raise loudly instead of silently OOMing the
+    executor's Gram matrix."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_block_rows"):
+        SIM.embedding_near_dup_pairs_blas(
+            embeddings.withColumn("label", F.lit(0)),
+            threshold=0.5,
+            max_block_rows=10,
+        ).collect()
+
+
 def test_ivf_ann_finds_clones(spark, embeddings):
     q = [r["embedding"] for r in embeddings.where("vec_id = 0").collect()][0]
     top = SIM.ann_topk_via_ivf(
