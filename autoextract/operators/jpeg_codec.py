@@ -221,8 +221,39 @@ def _decode_huff(reader: _BitReader, table) -> int:
     raise JpegError("invalid Huffman code")
 
 
+def _planes_to_image(full: list, transform: int) -> np.ndarray:
+    """Cropped component planes → (H, W, C) uint8 RGB/gray, applying the
+    Adobe APP14 color transform: 0 = components direct (RGB, or
+    Adobe-inverted CMYK for 4 comps), 1 = YCbCr, 2 = YCCK."""
+    if len(full) == 1:
+        return np.clip(full[0], 0, 255).astype(np.uint8)[:, :, None]
+    if len(full) == 3:
+        if transform == 0:  # RGB stored directly (APP14 transform 0)
+            return np.clip(np.stack(full, axis=2), 0, 255).astype(np.uint8)
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+    if len(full) == 4:  # CMYK family (Adobe stores components inverted)
+        if transform == 2:  # YCCK: YCbCr inverse yields the inverted CMY
+            y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+            c = y + 1.402 * cr
+            m = y - 0.344136 * cb - 0.714136 * cr
+            ye = y + 1.772 * cb
+        else:  # transform 0: inverted CMYK direct
+            c, m, ye = full[0], full[1], full[2]
+        k = full[3]
+        r = c * k / 255.0
+        g = m * k / 255.0
+        b = ye * k / 255.0
+        return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+    raise JpegError(f"unsupported component count {len(full)}")
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (H, W, C) uint8 array (C = 1 or 3, RGB)."""
+    """JPEG bytes → (H, W, C) uint8 array (C = 1 or 3, RGB). Gray, YCbCr,
+    direct RGB, and Adobe CMYK/YCCK (APP14) component layouts supported."""
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -231,6 +262,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame = None
     store = None  # progressive coefficient accumulator, one array per comp
     restart_interval = 0
+    adobe_transform = None  # APP14 ColorTransform byte, when present
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -283,6 +315,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise JpegError(f"unsupported SOF 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            adobe_transform = seg[11] if len(seg) > 11 else None
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
@@ -295,6 +329,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 return _decode_scan(
                     data, pos + 2 + seg_len, frame, scan_sel, qt, huff_dc,
                     huff_ac, restart_interval,
+                    _resolve_transform(adobe_transform, len(frame["comps"])),
                 )
             # progressive: accumulate this scan's coefficient contribution
             # (T.81 Annex G), then continue the marker walk — pixels come
@@ -318,11 +353,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         pos += 2 + seg_len
     if frame is not None and frame.get("progressive") and store is not None:
-        return _reconstruct_progressive(frame, store, qt)
+        return _reconstruct_progressive(
+            frame, store, qt,
+            _resolve_transform(adobe_transform, len(frame["comps"])),
+        )
     raise JpegError("no scan data")
 
 
-def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
+def _resolve_transform(adobe_transform: int | None, nc: int) -> int:
+    """APP14 byte when present; else the conventional default — YCbCr for
+    3 components, direct (inverted-CMYK) for 4."""
+    if adobe_transform is not None:
+        return adobe_transform
+    return 1 if nc == 3 else 0
+
+
+def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri,
+                 transform=1):
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
@@ -383,13 +430,7 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, dri):
         if c["h"] != hmax or c["v"] != vmax:
             p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
         full.append(p[:h, :w])
-    if len(full) == 1:
-        return np.clip(full[0], 0, 255).astype(np.uint8)[:, :, None]
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+    return _planes_to_image(full, transform)
 
 
 # ----------------------------------------------------------------------
@@ -559,7 +600,7 @@ def _progressive_scan(
     return reader.pos
 
 
-def _reconstruct_progressive(frame, store, qt) -> np.ndarray:
+def _reconstruct_progressive(frame, store, qt, transform=1) -> np.ndarray:
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     hmax, vmax, _, _ = _frame_geometry(frame)
@@ -580,13 +621,7 @@ def _reconstruct_progressive(frame, store, qt) -> np.ndarray:
                 hmax // c["h"], axis=1
             )
         full.append(plane[:h, :w])
-    if len(full) == 1:
-        return np.clip(full[0], 0, 255).astype(np.uint8)[:, :, None]
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+    return _planes_to_image(full, transform)
 
 
 # ----------------------------------------------------------------------
@@ -684,17 +719,21 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    adobe_transform: int | None = None,
 ) -> bytes:
-    """(H, W) / (H, W, 1) grayscale or (H, W, 3) RGB uint8 → baseline JPEG
-    with Annex-K tables scaled by ``quality``. ``subsampling`` is ``4:4:4``
-    or ``4:2:0`` (2×2-averaged chroma — the real-world default, and the
-    interleaved-MCU shape external decoders expect); ``restart_interval``
-    emits DRI + RSTn markers every N MCUs."""
+    """(H, W) / (H, W, 1) grayscale, (H, W, 3) RGB, or (H, W, 4)
+    Adobe-domain CMYK/YCCK components → baseline JPEG with Annex-K tables
+    scaled by ``quality``. ``subsampling`` is ``4:4:4`` or ``4:2:0``
+    (2×2-averaged chroma — the real-world default, and the interleaved-MCU
+    shape external decoders expect); ``restart_interval`` emits DRI + RSTn
+    markers every N MCUs. Four-channel input is stored AS GIVEN (the caller
+    supplies Adobe-inverted CMYK or YCCK planes) and stamped with an APP14
+    Adobe marker carrying ``adobe_transform`` (default 0 = direct)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
-    if nc not in (1, 3):
-        raise JpegError("encode supports 1 or 3 channels")
+    if nc not in (1, 3, 4):
+        raise JpegError("encode supports 1, 3, or 4 channels")
     if subsampling not in ("4:4:4", "4:2:0"):
         raise JpegError(f"unsupported subsampling {subsampling}")
     arr = arr.astype(np.float64)
@@ -705,6 +744,11 @@ def encode_jpeg(
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         chans = [y, cb, cr]
         hv = [(2, 2), (1, 1), (1, 1)] if subsampling == "4:2:0" else [(1, 1)] * 3
+    elif nc == 4:  # Adobe-domain planes stored directly, no subsampling
+        chans = [arr[:, :, c] for c in range(4)]
+        hv = [(1, 1)] * 4
+        if adobe_transform is None:
+            adobe_transform = 0
     else:
         chans = [arr[:, :, 0]]
         hv = [(1, 1)]
@@ -732,7 +776,15 @@ def encode_jpeg(
     dc_tabs = [_huff_encode_table(_DC_LUMA_SPEC), _huff_encode_table(_DC_CHROMA_SPEC)]
     ac_tabs = [_huff_encode_table(_AC_LUMA_SPEC), _huff_encode_table(_AC_CHROMA_SPEC)]
 
+    #: quant/huffman table id per component (4-comp: luma tables for all)
+    tids = [min(c, 1) if nc == 3 else 0 for c in range(nc)]
+
     out = bytearray(b"\xff\xd8")
+    if adobe_transform is not None:  # APP14 Adobe color-transform marker
+        out += (
+            b"\xff\xee" + struct.pack(">H", 14)
+            + b"Adobe\x00\x64\x00\x00\x00\x00" + bytes([adobe_transform])
+        )
     # DQT
     for tq, q in enumerate(qts):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
@@ -740,7 +792,7 @@ def encode_jpeg(
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for c in range(nc):
-        out += bytes([c + 1, (hv[c][0] << 4) | hv[c][1], min(c, 1)])
+        out += bytes([c + 1, (hv[c][0] << 4) | hv[c][1], tids[c]])
     # DHT
     for tc, specs in ((0, (_DC_LUMA_SPEC, _DC_CHROMA_SPEC)),
                       (1, (_AC_LUMA_SPEC, _AC_CHROMA_SPEC))):
@@ -753,8 +805,7 @@ def encode_jpeg(
     # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for c in range(nc):
-        t = min(c, 1)
-        out += bytes([c + 1, (t << 4) | t])
+        out += bytes([c + 1, (tids[c] << 4) | tids[c]])
     out += b"\x00\x3f\x00"
 
     bw = _BitWriter()
@@ -770,7 +821,7 @@ def encode_jpeg(
                 rst = (rst + 1) % 8
                 preds = [0] * nc
             for ci in range(nc):
-                t = min(ci, 1)
+                t = tids[ci]
                 fh, fv = hv[ci]
                 for by in range(fv):
                     for bx in range(fh):

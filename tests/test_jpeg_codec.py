@@ -97,6 +97,47 @@ def test_progressive_resize_kernel(spark):
     assert out.shape[1] == MM.MAX_LONG_EDGE
 
 
+def test_cmyk_and_ycck_decode():
+    """Adobe APP14 4-component JPEGs (print-world files): inverted-CMYK
+    (transform 0) and YCCK (transform 2) both decode to RGB. With K'=255
+    (no black) the inverted CMY planes ARE the RGB planes, so the decode
+    must recover the source image up to normal quantization error."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(30, 226, (24, 33, 3), dtype=np.uint8)
+    k = np.full(rgb.shape[:2], 255, dtype=np.uint8)
+    # transform 0: inverted CMYK stored directly
+    cmyk = np.dstack([rgb, k])
+    enc = J.encode_jpeg(cmyk, quality=95)
+    assert b"Adobe" in enc[:40]
+    dec = J.decode_jpeg(enc)
+    assert dec.shape == rgb.shape
+    assert np.abs(dec.astype(int) - rgb.astype(int)).mean() < 4
+    # transform 2: YCCK (YCbCr of the inverted CMY) + K
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    ycck = np.dstack([np.clip(c, 0, 255).astype(np.uint8) for c in (y, cb, cr)] + [k])
+    dec2 = J.decode_jpeg(J.encode_jpeg(ycck, quality=95, adobe_transform=2))
+    assert np.abs(dec2.astype(int) - rgb.astype(int)).mean() < 5
+
+
+def test_app14_transform_honored_on_3_components():
+    """The decoder honors APP14 transform 0 on 3-component files (straight
+    RGB components, no YCbCr inverse): a file whose only difference is the
+    APP14 tag decodes to different pixels, while the untagged default still
+    recovers the source through the YCbCr path."""
+    import numpy as np
+
+    rgb = _gradient_rgb(16, 16)
+    y_dec = J.decode_jpeg(J.encode_jpeg(rgb, quality=95))
+    tagged = J.decode_jpeg(J.encode_jpeg(rgb, quality=95, adobe_transform=0))
+    assert np.abs(y_dec.astype(int) - rgb.astype(int)).mean() < 4
+    assert not np.array_equal(y_dec, tagged)  # tag switched the color path
+
+
 def test_fill_bytes_between_markers_decode():
     """T.81 B.1.1.3 allows any number of 0xFF fill bytes before a marker —
     real-world encoders emit them; the decoder must skip, not reject."""
