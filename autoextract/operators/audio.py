@@ -112,6 +112,67 @@ def make_wav(
     return bytes(out)
 
 
+def resample_audio(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndarray:
+    """(n_frames, n_channels) float → linear-interpolated resample to
+    ``dst_rate`` (the dependency-free stand-in for a polyphase resampler —
+    same contract: output length = round(n·dst/src), endpoints preserved)."""
+    if src_rate == dst_rate or samples.shape[0] < 2:
+        return samples
+    n = samples.shape[0]
+    m = max(int(round(n * dst_rate / src_rate)), 1)
+    src_pos = np.arange(m, dtype=np.float64) * (n - 1) / max(m - 1, 1)
+    i0 = np.floor(src_pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = (src_pos - i0)[:, None]
+    return samples[i0] * (1.0 - frac) + samples[i1] * frac
+
+
+def transcode_wav(
+    media: DataFrame,
+    target_rate: int = 16000,
+    mono: bool = True,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """The training-pipeline audio normalizer: every decodable WAV is
+    resampled to ``target_rate`` (linear interpolation), optionally
+    channel-averaged to mono, and re-encoded 16-bit PCM — the uniform
+    input shape a downstream audio encoder expects. Undecodable payloads
+    pass through byte-identical with ``transcoded=false`` (same honest
+    containment contract as the image resize kernel)."""
+    schema = (
+        "media_ref string, payload binary, transcoded boolean, "
+        "out_rate int, out_channels int"
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    x, rate = decode_wav(b)
+                    if mono and x.shape[1] > 1:
+                        x = x.mean(axis=1, keepdims=True)
+                    y = resample_audio(x, rate, target_rate)
+                    out_b = make_wav(y, sample_rate=target_rate, bits=16)
+                    rows.append(
+                        {"media_ref": ref, "payload": out_b, "transcoded": True,
+                         "out_rate": target_rate, "out_channels": y.shape[1]}
+                    )
+                except WavError:
+                    rows.append(
+                        {"media_ref": ref, "payload": b, "transcoded": False,
+                         "out_rate": None, "out_channels": None}
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "payload", "transcoded",
+                         "out_rate", "out_channels"],
+            )
+
+    return media.mapInPandas(kernel, schema=schema)
+
+
 def decode_audio_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """``(media_ref, payload)`` → typed audio metadata (real parser for WAV;
     other/garbage payloads → valid=false row, never a task failure)."""

@@ -79,6 +79,41 @@ def test_embed_audio_envelope_similarity(spark):
     assert len(vecs["base"]) == 16
 
 
+def test_transcode_wav_resamples_and_monos(spark):
+    """The audio normalizer: 48k stereo → 16k mono 16-bit; a pure tone
+    survives resampling with its frequency intact (zero-crossing count),
+    and junk passes through byte-identical with transcoded=false."""
+    t = np.arange(int(48000 * 0.25)) / 48000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    stereo = np.stack([tone, tone * 0.25], axis=1)
+    media = spark.createDataFrame(
+        [("s", A.make_wav(stereo, sample_rate=48000)), ("junk", b"nope")],
+        ["media_ref", "payload"],
+    )
+    rows = {r["media_ref"]: r for r in A.transcode_wav(media, 16000).collect()}
+    assert rows["junk"]["transcoded"] is False
+    assert bytes(rows["junk"]["payload"]) == b"nope"
+    out = rows["s"]
+    assert out["transcoded"] and out["out_rate"] == 16000 and out["out_channels"] == 1
+    y, rate = A.decode_wav(bytes(out["payload"]))
+    assert rate == 16000 and y.shape[1] == 1
+    assert abs(y.shape[0] - 16000 * 0.25) <= 1
+    # frequency preserved: a 440 Hz tone crosses zero ~2*440*0.25 times
+    zc = int(np.sum(np.abs(np.diff(np.signbit(y[:, 0]).astype(int)))))
+    assert abs(zc - 2 * 440 * 0.25) <= 4
+    # mono mix: amplitude ≈ (0.5 + 0.125) / 2
+    assert abs(np.abs(y).max() - 0.3125) < 0.02
+
+
+def test_resample_identity_and_endpoints():
+    x = np.linspace(-1, 1, 100)[:, None]
+    same = A.resample_audio(x, 16000, 16000)
+    assert np.array_equal(same, x)
+    up = A.resample_audio(x, 8000, 16000)
+    assert up.shape[0] == 200
+    assert abs(up[0, 0] - x[0, 0]) < 1e-12 and abs(up[-1, 0] - x[-1, 0]) < 1e-12
+
+
 def test_embed_audio_real_feature_flag(spark):
     """Decoded WAVs are flagged real; undecodable payloads carry
     real_feature=false so similarity pipelines can drop the hash stubs."""
