@@ -325,9 +325,12 @@ def _pad_pw(pw: bytes) -> bytes:
     return (pw + _PW_PAD)[:32]
 
 
-def _file_key(user_pw: bytes, o_value: bytes, p: int, id0: bytes) -> bytes:
-    """Algorithm 2 (7.6.3.3), R2: MD5(padded pw ‖ O ‖ P-as-int32-LE ‖ ID0)
-    → first 5 bytes (40-bit key)."""
+def _file_key(
+    user_pw: bytes, o_value: bytes, p: int, id0: bytes, r: int = 2, n: int = 5
+) -> bytes:
+    """Algorithm 2 (7.6.3.3): MD5(padded pw ‖ O ‖ P-as-int32-LE ‖ ID0);
+    R≥3 re-hashes the first ``n`` bytes 50 times. Returns ``n`` key bytes
+    (5 for V1/R2 40-bit, typically 16 for V2/R3 128-bit)."""
     import hashlib
 
     h = hashlib.md5()
@@ -335,7 +338,48 @@ def _file_key(user_pw: bytes, o_value: bytes, p: int, id0: bytes) -> bytes:
     h.update(o_value)
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(id0)
-    return h.digest()[:5]
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _owner_key(owner_pw: bytes, r: int, n: int) -> bytes:
+    """Algorithm 3 step (a)-(d): MD5 of the padded owner password, 50×
+    re-hashed for R≥3; first ``n`` bytes."""
+    import hashlib
+
+    h = hashlib.md5(_pad_pw(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    return h[:n]
+
+
+def _compute_o(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
+    """Algorithm 3: RC4 of the padded user password under the owner key;
+    R≥3 adds 19 passes with the key bytes XORed by the pass number."""
+    okey = _owner_key(owner_pw, r, n)
+    o = _rc4(okey, _pad_pw(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    return o
+
+
+def _compute_u(fkey: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / Algorithm 5 (R≥3): the user-password check value.
+    R≥3 hashes PAD‖ID0, runs 20 RC4 passes, pads to 32 bytes; verification
+    compares only the first 16."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(fkey, _PW_PAD)
+    u = _rc4(fkey, hashlib.md5(_PW_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in fkey), u)
+    return u + b"\x00" * 16
 
 
 def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
@@ -349,24 +393,25 @@ def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
     return h[: min(len(file_key) + 5, 16)]
 
 
-def encrypt_pdf(data: bytes, owner_pw: str = "owner") -> bytes:
+def encrypt_pdf(data: bytes, owner_pw: str = "owner", revision: int = 2) -> bytes:
     """Encrypt a classic writer-output file with the standard security
-    handler (V1/R2 40-bit RC4, EMPTY user password): every object's stream
-    payload is RC4-encrypted under its per-object key, an /Encrypt
-    dictionary + /ID land in the trailer. Produces the wild shape most
-    'protected' PDFs use — openable by any reader without a password."""
+    handler — ``revision=2`` (V1, 40-bit RC4) or ``revision=3`` (V2,
+    128-bit RC4, the common wild form) — with an EMPTY user password:
+    every object's stream payload is RC4-encrypted under its per-object
+    key, an /Encrypt dictionary + /ID land in the trailer. Produces the
+    shape most 'protected' PDFs use — openable by any reader without a
+    password."""
     import hashlib
 
+    if revision not in (2, 3):
+        raise ValueError("revision must be 2 (40-bit) or 3 (128-bit)")
+    n = 5 if revision == 2 else 16
     objs = _objects(data)
     id0 = hashlib.md5(b"autoextract-fixture" + len(data).to_bytes(4, "big")).digest()
     p = -1  # all permissions
-    # Algorithm 3 (O value): RC4 of the padded user pw under a key from the
-    # padded owner pw
-    o_key = hashlib.md5(_pad_pw(owner_pw.encode())).digest()[:5]
-    o_value = _rc4(o_key, _pad_pw(b""))
-    fkey = _file_key(b"", o_value, p, id0)
-    # Algorithm 4 (U value, R2): RC4 of the pad string under the file key
-    u_value = _rc4(fkey, _PW_PAD)
+    o_value = _compute_o(owner_pw.encode(), b"", revision, n)
+    fkey = _file_key(b"", o_value, p, id0, revision, n)
+    u_value = _compute_u(fkey, id0, revision)
 
     enc_num = max(objs) + 1
     out = bytearray(b"%PDF-1.4\n")
@@ -392,8 +437,10 @@ def encrypt_pdf(data: bytes, owner_pw: str = "owner") -> bytes:
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
     offsets[enc_num] = len(out)
+    v = 1 if revision == 2 else 2
+    lenpart = "" if revision == 2 else f"/Length {8 * n} "
     out += (
-        f"{enc_num} 0 obj\n<< /Filter /Standard /V 1 /R 2 "
+        f"{enc_num} 0 obj\n<< /Filter /Standard /V {v} /R {revision} {lenpart}"
         f"/O <{o_value.hex()}> /U <{u_value.hex()}> /P {p} >>\nendobj\n"
     ).encode()
     xref_pos = len(out)
@@ -415,23 +462,36 @@ _ID0_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
 _OHEX_RE = re.compile(rb"/O\s*<([0-9A-Fa-f]+)>")
 _UHEX_RE = re.compile(rb"/U\s*<([0-9A-Fa-f]+)>")
 _PVAL_RE = re.compile(rb"/P\s+(-?\d+)")
-_V1R2_RE = re.compile(rb"/V\s+1\b[\s\S]*?/R\s+2\b|/R\s+2\b[\s\S]*?/V\s+1\b")
+_VNUM_RE = re.compile(rb"/V\s+(\d+)")
+_RNUM_RE = re.compile(rb"/R\s+(\d+)")
+_KEYBITS_RE = re.compile(rb"/Length\s+(\d+)")
 
 
 def _decrypt_objects(objs: dict[int, bytes], data: bytes) -> None:
-    """If the trailer names a V1/R2 standard-handler /Encrypt dict, verify
-    the EMPTY user password (Algorithm 6: RC4(pad, file_key) == U) and
+    """If the trailer names a standard-handler /Encrypt dict at V1/R2
+    (40-bit RC4) or V2/R3 (RC4 up to 128-bit — the common wild revision),
+    verify the EMPTY user password (Algorithm 6: recomputed U matches) and
     decrypt every object's stream payload in place. Unsupported revisions
-    or a failed password check leave objects untouched (→ zero words,
-    flagged via pdf_meta — O6 containment; password-protected content is
-    honestly unreadable, never garbage)."""
+    (AES R4+/R6) or a failed password check leave objects untouched (→
+    zero words, flagged via pdf_meta — O6 containment; password-protected
+    content is honestly unreadable, never garbage)."""
     tail = data[-2048:]
     em = _ENCRYPT_REF_RE.search(tail)
     idm = _ID0_RE.search(tail)
     if not em:
         return
     enc = objs.pop(int(em.group(1)), None)  # the dict itself is plaintext
-    if enc is None or not _V1R2_RE.search(enc):
+    if enc is None:
+        return
+    vm, rm = _VNUM_RE.search(enc), _RNUM_RE.search(enc)
+    if not (vm and rm):
+        return
+    v, r = int(vm.group(1)), int(rm.group(1))
+    if (v, r) not in ((1, 2), (2, 3)):
+        return  # AES / crypt-filter revisions: honestly unreadable
+    km = _KEYBITS_RE.search(enc)
+    n = 5 if r == 2 else (int(km.group(1)) // 8 if km else 16)
+    if not 5 <= n <= 16:
         return
     om, um, pm = _OHEX_RE.search(enc), _UHEX_RE.search(enc), _PVAL_RE.search(enc)
     if not (om and um and pm and idm):
@@ -439,9 +499,11 @@ def _decrypt_objects(objs: dict[int, bytes], data: bytes) -> None:
     o_value = bytes.fromhex(om.group(1).decode())
     u_value = bytes.fromhex(um.group(1).decode())
     id0 = bytes.fromhex(idm.group(1).decode())
-    fkey = _file_key(b"", o_value, int(pm.group(1)), id0)
-    if _rc4(fkey, _PW_PAD) != u_value:  # needs a real password: leave as-is
-        return
+    fkey = _file_key(b"", o_value, int(pm.group(1)), id0, r, n)
+    # Algorithm 6: R2 compares all 32 bytes, R3 only the first 16
+    check_len = 32 if r == 2 else 16
+    if _compute_u(fkey, id0, r)[:check_len] != u_value[:check_len]:
+        return  # needs a real password: leave as-is
     for num in list(objs):
         body = objs[num]
         i = body.find(b"stream")

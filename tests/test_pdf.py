@@ -388,6 +388,13 @@ def test_encrypted_pdf_roundtrip():
         assert _sig(P.pdf_word_rows("d", enc)) == base, compress
     plain_enc = P.encrypt_pdf(P.make_text_pdf(pages))
     assert b"(hello)" not in plain_enc  # stream bodies really are ciphertext
+    # V2/R3 128-bit RC4 (the common wild revision): same round-trip
+    enc3 = P.encrypt_pdf(P.make_text_pdf(pages, compress=True), revision=3)
+    assert b"/V 2 /R 3 /Length 128" in enc3
+    assert _sig(P.pdf_word_rows("d", enc3)) == base
+    # R3 with a wrong /U (≈ real user password): honestly unreadable
+    locked3 = re.sub(rb"/U <[0-9a-f]+>", b"/U <" + b"11" * 32 + b">", enc3)
+    assert P.pdf_word_rows("d", locked3) == []
     # embedded media decrypts byte-identically through pdf_media_table's path
     jpeg = b"\xff\xd8payload\xff\xd9"
     enc = P.encrypt_pdf(
