@@ -306,6 +306,20 @@ def _q_embedding_neardup(spark, sf):
     ).orderBy(F.desc("cosine"), "id_a", "id_b").limit(50)
 
 
+def _q_embedding_neardup_blas(spark, sf):
+    """The Gram-matrix SCALE path for near-dup (one BLAS matmul per block
+    inside applyInPandas) checked VALUE-LEVEL against DuckDB's exact pair
+    computation — same oracle family as `embedding_neardup`, but this one
+    gates the vectorized production variant, full result set (no top-k)."""
+    e = _t(spark, sf, "embeddings")
+    out = SIM.embedding_near_dup_pairs_blas(e, threshold=0.2, block_col="label")
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+
+
 def _q_lang_id(spark, sf):
     return _t(spark, sf, "documents").select(
         "doc_id", TX.lang_guess(F.col("text")).alias("lang_guess")
@@ -721,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_topk": _q_ngram_jaccard_topk,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_blas": _q_embedding_neardup_blas,
         "lang_id": _q_lang_id,
         "quality_metrics": _q_quality,
         "bpe_token_count": _q_bpe_tokens,
@@ -945,6 +960,18 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.2
             ORDER BY cosine DESC, id_a, id_b LIMIT 50
+        """,
+        "embedding_neardup_blas": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.2
+            
         """,
         "lang_id": f"""
             SELECT doc_id,

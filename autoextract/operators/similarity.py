@@ -145,12 +145,15 @@ def embedding_near_dup_pairs_blas(
         norms[norms == 0] = 1.0
         g = (m / norms[:, None]) @ (m / norms[:, None]).T
         ia, ib = np.triu_indices(n, k=1)
-        keep = g[ia, ib] >= threshold
+        # round BEFORE thresholding — the exact variant's semantics (its
+        # threshold applies to the 6dp-rounded cosine), so pair sets match
+        cos = np.round(g[ia, ib], 6)
+        keep = cos >= threshold
         return pd.DataFrame(
             {
                 "id_a": ids[ia[keep]].astype("int64"),
                 "id_b": ids[ib[keep]].astype("int64"),
-                "cosine": np.round(g[ia, ib][keep], 6),
+                "cosine": cos[keep],
             }
         )
 
