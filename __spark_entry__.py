@@ -678,6 +678,117 @@ def _q_pdf_media_roundtrip(spark, sf):
     )
 
 
+def _q_media_resize_roundtrip(spark, sf):
+    """P2 as a DRIVER-CHECKED verdict: 60 docs carry a deterministic
+    OVERSIZED image rotating across the codec family — PNG, baseline JPEG,
+    PROGRESSIVE JPEG, single-frame GIF, ANIMATED GIF — the production
+    ``resize_image`` kernel must mark each resized AND produce decodable
+    bytes at exactly the ``resize_plan`` target dims (same ≤1568 long-edge
+    policy as the reference's helpers.py:58-104). Oracle = all-true."""
+    from autoextract.operators import multimodal as MM
+
+    def doc_image(doc_id: int) -> bytes:
+        w = 1600 + (doc_id % 7) * 16  # long edge over the 1568 cap
+        h = 24 + (doc_id % 5) * 8
+        kind = doc_id % 5
+        if kind in (0, 1, 2):
+            g = (
+                np.arange(w, dtype=np.float64)[None, :] % 251
+                + np.arange(h, dtype=np.float64)[:, None] * 3
+                + doc_id
+            ) % 256
+            rgb = np.stack([g, (g * 2) % 256, (g * 3) % 256], axis=2).astype(
+                np.uint8
+            )
+            if kind == 0:
+                from autoextract.operators.png_codec import encode_png
+
+                return encode_png(rgb)
+            from autoextract.operators.jpeg_codec import (
+                encode_jpeg,
+                encode_progressive_jpeg,
+            )
+
+            enc = encode_jpeg if kind == 1 else encode_progressive_jpeg
+            return enc(rgb, quality=90)
+        from autoextract.operators import gif_codec as G
+
+        pal = np.stack(
+            [np.arange(16) * 16, (np.arange(16) * 8) % 256, np.full(16, doc_id % 256)],
+            axis=1,
+        ).astype(np.uint8)
+        idx = ((np.arange(w)[None, :] + np.arange(h)[:, None] + doc_id) % 16).astype(
+            np.uint8
+        )
+        single = G.encode_gif(idx, pal)
+        if kind == 3:
+            return single
+        # 2-frame animation: the image section starts right after the
+        # header + global color table (searching for 0x2C is wrong — the
+        # palette itself can contain that byte)
+        desc = 13 + (3 * (2 << (single[10] & 7)) if single[10] & 0x80 else 0)
+        return single[:-1] + single[desc:-1] + b"\x3b"
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 60).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = [
+                {"media_ref": str(doc_id), "payload": doc_image(int(doc_id))}
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_ref", "payload"])
+
+    media = docs.mapInPandas(build, schema="media_ref string, payload binary")
+    resized = MM.resize_image(media)
+
+    def check(batches):
+        from autoextract.operators.gif_codec import (
+            decode_gif_indexed,
+            parse_animated_gif,
+        )
+        from autoextract.operators.jpeg_codec import decode_jpeg
+        from autoextract.operators.png_codec import decode_png
+
+        for pdf in batches:
+            rows = []
+            for ref, payload, was_resized in zip(
+                pdf["media_ref"], pdf["payload"], pdf["resized"]
+            ):
+                doc_id = int(ref)
+                out = bytes(payload)
+                src = doc_image(doc_id)
+                w = 1600 + (doc_id % 7) * 16
+                h = 24 + (doc_id % 5) * 8
+                scale = MM.MAX_LONG_EDGE / max(w, h)
+                tw = max(int(round(w * scale)), 1)
+                th = max(int(round(h * scale)), 1)
+                kind = doc_id % 5
+                ok = bool(was_resized)
+                if ok:
+                    try:
+                        if kind == 0:
+                            got = decode_png(out).shape[:2]
+                        elif kind in (1, 2):
+                            got = decode_jpeg(out).shape[:2]
+                        elif kind == 3:
+                            got = decode_gif_indexed(out)[0].shape
+                        else:
+                            gw, gh, _, frames = parse_animated_gif(out)
+                            got = (gh, gw)
+                            ok = len(frames) == 2
+                        ok = ok and got == (th, tw) and out != src
+                    except Exception:
+                        ok = False
+                rows.append({"doc_id": doc_id, "resize_ok": bool(ok)})
+            yield pd.DataFrame(rows, columns=["doc_id", "resize_ok"])
+
+    return (
+        resized.mapInPandas(check, schema="doc_id long, resize_ok boolean")
+        .orderBy("doc_id")
+    )
+
+
 def _q_winnowing(spark, sf):
     return DD.winnowing_fingerprints(_t(spark, sf, "documents"), k=3, window=4)
 
@@ -753,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
         "pdf_media_roundtrip": _q_pdf_media_roundtrip,
+        "media_resize_roundtrip": _q_media_resize_roundtrip,
         "extraction_oracle": _q_extraction_oracle,
         "winnowing_fingerprints": _q_winnowing,
         "simhash_sketches": _q_simhash,
@@ -1194,6 +1306,10 @@ def oracle_sql() -> dict[str, str]:
         "pdf_media_roundtrip": """
             SELECT CAST(range AS BIGINT) AS doc_id, true AS media_ok
             FROM range(50)
+        """,
+        "media_resize_roundtrip": """
+            SELECT CAST(range AS BIGINT) AS doc_id, true AS resize_ok
+            FROM range(60)
         """,
         "simhash_sketches": """
             SELECT CAST(range AS BIGINT) AS doc_id, true AS simhash_ok
