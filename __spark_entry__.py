@@ -789,6 +789,71 @@ def _q_media_resize_roundtrip(spark, sf):
     )
 
 
+def _q_audio_transcode_roundtrip(spark, sf):
+    """The audio normalizer as a DRIVER-CHECKED verdict: 50 docs carry
+    deterministic sine WAVs at rotating sample rates (8/22.05/44.1/48 kHz),
+    channel counts and frequencies; ``transcode_wav`` must emit 16 kHz
+    mono 16-bit PCM whose duration matches and whose tone frequency
+    survives resampling (zero-crossing count). Oracle = all-true."""
+    from autoextract.operators import audio as AU
+
+    rates = [8000, 22050, 44100, 48000]
+
+    def doc_wav(doc_id: int) -> tuple[bytes, float, float]:
+        rate = rates[doc_id % 4]
+        freq = 200.0 + (doc_id % 10) * 55.0  # 200..695 Hz < Nyquist at 16k
+        seconds = 0.2 + (doc_id % 3) * 0.05
+        t = np.arange(int(rate * seconds)) / rate
+        tone = 0.6 * np.sin(2 * np.pi * freq * t)
+        x = tone[:, None] if doc_id % 2 else np.stack([tone, tone * 0.5], axis=1)
+        return AU.make_wav(x, sample_rate=rate), freq, seconds
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50).select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = [
+                {"media_ref": str(d), "payload": doc_wav(int(d))[0]}
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_ref", "payload"])
+
+    media = docs.mapInPandas(build, schema="media_ref string, payload binary")
+    out = AU.transcode_wav(media, target_rate=16000)
+
+    def check(batches):
+        from autoextract.operators.audio import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for ref, payload, transcoded in zip(
+                pdf["media_ref"], pdf["payload"], pdf["transcoded"]
+            ):
+                doc_id = int(ref)
+                _, freq, seconds = doc_wav(doc_id)
+                ok = bool(transcoded)
+                if ok:
+                    try:
+                        y, rate = decode_wav(bytes(payload))
+                        zc = int(
+                            np.sum(np.abs(np.diff(np.signbit(y[:, 0]).astype(int))))
+                        )
+                        ok = (
+                            rate == 16000
+                            and y.shape[1] == 1
+                            and abs(y.shape[0] - 16000 * seconds) <= 2
+                            and abs(zc - 2 * freq * seconds) <= 4
+                        )
+                    except Exception:
+                        ok = False
+                rows.append({"doc_id": doc_id, "audio_ok": bool(ok)})
+            yield pd.DataFrame(rows, columns=["doc_id", "audio_ok"])
+
+    return out.mapInPandas(check, schema="doc_id long, audio_ok boolean").orderBy(
+        "doc_id"
+    )
+
+
 def _q_winnowing(spark, sf):
     return DD.winnowing_fingerprints(_t(spark, sf, "documents"), k=3, window=4)
 
@@ -865,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
         "pdf_media_roundtrip": _q_pdf_media_roundtrip,
         "media_resize_roundtrip": _q_media_resize_roundtrip,
+        "audio_transcode_roundtrip": _q_audio_transcode_roundtrip,
         "extraction_oracle": _q_extraction_oracle,
         "winnowing_fingerprints": _q_winnowing,
         "simhash_sketches": _q_simhash,
@@ -1310,6 +1376,10 @@ def oracle_sql() -> dict[str, str]:
         "media_resize_roundtrip": """
             SELECT CAST(range AS BIGINT) AS doc_id, true AS resize_ok
             FROM range(60)
+        """,
+        "audio_transcode_roundtrip": """
+            SELECT CAST(range AS BIGINT) AS doc_id, true AS audio_ok
+            FROM range(50)
         """,
         "simhash_sketches": """
             SELECT CAST(range AS BIGINT) AS doc_id, true AS simhash_ok
