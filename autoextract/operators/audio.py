@@ -57,6 +57,8 @@ def parse_wav_header(data: bytes) -> dict:
     if fmt is None or data_off is None:
         raise WavError("missing fmt/data chunk")
     audio_format, n_ch, rate, bits = fmt
+    if n_ch == 0 or rate == 0 or bits == 0:
+        raise WavError("degenerate fmt chunk (zero channels/rate/bits)")
     frame_bytes = max(n_ch * (bits // 8), 1)
     return {
         "audio_format": audio_format,
@@ -75,6 +77,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     h = parse_wav_header(data)
     raw = data[h["data_offset"] : h["data_offset"] + h["data_size"]]
     bits, af = h["bits_per_sample"], h["audio_format"]
+    item = max(bits // 8, 1)
+    if len(raw) % item:  # truncated final sample: drop it, don't blow up
+        raw = raw[: len(raw) - (len(raw) % item)]
     if af == 3 and bits == 32:
         x = np.frombuffer(raw, dtype="<f4").astype(np.float64)
     elif af == 1 and bits == 16:
@@ -159,7 +164,7 @@ def transcode_wav(
                         {"media_ref": ref, "payload": out_b, "transcoded": True,
                          "out_rate": target_rate, "out_channels": y.shape[1]}
                     )
-                except WavError:
+                except Exception:  # O6 containment: any malformed payload -> row, never task failure
                     rows.append(
                         {"media_ref": ref, "payload": b, "transcoded": False,
                          "out_rate": None, "out_channels": None}
@@ -196,7 +201,7 @@ def decode_audio_meta(media: DataFrame, payload_col: str = "payload") -> DataFra
                             "valid": True,
                         }
                     )
-                except WavError:
+                except Exception:  # O6 containment: any malformed payload -> row, never task failure
                     rows.append(
                         {
                             "media_ref": ref,
@@ -249,7 +254,7 @@ def embed_audio(
                         rms = np.sqrt((win * win).mean(axis=1))
                         norm = float(np.linalg.norm(rms))
                         vec = (rms / norm if norm > 0 else rms).astype("float32")
-                except WavError:
+                except Exception:  # O6 containment: any malformed payload -> row, never task failure
                     vec = None
                 real_flags.append(vec is not None)
                 if vec is None:

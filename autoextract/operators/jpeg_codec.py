@@ -877,16 +877,20 @@ def _emit_ac_refine(bwr, zzb, ss, se, al, tab) -> None:
         if a == 0:
             r += 1
             continue
-        if a > 1:  # nonzero in history: one correction bit
-            br.append(a & 1)
-            continue
-        while r > 15:  # newly nonzero: flush pending zero-runs first
+        # Flush pending zero-runs before ANY nonzero coeff (libjpeg
+        # encode_mcu_AC_refine runs the r>15 ZRL loop ahead of the
+        # history-nonzero branch): a correction bit buffered past an
+        # unflushed ZRL would be emitted where the decoder never reads it.
+        while r > 15:
             code, length = tab[0xF0]
             bwr.write(code, length)
             r -= 16
             for bit in br:
                 bwr.write(bit, 1)
             br = []
+        if a > 1:  # nonzero in history: one correction bit
+            br.append(a & 1)
+            continue
         code, length = tab[(r << 4) | 1]
         bwr.write(code, length)
         bwr.write(1 if v > 0 else 0, 1)

@@ -165,10 +165,13 @@ def interval_count_join(
             F.col(start_col).alias("__s"),
             F.col(end_col).alias("__e"),
         )
-        # explode each interval over its covered buckets (bounded: len/width+1)
+        # explode each interval over its covered buckets (bounded:
+        # len/width+1). explode_OUTER: a NULL start/end makes the sequence
+        # NULL, and the row must survive (bucket NULL → left join finds no
+        # points → count 0) rather than vanish from the output.
         .withColumn(
             "__bucket",
-            F.explode(
+            F.explode_outer(
                 F.sequence(
                     F.floor(F.col("__s").cast("long") / bucket_seconds),
                     F.floor(F.col("__e").cast("long") / bucket_seconds),

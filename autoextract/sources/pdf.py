@@ -326,11 +326,18 @@ def _pad_pw(pw: bytes) -> bytes:
 
 
 def _file_key(
-    user_pw: bytes, o_value: bytes, p: int, id0: bytes, r: int = 2, n: int = 5
+    user_pw: bytes,
+    o_value: bytes,
+    p: int,
+    id0: bytes,
+    r: int = 2,
+    n: int = 5,
+    extra: bytes = b"",
 ) -> bytes:
-    """Algorithm 2 (7.6.3.3): MD5(padded pw ‖ O ‖ P-as-int32-LE ‖ ID0);
-    R≥3 re-hashes the first ``n`` bytes 50 times. Returns ``n`` key bytes
-    (5 for V1/R2 40-bit, typically 16 for V2/R3 128-bit)."""
+    """Algorithm 2 (7.6.3.3): MD5(padded pw ‖ O ‖ P-as-int32-LE ‖ ID0
+    [‖ FFFFFFFF for R4 /EncryptMetadata false — step f]); R≥3 re-hashes
+    the first ``n`` bytes 50 times. Returns ``n`` key bytes (5 for V1/R2
+    40-bit, typically 16 for V2/R3 128-bit and V4/R4 AES)."""
     import hashlib
 
     h = hashlib.md5()
@@ -338,6 +345,7 @@ def _file_key(
     h.update(o_value)
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(id0)
+    h.update(extra)
     key = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -382,65 +390,275 @@ def _compute_u(fkey: bytes, id0: bytes, r: int) -> bytes:
     return u + b"\x00" * 16
 
 
-def _object_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
-    """Algorithm 1 (7.6.2): per-object RC4 key = MD5(file_key ‖ objnum[3 LE]
-    ‖ gen[2 LE]) truncated to len(file_key)+5 (≤16)."""
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes = b"", r: int = 6) -> bytes:
+    """Password hash for the AES-256 handler: plain SHA-256(pw‖salt‖udata)
+    for the deprecated R5, the hardened Algorithm 2.B iteration for R6
+    (PDF 32000-2 §7.6.4.3.4: ≥64 rounds of AES-128-CBC over 64 copies of
+    pw‖K‖udata, hash picked by E[:16] mod 3, until E[-1] ≤ round-32)."""
+    import hashlib
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    if r == 5:
+        return k
+    from .aes import cbc_encrypt
+
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _object_key(file_key: bytes, num: int, gen: int = 0, aes: bool = False) -> bytes:
+    """Algorithm 1 (7.6.2): per-object key = MD5(file_key ‖ objnum[3 LE]
+    ‖ gen[2 LE] ‖ [``sAlT`` for AESV2]) truncated to len(file_key)+5 (≤16)."""
     import hashlib
 
     h = hashlib.md5(
-        file_key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        file_key
+        + num.to_bytes(3, "little")
+        + gen.to_bytes(2, "little")
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
 
 
+def _unescape_literal(raw: bytes) -> bytes:
+    """Inner bytes of a literal string ``(...)`` → value bytes (7.3.4.2:
+    backslash escapes, 1-3 digit octal, escaped-newline continuation)."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    esc = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08, 0x66: 0x0C,
+           0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+    while i < n:
+        b = raw[i]
+        if b != 0x5C:
+            out.append(b)
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        b = raw[i]
+        if b in esc:
+            out.append(esc[b])
+            i += 1
+        elif 0x30 <= b <= 0x37:  # octal, up to 3 digits
+            v, k = 0, 0
+            while k < 3 and i < n and 0x30 <= raw[i] <= 0x37:
+                v = (v << 3) | (raw[i] - 0x30)
+                i += 1
+                k += 1
+            out.append(v & 0xFF)
+        elif b in (0x0A, 0x0D):  # line continuation
+            i += 1
+            if b == 0x0D and i < n and raw[i] == 0x0A:
+                i += 1
+        else:  # lone backslash: drop it, keep the char
+            out.append(b)
+            i += 1
+    return bytes(out)
+
+
+def _escape_literal(value: bytes) -> bytes:
+    """Value bytes → a literal string token ``(...)`` (printable ASCII raw,
+    ``()\\`` backslash-escaped, everything else 3-digit octal)."""
+    out = bytearray(b"(")
+    for b in value:
+        if b in (0x28, 0x29, 0x5C):
+            out += b"\\" + bytes([b])
+        elif 0x20 <= b < 0x7F:
+            out.append(b)
+        else:
+            out += b"\\%03o" % b
+    out += b")"
+    return bytes(out)
+
+
+def _transform_strings(seg: bytes, fn, emit: str) -> bytes:
+    """Apply ``fn(value_bytes) -> bytes`` to every string object in a
+    non-payload object segment, re-emitting each as a hex string
+    (``emit='hex'`` — the encrypting direction, since ciphertext bytes
+    need no escaping) or a literal (``emit='literal'`` — the decrypting
+    direction). ``<<``/``>>`` dict delimiters pass through; comments are
+    not handled (the fixture writers emit none inside objects)."""
+    out = bytearray()
+    i, n = 0, len(seg)
+    while i < n:
+        b = seg[i]
+        if b == 0x28:  # ( literal string: scan to balancing ) past escapes
+            depth, j = 1, i + 1
+            while j < n and depth:
+                c = seg[j]
+                if c == 0x5C:
+                    j += 2
+                    continue
+                if c == 0x28:
+                    depth += 1
+                elif c == 0x29:
+                    depth -= 1
+                j += 1
+            value = fn(_unescape_literal(seg[i + 1 : j - 1]))
+            out += _escape_literal(value) if emit == "literal" else (
+                b"<" + value.hex().encode() + b">"
+            )
+            i = j
+        elif b == 0x3C:  # < : hex string unless << dict-open
+            if i + 1 < n and seg[i + 1] == 0x3C:
+                out += b"<<"
+                i += 2
+                continue
+            j = seg.find(b">", i + 1)
+            if j == -1:
+                out.append(b)
+                i += 1
+                continue
+            hx = bytes(c for c in seg[i + 1 : j] if not chr(c).isspace())
+            if len(hx) % 2:
+                hx += b"0"
+            value = fn(bytes.fromhex(hx.decode()))
+            out += _escape_literal(value) if emit == "literal" else (
+                b"<" + value.hex().encode() + b">"
+            )
+            i = j + 1
+        elif b == 0x3E and i + 1 < n and seg[i + 1] == 0x3E:
+            out += b">>"
+            i += 2
+        else:
+            out.append(b)
+            i += 1
+    return bytes(out)
+
+
+def _crypt_object_body(body: bytes, stream_fn, string_fn, emit: str) -> bytes:
+    """Run the crypt transforms over one object body: ``stream_fn`` on the
+    raw stream payload (if any), ``string_fn`` on every string object in
+    the surrounding segments (7.6.2: the standard handler encrypts strings
+    AND streams). ``/Length`` is re-patched when the payload size changes
+    (AES adds IV + padding; RC4 is length-preserving)."""
+    i = body.find(b"stream")
+    if i == -1:
+        return _transform_strings(body, string_fn, emit)
+    j = i + len(b"stream")
+    if body[j : j + 2] == b"\r\n":
+        j += 2
+    elif body[j : j + 1] == b"\n":
+        j += 1
+    lm = _LENGTH_RE.search(body[:i])
+    ln = int(lm.group(1)) if lm else max(body.find(b"endstream", j) - j, 0)
+    payload = stream_fn(body[j : j + ln])
+    head = _transform_strings(body[:i], string_fn, emit)
+    if len(payload) != ln:
+        head = _LENGTH_RE.sub(b"/Length %d" % len(payload), head, count=1)
+    return head + body[i:j] + payload + _transform_strings(body[j + ln :], string_fn, emit)
+
+
 def encrypt_pdf(data: bytes, owner_pw: str = "owner", revision: int = 2) -> bytes:
     """Encrypt a classic writer-output file with the standard security
-    handler — ``revision=2`` (V1, 40-bit RC4) or ``revision=3`` (V2,
-    128-bit RC4, the common wild form) — with an EMPTY user password:
-    every object's stream payload is RC4-encrypted under its per-object
-    key, an /Encrypt dictionary + /ID land in the trailer. Produces the
-    shape most 'protected' PDFs use — openable by any reader without a
-    password."""
+    handler — ``revision=2`` (V1, 40-bit RC4), ``revision=3`` (V2, 128-bit
+    RC4) or ``revision=4`` (V4, AES-128-CBC via the AESV2 crypt filter —
+    the modern default for encrypted PDFs) — with an EMPTY user password:
+    every object's stream payload AND string objects are encrypted under
+    the per-object key (7.6.2: the handler covers strings too), an
+    /Encrypt dictionary + /ID land in the trailer. Produces the shape most
+    'protected' PDFs use — openable by any reader without a password.
+    AES IVs are derived deterministically from (id0, objnum, counter) so
+    fixtures are byte-reproducible."""
     import hashlib
 
-    if revision not in (2, 3):
-        raise ValueError("revision must be 2 (40-bit) or 3 (128-bit)")
+    if revision not in (2, 3, 4, 5, 6):
+        raise ValueError(
+            "revision must be 2 (40-bit RC4), 3 (128-bit RC4), 4 (AES-128), "
+            "5 or 6 (AES-256)"
+        )
     n = 5 if revision == 2 else 16
     objs = _objects(data)
     id0 = hashlib.md5(b"autoextract-fixture" + len(data).to_bytes(4, "big")).digest()
     p = -1  # all permissions
-    o_value = _compute_o(owner_pw.encode(), b"", revision, n)
-    fkey = _file_key(b"", o_value, p, id0, revision, n)
-    u_value = _compute_u(fkey, id0, revision)
+    if revision >= 5:
+        # AES-256 handler (§7.6.4.4): the file key is random, wrapped into
+        # /UE and /OE under password-derived keys — deterministic here for
+        # fixture reproducibility.
+        from .aes import AES as _AESCls, cbc_encrypt as _cbc_e
+        import numpy as _np
+
+        fkey = hashlib.sha256(b"autoextract-r6-filekey" + id0).digest()
+        vsalt = hashlib.md5(id0 + b"uv").digest()[:8]
+        ksalt = hashlib.md5(id0 + b"uk").digest()[:8]
+        u_value = _hash_2b(b"", vsalt, r=revision) + vsalt + ksalt
+        ue = _cbc_e(_hash_2b(b"", ksalt, r=revision), b"\0" * 16, fkey, pad=False)
+        ovsalt = hashlib.md5(id0 + b"ov").digest()[:8]
+        oksalt = hashlib.md5(id0 + b"ok").digest()[:8]
+        opw = owner_pw.encode()[:127]
+        o_value = _hash_2b(opw, ovsalt, u_value, r=revision) + ovsalt + oksalt
+        oe = _cbc_e(
+            _hash_2b(opw, oksalt, u_value, r=revision), b"\0" * 16, fkey, pad=False
+        )
+        perms_pt = (
+            (p & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xff" + b"Tadb" + hashlib.md5(id0 + b"rn").digest()[:4]
+        )
+        perms = _AESCls(fkey).encrypt_blocks(
+            _np.frombuffer(perms_pt, _np.uint8)[None, :]
+        ).tobytes()
+    else:
+        o_value = _compute_o(owner_pw.encode(), b"", min(revision, 3), n)
+        fkey = _file_key(b"", o_value, p, id0, min(revision, 3), n)
+        u_value = _compute_u(fkey, id0, min(revision, 3))
 
     enc_num = max(objs) + 1
-    out = bytearray(b"%PDF-1.4\n")
+    out = bytearray(
+        b"%PDF-1.4\n" if revision < 4 else
+        (b"%PDF-1.6\n" if revision == 4 else b"%PDF-1.7\n")
+    )
     offsets: dict[int, int] = {}
     for num in sorted(objs):
-        body = objs[num]
-        i = body.find(b"stream")
-        if i != -1:  # encrypt the raw payload in place (RC4 keeps length)
-            j = i + len(b"stream")
-            if body[j : j + 2] == b"\r\n":
-                j += 2
-            elif body[j : j + 1] == b"\n":
-                j += 1
-            lm = _LENGTH_RE.search(body[:i])
-            ln = int(lm.group(1)) if lm else max(
-                body.find(b"endstream", j) - j, 0
-            )
-            body = (
-                body[:j]
-                + _rc4(_object_key(fkey, num), body[j : j + ln])
-                + body[j + ln :]
-            )
+        if revision < 4:
+            okey = _object_key(fkey, num)
+            stream_fn = string_fn = lambda b, k=okey: _rc4(k, b)
+        else:
+            from .aes import cbc_encrypt
+
+            # AESV2 derives a per-object key; AESV3 uses the file key direct
+            okey = _object_key(fkey, num, aes=True) if revision == 4 else fkey
+            ctr = [0]
+
+            def _enc_aes(b, k=okey, num=num, ctr=ctr):
+                iv = hashlib.md5(
+                    id0 + num.to_bytes(4, "big") + ctr[0].to_bytes(4, "big")
+                ).digest()
+                ctr[0] += 1
+                return iv + cbc_encrypt(k, iv, b)
+
+            stream_fn = string_fn = _enc_aes
+        body = _crypt_object_body(objs[num], stream_fn, string_fn, emit="hex")
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
     offsets[enc_num] = len(out)
-    v = 1 if revision == 2 else 2
-    lenpart = "" if revision == 2 else f"/Length {8 * n} "
+    if revision == 4:
+        dictpart = (
+            "/V 4 /R 4 /Length 128 "
+            "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+            "/StmF /StdCF /StrF /StdCF "
+        )
+    elif revision >= 5:
+        dictpart = (
+            f"/V 5 /R {revision} /Length 256 "
+            "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+            "/StmF /StdCF /StrF /StdCF "
+            f"/OE <{oe.hex()}> /UE <{ue.hex()}> /Perms <{perms.hex()}> "
+        )
+    else:
+        v = {2: 1, 3: 2}[revision]
+        lenpart = "" if revision == 2 else f"/Length {8 * n} "
+        dictpart = f"/V {v} /R {revision} {lenpart}"
     out += (
-        f"{enc_num} 0 obj\n<< /Filter /Standard /V {v} /R {revision} {lenpart}"
+        f"{enc_num} 0 obj\n<< /Filter /Standard {dictpart}"
         f"/O <{o_value.hex()}> /U <{u_value.hex()}> /P {p} >>\nendobj\n"
     ).encode()
     xref_pos = len(out)
@@ -461,6 +679,7 @@ _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+0\s+R")
 _ID0_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>")
 _OHEX_RE = re.compile(rb"/O\s*<([0-9A-Fa-f]+)>")
 _UHEX_RE = re.compile(rb"/U\s*<([0-9A-Fa-f]+)>")
+_UEHEX_RE = re.compile(rb"/UE\s*<([0-9A-Fa-f]+)>")
 _PVAL_RE = re.compile(rb"/P\s+(-?\d+)")
 _VNUM_RE = re.compile(rb"/V\s+(\d+)")
 _RNUM_RE = re.compile(rb"/R\s+(\d+)")
@@ -469,12 +688,16 @@ _KEYBITS_RE = re.compile(rb"/Length\s+(\d+)")
 
 def _decrypt_objects(objs: dict[int, bytes], data: bytes) -> None:
     """If the trailer names a standard-handler /Encrypt dict at V1/R2
-    (40-bit RC4) or V2/R3 (RC4 up to 128-bit — the common wild revision),
-    verify the EMPTY user password (Algorithm 6: recomputed U matches) and
-    decrypt every object's stream payload in place. Unsupported revisions
-    (AES R4+/R6) or a failed password check leave objects untouched (→
-    zero words, flagged via pdf_meta — O6 containment; password-protected
-    content is honestly unreadable, never garbage)."""
+    (40-bit RC4), V2/R3 (RC4 up to 128-bit) or V4/R4 with an /AESV2
+    (AES-128-CBC) or /V2 (RC4) crypt filter — together the overwhelming
+    majority of wild encrypted PDFs — verify the EMPTY user password
+    (Algorithm 6: recomputed U matches) and decrypt every object's stream
+    payload AND string objects in place (7.6.2 covers both; AES streams
+    carry a 16-byte IV prefix + PKCS#7 padding, so /Length is re-patched).
+    Unsupported revisions (AES-256 R6) or a failed password check leave
+    objects untouched (→ zero words, flagged via pdf_meta — O6
+    containment; password-protected content is honestly unreadable, never
+    garbage)."""
     tail = data[-2048:]
     em = _ENCRYPT_REF_RE.search(tail)
     idm = _ID0_RE.search(tail)
@@ -487,40 +710,81 @@ def _decrypt_objects(objs: dict[int, bytes], data: bytes) -> None:
     if not (vm and rm):
         return
     v, r = int(vm.group(1)), int(rm.group(1))
-    if (v, r) not in ((1, 2), (2, 3)):
-        return  # AES / crypt-filter revisions: honestly unreadable
-    km = _KEYBITS_RE.search(enc)
-    n = 5 if r == 2 else (int(km.group(1)) // 8 if km else 16)
-    if not 5 <= n <= 16:
-        return
+    aes = False
+    if (v, r) in ((1, 2), (2, 3)):
+        pass  # classic RC4
+    elif v == 4 and r == 4:
+        # crypt-filter indirection: /StdCF names the method
+        if re.search(rb"/CFM\s*/AESV2\b", enc):
+            aes = True
+        elif not re.search(rb"/CFM\s*/V2\b", enc):
+            return  # /None, custom filters: honestly unreadable
+    elif v == 5 and r in (5, 6):
+        if not re.search(rb"/CFM\s*/AESV3\b", enc):
+            return
+        aes = True
+    else:
+        return  # unknown handler versions: honestly unreadable
     om, um, pm = _OHEX_RE.search(enc), _UHEX_RE.search(enc), _PVAL_RE.search(enc)
-    if not (om and um and pm and idm):
+    if not (om and um and pm and (idm or v == 5)):
         return
     o_value = bytes.fromhex(om.group(1).decode())
     u_value = bytes.fromhex(um.group(1).decode())
-    id0 = bytes.fromhex(idm.group(1).decode())
-    fkey = _file_key(b"", o_value, int(pm.group(1)), id0, r, n)
-    # Algorithm 6: R2 compares all 32 bytes, R3 only the first 16
-    check_len = 32 if r == 2 else 16
-    if _compute_u(fkey, id0, r)[:check_len] != u_value[:check_len]:
-        return  # needs a real password: leave as-is
+    if v == 5:
+        # AES-256 (§7.6.4.4): validate the EMPTY user password against
+        # U[:32], then unwrap the file key from /UE under the key-salt hash
+        uem = _UEHEX_RE.search(enc)
+        if not uem or len(u_value) < 48:
+            return
+        from .aes import cbc_decrypt
+
+        vsalt, ksalt = u_value[32:40], u_value[40:48]
+        if _hash_2b(b"", vsalt, r=r) != u_value[:32]:
+            return  # needs a real password: leave as-is
+        ue = bytes.fromhex(uem.group(1).decode())
+        if len(ue) != 32:
+            return
+        fkey = cbc_decrypt(_hash_2b(b"", ksalt, r=r), b"\0" * 16, ue, unpad=False)
+    else:
+        km = _KEYBITS_RE.search(enc)
+        n = 5 if r == 2 else (int(km.group(1)) // 8 if km else 16)
+        if aes:
+            n = 16  # AESV2 is always a 128-bit key
+        if not 5 <= n <= 16:
+            return
+        id0 = bytes.fromhex(idm.group(1).decode())
+        extra = b""
+        if r == 4 and re.search(rb"/EncryptMetadata\s+false", enc):
+            extra = b"\xff\xff\xff\xff"  # Algorithm 2 step f
+        fkey = _file_key(b"", o_value, int(pm.group(1)), id0, r, n, extra)
+        # Algorithm 6: R2 compares all 32 bytes, R≥3 only the first 16
+        check_len = 32 if r == 2 else 16
+        if _compute_u(fkey, id0, min(r, 3))[:check_len] != u_value[:check_len]:
+            return  # needs a real password: leave as-is
+    if aes:
+        from .aes import cbc_decrypt
+
+        def _make_fns(num):
+            # AESV2: per-object MD5-derived key; AESV3: the file key itself
+            okey = _object_key(fkey, num, aes=True) if v == 4 else fkey
+
+            def dec(b, k=okey):
+                if len(b) < 32 or (len(b) - 16) % 16:
+                    return b  # not valid IV+blocks: leave untouched
+                return cbc_decrypt(k, b[:16], b[16:])
+
+            return dec
+    else:
+        def _make_fns(num):
+            okey = _object_key(fkey, num)
+            return lambda b, k=okey: _rc4(k, b)
+
     for num in list(objs):
-        body = objs[num]
-        i = body.find(b"stream")
-        if i == -1:
-            continue
-        j = i + len(b"stream")
-        if body[j : j + 2] == b"\r\n":
-            j += 2
-        elif body[j : j + 1] == b"\n":
-            j += 1
-        lm = _LENGTH_RE.search(body[:i])
-        ln = int(lm.group(1)) if lm else max(body.find(b"endstream", j) - j, 0)
-        objs[num] = (
-            body[:j]
-            + _rc4(_object_key(fkey, num), body[j : j + ln])
-            + body[j + ln :]
-        )
+        fn = _make_fns(num)
+        try:
+            objs[num] = _crypt_object_body(objs[num], fn, fn, emit="literal")
+        except Exception:
+            pass  # malformed object: leave as-is, containment downstream
 
 
 # ----------------------------------------------------------------------

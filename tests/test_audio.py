@@ -123,3 +123,46 @@ def test_embed_audio_real_feature_flag(spark):
     )
     flags = {r["media_ref"]: r["real_feature"] for r in A.embed_audio(media).collect()}
     assert flags == {"wav": True, "junk": False}
+
+
+def _riff(fmt_payload: bytes, data_payload: bytes) -> bytes:
+    import struct
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+    body += b"data" + struct.pack("<I", len(data_payload)) + data_payload
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _fmt(af=1, ch=1, rate=16000, bits=16) -> bytes:
+    import struct
+    block = max(ch * bits // 8, 1)
+    return struct.pack("<HHIIHH", af, ch, rate, rate * block, block, bits)
+
+
+def test_malformed_riff_containment(spark):
+    """O6 containment (ADVICE r4): malformed-but-RIFF payloads — odd-length
+    16-bit data chunk, zero-channel fmt, zero-rate fmt — must emit
+    transcoded=false / valid=false rows, never fail the task."""
+    odd_data = _riff(_fmt(bits=16), b"\x01\x02\x03")         # 3 bytes, itemsize 2
+    zero_ch = _riff(_fmt(ch=0), b"\x00" * 64)
+    zero_rate = _riff(_fmt(rate=0), b"\x00" * 64)
+    good = A.make_wav(np.zeros(800), sample_rate=8000)
+    media = spark.createDataFrame(
+        [("m-odd", bytearray(odd_data)), ("m-ch0", bytearray(zero_ch)),
+         ("m-r0", bytearray(zero_rate)), ("m-ok", bytearray(good))],
+        "media_ref string, payload binary",
+    )
+    t = {r["media_ref"]: r for r in A.transcode_wav(media).collect()}
+    assert t["m-ok"]["transcoded"] is True
+    # odd data chunk is a truncated final sample: lenient decode is fine,
+    # the contract is only "no task failure" + payload survives either way
+    for ref in ("m-ch0", "m-r0"):
+        assert t[ref]["transcoded"] is False
+        assert bytes(t[ref]["payload"]) == {"m-ch0": zero_ch, "m-r0": zero_rate}[ref]
+    m = {r["media_ref"]: r for r in A.decode_audio_meta(media).collect()}
+    assert m["m-ok"]["valid"] is True
+    assert m["m-ch0"]["valid"] is False and m["m-r0"]["valid"] is False
+    e = {r["media_ref"]: r for r in A.embed_audio(media).collect()}
+    assert e["m-ok"]["real_feature"] is True
+    assert e["m-ch0"]["real_feature"] is False  # hash-stub fallback fired
+    assert len(e["m-ch0"]["embedding"]) == 16

@@ -204,3 +204,51 @@ def test_embed_media_jpeg_features_near_png(spark):
         / (np.linalg.norm(vecs["jpg"]) * np.linalg.norm(vecs["png"]))
     )
     assert cos > 0.999
+
+
+def _image_with_zz_pattern(target_zz, quality):
+    """Craft an 8x8 grayscale image whose quantized zigzag coefficients at
+    ``quality`` equal ``target_zz`` (verified), via inverse DCT of the
+    dequantized targets. Large quant steps (low quality) keep pixel-rounding
+    noise from flipping any target value."""
+    qt = J._scale_qt(J._QT_LUMA, quality)
+    nat = np.zeros(64)
+    nat[J._ZIGZAG] = np.asarray(target_zz, dtype=np.float64) * qt
+    pix = J._DCT_M.T @ nat.reshape(8, 8) @ J._DCT_M + 128.0
+    img = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
+    # verify the encoder's own quantization reproduces the target exactly
+    coef = J._DCT_M @ (img.astype(np.float64) - 128.0) @ J._DCT_M.T
+    got = np.rint(coef.reshape(64)[J._ZIGZAG] / qt).astype(int)
+    assert got.tolist() == list(target_zz), "fixture did not survive rounding"
+    return img
+
+
+def test_ac_refine_zrl_before_correction_bit():
+    """Regression: an AC refinement band with >=16 zeros, then a
+    history-nonzero coeff (|q|>=2), then a newly-nonzero |q|=1 must flush
+    the pending ZRL BEFORE buffering the correction bit (libjpeg
+    encode_mcu_AC_refine ordering). The buggy order emitted the buffered
+    bit after the ZRL where the decoder never reads it, desyncing the
+    stream ('AC refinement s != 1')."""
+    target = [0] * 64
+    target[0] = 2   # DC
+    # zigzag band 1..63: positions 1..16 zero (run of 16), then 6, then 1
+    target[17] = 6  # |q|>1 -> history-nonzero in the Al=0 refinement scan
+    target[18] = 1  # newly nonzero right after -> triggers the ZRL flush
+    img = _image_with_zz_pattern(target, quality=25)
+    prog = J.encode_progressive_jpeg(img, quality=25)
+    dec = J.decode_jpeg(prog)  # buggy encoder: raises or misdecodes
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=25))
+    assert np.array_equal(dec, base)
+
+
+def test_ac_refine_zrl_trailing_correction_bits():
+    """Companion shape: 16 zeros then |q|>=2 with NO later newly-nonzero
+    coeff — the correction bit must ride under the trailing EOB."""
+    target = [0] * 64
+    target[0] = 2
+    target[17] = 7  # odd -> correction bit is 1, must actually be read
+    img = _image_with_zz_pattern(target, quality=25)
+    dec = J.decode_jpeg(J.encode_progressive_jpeg(img, quality=25))
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=25))
+    assert np.array_equal(dec, base)

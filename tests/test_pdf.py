@@ -540,3 +540,68 @@ def test_embedded_media_rehydration_end_to_end(spark):
     assert len(vecs) == 2 and len(vecs[0]["embedding"]) == 16
     # identical payloads → identical pooled features
     assert list(vecs[0]["embedding"]) == list(vecs[1]["embedding"])
+
+
+def test_encrypted_pdf_aes128_roundtrip():
+    """V4/R4 with the AESV2 crypt filter (AES-128-CBC, empty user password
+    — the modern default for 'protected' wild PDFs; the reference opens
+    these via PyMuPDF, lambda/api/app/utils/pdf.py:53-87): streams carry
+    IV+CBC ciphertext with /Length re-patched, string objects are
+    encrypted too (7.6.2), and every writer variant parses back
+    identically."""
+    pages = [
+        [("hello", 50, 60), ("world", 140, 60), (None, 50, 120, 80, 40)],
+        [("page2", 50, 60)],
+    ]
+    base = _sig(P.pdf_word_rows("d", P.make_text_pdf(pages)))
+    for compress in (False, True, "lzw"):
+        enc = P.encrypt_pdf(P.make_text_pdf(pages, compress=compress), revision=4)
+        assert b"/AESV2" in enc and b"(hello)" not in enc
+        assert _sig(P.pdf_word_rows("d", enc)) == base, compress
+    # Type0 + ObjStm modern shape under AES
+    t0 = P.make_text_pdf(pages, font="type0", compress=True)
+    t0base = _sig(P.pdf_word_rows("d", t0))
+    enc_t0 = P.encrypt_pdf(t0, revision=4)
+    assert b"(Adobe)" not in enc_t0  # string objects really are encrypted
+    assert _sig(P.pdf_word_rows("d", enc_t0)) == t0base
+    modern = P.to_objstm_pdf(P.make_text_pdf(pages, compress=True))
+    assert _sig(P.pdf_word_rows("d", P.encrypt_pdf(modern, revision=4))) == _sig(
+        P.pdf_word_rows("d", modern)
+    )
+    # embedded media decrypts byte-identically
+    jpeg = b"\xff\xd8payload\xff\xd9"
+    enc = P.encrypt_pdf(
+        P.make_text_pdf([[("x", 50, 60), (None, 50, 200, 90, 70)]], image_jpeg=jpeg),
+        revision=4,
+    )
+    assert jpeg not in enc
+    assert P.pdf_media_payloads(enc) == [jpeg]
+
+
+def test_encrypted_pdf_aes256_roundtrip():
+    """V5 AES-256 (AESV3): R5 (plain SHA-256, deprecated Adobe rev) and R6
+    (PDF 2.0 hardened Algorithm 2.B) — file key unwrapped from /UE after
+    the empty-user-password check against U[:32]; a corrupted validation
+    hash (≈ real password) is honestly unreadable."""
+    pages = [[("hello", 50, 60), ("world", 140, 60)], [("page2", 50, 60)]]
+    base = _sig(P.pdf_word_rows("d", P.make_text_pdf(pages)))
+    for rev in (5, 6):
+        enc = P.encrypt_pdf(P.make_text_pdf(pages), revision=rev)
+        assert b"/AESV3" in enc and b"/UE <" in enc and b"(hello)" not in enc
+        assert _sig(P.pdf_word_rows("d", enc)) == base, rev
+    enc6 = P.encrypt_pdf(P.make_text_pdf(pages), revision=6)
+    locked = re.sub(rb"/U <[0-9a-f]{8}", b"/U <00000000", enc6, count=1)
+    assert P.pdf_word_rows("d", locked) == []
+
+
+def test_encrypted_string_objects_rc4_conformant():
+    """ADVICE r4: the standard handler encrypts string objects, not just
+    streams (7.6.2) — RC4 fixtures now do too, so /Registry (Adobe) etc.
+    are ciphertext on disk and round-trip through the parser."""
+    pages = [[("café", 50, 60), ("naïve", 140, 60)]]
+    t0 = P.make_text_pdf(pages, font="type0", compress=True)
+    base = _sig(P.pdf_word_rows("d", t0))
+    for rev in (2, 3):
+        enc = P.encrypt_pdf(t0, revision=rev)
+        assert b"(Adobe)" not in enc and b"(Identity)" not in enc, rev
+        assert _sig(P.pdf_word_rows("d", enc)) == base, rev

@@ -129,6 +129,23 @@ def test_interval_null_columns_survive(spark):
     assert got == {1: (1, None), 2: (1, "x")}
 
 
+def test_interval_null_bounds_survive_with_zero_count(spark):
+    """Interval rows whose start/end is NULL must survive to the output
+    with count 0 (ADVICE r4: floor(NULL) made F.sequence NULL and a plain
+    explode dropped the row; explode_outer keeps it)."""
+    intervals = spark.createDataFrame(
+        [(1, 7, _ts(0), _ts(30)), (2, 7, None, _ts(30)),
+         (3, 7, _ts(0), None), (4, 7, None, None)],
+        "event_id long, user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    points = spark.createDataFrame([(7, _ts(5))], "user_id long, ts string")
+    points = points.withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["event_id"]: r["n_points"] for r in TMP.interval_count_join(
+        intervals, points, on="user_id", start_col="start_ts", end_col="end_ts"
+    ).collect()}
+    assert got == {1: 1, 2: 0, 3: 0, 4: 0}
+
+
 def test_asof_hot_key_chunked_matches_default(spark):
     """The time-chunked variant returns IDENTICAL rows to the single-window
     default on a skewed distribution: one hot key with ~100x the median
