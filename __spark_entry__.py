@@ -553,21 +553,26 @@ def _q_pdf_modern_ingest(spark, sf):
 
 
 def _q_pdf_encrypted_ingest(spark, sf):
-    """P1 wild-PDF widening (r4): render → RC4-ENCRYPT (standard security
-    handler V1/R2, empty user password) with composite Type0/Identity-H
-    fonts → parse back through password verification, per-object stream
-    decryption, and /ToUnicode CID resolution → the ordinary layout/span
-    pipeline. Same text-reassembly oracle: ciphertext on disk must
-    reconstruct every document's leading tokens exactly. Reference parity:
-    PyMuPDF opens empty-user-password encrypted uploads transparently
-    (lambda/api/app/utils/pdf.py:53-87 sets no password), so the reference
-    app accepts these files; the engine must too."""
+    """P1 wild-PDF widening (r4, AES r5): render → ENCRYPT with the
+    standard security handler, rotating revisions per doc — V1/R2 40-bit
+    RC4, V2/R3 128-bit RC4, V4/R4 AES-128-CBC (AESV2), V5/R5 AES-256
+    (AESV3) — all with empty user passwords, composite Type0/Identity-H
+    fonts, and string-object encryption → parse back through password
+    verification, per-object stream+string decryption (AES: IV strip +
+    CBC + /Length re-patch), and /ToUnicode CID resolution → the ordinary
+    layout/span pipeline. Same text-reassembly oracle: ciphertext on disk
+    must reconstruct every document's leading tokens exactly. Reference
+    parity: PyMuPDF opens empty-user-password encrypted uploads
+    transparently (lambda/api/app/utils/pdf.py:53-87 sets no password), so
+    the reference app accepts these files; the engine must too. R6's
+    hardened 2.B hash (deliberately ~1s/file by spec) is pytest-gated
+    instead (test_encrypted_pdf_aes256_roundtrip)."""
     from autoextract.sources.pdf import pdf_words_table, render_docs_to_pdf
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 150)
     raw = render_docs_to_pdf(
         docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
-        encrypt=True,
+        encrypt="mixed",
         font="type0",
     )
     spans = spans_table(pdf_words_table(raw))

@@ -1714,7 +1714,14 @@ def render_docs_to_pdf(
                 )
                 if modern:
                     payload = to_objstm_pdf(payload)
-                if encrypt:
+                if encrypt == "mixed":
+                    # rotate the four cheap handler revisions per doc: RC4
+                    # 40/128-bit, AES-128 (AESV2), AES-256 (AESV3 R5). R6's
+                    # deliberately-slow 2.B hardening stays pytest-gated.
+                    d = str(doc_id)[-1]
+                    rev = (2, 3, 4, 5)[int(d) % 4 if d.isdigit() else 0]
+                    payload = encrypt_pdf(payload, revision=rev)
+                elif encrypt:
                     payload = encrypt_pdf(payload)
                 rows.append({"doc_id": str(doc_id), "payload": payload})
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
