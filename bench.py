@@ -92,6 +92,13 @@ HEADLINE = [
     "winnowing_fingerprints",
     "batch_ann_knn",
     "extraction_oracle",
+    # r5 (VERDICT r4 "what's wrong" #3): the 100TB scale-path variants are
+    # timed too, so a perf regression in the paths a big run would actually
+    # take is visible round-over-round, not just correctness-gated.
+    "embedding_neardup_blas",
+    "asof_join_chunked",
+    "pdf_modern_ingest",
+    "pdf_encrypted_ingest",
 ]
 
 
@@ -109,14 +116,20 @@ SCALE_REPLICATE = 48
 #: ~16–20 cores and passes only in the host's best windows — it is attempted
 #: as an upgrade once a robust pass is banked and time remains.  Each entry:
 #: ((lo, hi), cal_floor, max_attempts).
-SCALE_PAIRS = (((1, 4), 10.0, 3), ((2, 8), 16.0, 3))
+SCALE_PAIRS = (((1, 4), 10.0, 3), ((2, 8), 16.0, 8))
 #: wall budget for the whole protocol / cutoff past which the (2,8) upgrade
-#: attempt is skipped (a slow robust phase = a bad window anyway). r4: third
-#: 2→8 attempt allowed and budget widened — banking a bounded 2→8 pair is
-#: the round's scaling goal (its 4N side exercises 16 vCPUs, closer to a
-#: real executor fan-out); 1→4 stays the robust fallback.
+#: attempt is skipped (a slow robust phase = a bad window anyway). r5
+#: (VERDICT r4 next-round #1): the 2→8 pair is ADAPTIVE — once the robust
+#: 1→4 is banked, remaining budget is spent retrying 2→8 (up to 8
+#: attempts) with a decorrelating sleep between failed attempts, because
+#: r4's driver data showed the co-scheduling troughs that kill a 2→8
+#: attempt are transient minute-scale events (its three attempts read
+#: 0.22/0.18/0.71; the same protocol banked 1.006 in a neighbouring
+#: window).  The sleep matters: back-to-back retries land in the same
+#: trough.
 SCALE_TIME_BUDGET_S = 1800.0
-SCALE_UPGRADE_CUTOFF_S = 1000.0
+SCALE_UPGRADE_CUTOFF_S = 1500.0
+SCALE_RETRY_SLEEP_S = 25.0
 
 
 def _span_pipeline_docs(spark, sf_dir: str, replicate: int = 1):
@@ -202,10 +215,66 @@ def span_run(cpus: int) -> None:
     spark.stop()
 
 
+#: soak target (VERDICT r4 next-round #7): ≥5M docs through the full span
+#: pipeline in ONE materialization at a bounded local[8] — validates
+#: checkpoint/lineage-scale shuffle memory at ~1000× the sf0.1 suite's doc
+#: count and gives a long, noise-insensitive throughput window.
+SOAK_TARGET_DOCS = int(os.environ.get("SPARK_GRAFT_SOAK_DOCS", "5000000"))
+SOAK_CPUS = 8
+
+
+def soak_run(cpus: int) -> None:
+    """Subprocess body (``--soak-run N``): one-shot soak materialization of
+    the span pipeline, reporting docs/s plus shuffle-volume metrics from the
+    Spark UI REST API (total + peak-stage shuffle write bytes — the 'would
+    this spill at scale' evidence)."""
+    import urllib.request
+
+    from autoextract.session import get_spark
+
+    spark = get_spark(app_name=f"bench-soak-{cpus}", parallelism=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    warm = _span_pipeline_docs(spark, SF_DIR, replicate=2)
+    _materialize(warm)
+    n_base = warm.count() // 2
+    rep = max(1, -(-SOAK_TARGET_DOCS // n_base))
+    spans = _span_pipeline_docs(spark, SF_DIR, replicate=rep)
+    t0 = time.monotonic()
+    _materialize(spans)
+    wall = time.monotonic() - t0
+    shuffle: dict = {}
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages", timeout=10
+        ) as r:
+            stages = json.loads(r.read())
+        writes = [s.get("shuffleWriteBytes", 0) for s in stages]
+        reads = [s.get("shuffleReadBytes", 0) for s in stages]
+        shuffle = {
+            "total_shuffle_write_bytes": sum(writes),
+            "peak_stage_shuffle_write_bytes": max(writes, default=0),
+            "peak_stage_shuffle_read_bytes": max(reads, default=0),
+        }
+    except Exception as exc:  # UI off / port issue: soak still reports docs/s
+        shuffle = {"shuffle_metrics_error": str(exc)[:120]}
+    print(json.dumps({
+        "cpus": cpus, "docs": n_base * rep, "wall_s": round(wall, 2),
+        "docs_per_sec": round(n_base * rep / wall, 2), **shuffle,
+    }))
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--span-run":
         span_run(int(sys.argv[2]))
         return
+    if len(sys.argv) > 2 and sys.argv[1] == "--soak-run":
+        soak_run(int(sys.argv[2]))
+        return
+
+    t_main = time.monotonic()
 
     import __spark_entry__ as E
     from autoextract.session import get_spark
@@ -250,7 +319,8 @@ def main() -> None:
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         scaling = {"skipped": "SPARK_GRAFT_SKIP_SCALING set (smoke run)"}
-        _print_result(timings, query_runs, n_docs, span_wall, scaling)
+        _print_result(timings, query_runs, n_docs, span_wall, scaling,
+                      {"skipped": "smoke run"})
         return
     try:
         def measure(cpus: int, bound: bool = True) -> dict:
@@ -277,6 +347,11 @@ def main() -> None:
             if accepted is not None and elapsed > SCALE_UPGRADE_CUTOFF_S:
                 break  # robust pass banked; window too slow for the upgrade
             for i in range(max_attempts):
+                if i > 0:
+                    # failed attempt: sleep to escape the transient
+                    # co-scheduling trough before retrying (r4: back-to-back
+                    # retries read the same bad minute)
+                    time.sleep(SCALE_RETRY_SLEEP_S)
                 cal_before = _spin_calibration()
                 r_lo = measure(lo_n)
                 r_hi = measure(hi_n)
@@ -348,10 +423,37 @@ def main() -> None:
     except Exception as exc:  # scaling evidence is best-effort in-harness
         scaling = {"error": str(exc)[:200]}
 
-    _print_result(timings, query_runs, n_docs, span_wall, scaling)
+    # soak: one long bounded-local[8] materialization at ≥5M docs (~1000×
+    # the suite's corpus) — skipped when the scaling phase already consumed
+    # the run's wall budget, so the whole bench stays inside the driver's
+    # patience.
+    soak: dict = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SOAK"):
+        soak = {"skipped": "SPARK_GRAFT_SKIP_SOAK set"}
+    elif time.monotonic() - t_main > 2400.0:
+        soak = {"skipped": "bench wall budget consumed by scaling phase"}
+    else:
+        try:
+            cmd = [
+                "taskset", "-c", f"0-{2 * SOAK_CPUS - 1}",
+                sys.executable, os.path.abspath(__file__),
+                "--soak-run", str(SOAK_CPUS),
+            ]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1500,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
+            )
+            line = [
+                l for l in out.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            soak = json.loads(line)
+        except Exception as exc:
+            soak = {"error": str(exc)[:200]}
+
+    _print_result(timings, query_runs, n_docs, span_wall, scaling, soak)
 
 
-def _print_result(timings, query_runs, n_docs, span_wall, scaling) -> None:
+def _print_result(timings, query_runs, n_docs, span_wall, scaling, soak) -> None:
     """Emit a COMPACT one-line JSON summary on stdout and write the full
     detail (per-query best-of-2 walls, every scaling attempt, protocol
     text) to bench_detail.json next to this file.
@@ -391,6 +493,7 @@ def _print_result(timings, query_runs, n_docs, span_wall, scaling) -> None:
         "sf": sf_val,
         "docs_per_sec": round(n_docs / span_wall, 2),
         "scaling": scaling_summary,
+        "soak": soak,
         "detail_file": "bench_detail.json",
     }
     detail = dict(result)
