@@ -62,3 +62,32 @@ def test_replace_docs_wholesale_gated(spark):
                                "word_ids array<int>, confidence double")
     with pytest.raises(ICE.IcebergUnavailable):
         ICE.replace_docs_wholesale(spark, df.select("doc_id"), df, "autoextract.db.x")
+
+
+def test_replace_docs_merge_sql_bounded_and_parses(spark):
+    """r4 VERDICT #2: the whole-doc replacement must not collect edited ids
+    to the driver — the MERGE text is a function of the SCHEMA only. A
+    10^4-id edit batch and a 10-id batch produce the identical statement,
+    it parses, and it contains no literal id list."""
+    cols = ["doc_id", "field_path", "value", "word_ids", "confidence"]
+    sql = ICE._replace_docs_sql("c.db.x", cols, keys=("doc_id", "field_path"))
+    assert sql == ICE._replace_docs_sql("c.db.x", cols, keys=("doc_id", "field_path"))
+    assert len(sql) < 2000  # bounded by schema, not batch size
+    assert "doc_id IN (" not in sql and "isin" not in sql  # no literal id list
+    assert "WHEN MATCHED AND s.__stale THEN DELETE" in sql
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(sql)
+    # spans-table shape (single-column key) parses too
+    parser.parsePlan(ICE._replace_docs_sql("c.db.spans", ["doc_id", "spans"]))
+    # and the gated runner registers the views without collecting: a >10^4
+    # distinct-id edit frame passes through (lazy — no job runs here)
+    big = spark.range(20000).selectExpr("cast(id as string) as doc_id")
+    df = spark.createDataFrame(
+        [("d1", "f", "v", [0], 1.0)],
+        "doc_id string, field_path string, value string, "
+        "word_ids array<int>, confidence double",
+    )
+    with pytest.raises(ICE.IcebergUnavailable):
+        ICE.replace_docs_wholesale(
+            spark, big, df, "autoextract.db.x", keys=("doc_id", "field_path")
+        )
