@@ -686,7 +686,8 @@ def _q_pdf_media_roundtrip(spark, sf):
 def _q_media_resize_roundtrip(spark, sf):
     """P2 as a DRIVER-CHECKED verdict: 60 docs carry a deterministic
     OVERSIZED image rotating across the codec family — PNG, baseline JPEG,
-    PROGRESSIVE JPEG, single-frame GIF, ANIMATED GIF — the production
+    PROGRESSIVE JPEG, single-frame GIF, ANIMATED GIF, and (r5) LOSSLESS
+    WebP/VP8L with the subtract-green transform — the production
     ``resize_image`` kernel must mark each resized AND produce decodable
     bytes at exactly the ``resize_plan`` target dims (same ≤1568 long-edge
     policy as the reference's helpers.py:58-104). Oracle = all-true."""
@@ -695,8 +696,8 @@ def _q_media_resize_roundtrip(spark, sf):
     def doc_image(doc_id: int) -> bytes:
         w = 1600 + (doc_id % 7) * 16  # long edge over the 1568 cap
         h = 24 + (doc_id % 5) * 8
-        kind = doc_id % 5
-        if kind in (0, 1, 2):
+        kind = doc_id % 6
+        if kind in (0, 1, 2, 5):
             g = (
                 np.arange(w, dtype=np.float64)[None, :] % 251
                 + np.arange(h, dtype=np.float64)[:, None] * 3
@@ -709,6 +710,10 @@ def _q_media_resize_roundtrip(spark, sf):
                 from autoextract.operators.png_codec import encode_png
 
                 return encode_png(rgb)
+            if kind == 5:
+                from autoextract.operators.webp_codec import encode_webp_lossless
+
+                return encode_webp_lossless(rgb, use_subtract_green=True)
             from autoextract.operators.jpeg_codec import (
                 encode_jpeg,
                 encode_progressive_jpeg,
@@ -754,6 +759,7 @@ def _q_media_resize_roundtrip(spark, sf):
         )
         from autoextract.operators.jpeg_codec import decode_jpeg
         from autoextract.operators.png_codec import decode_png
+        from autoextract.operators.webp_codec import decode_webp
 
         for pdf in batches:
             rows = []
@@ -768,12 +774,14 @@ def _q_media_resize_roundtrip(spark, sf):
                 scale = MM.MAX_LONG_EDGE / max(w, h)
                 tw = max(int(round(w * scale)), 1)
                 th = max(int(round(h * scale)), 1)
-                kind = doc_id % 5
+                kind = doc_id % 6
                 ok = bool(was_resized)
                 if ok:
                     try:
                         if kind == 0:
                             got = decode_png(out).shape[:2]
+                        elif kind == 5:
+                            got = decode_webp(out).shape[:2]
                         elif kind in (1, 2):
                             got = decode_jpeg(out).shape[:2]
                         elif kind == 3:
