@@ -804,10 +804,13 @@ def _q_media_resize_roundtrip(spark, sf):
 
 def _q_audio_transcode_roundtrip(spark, sf):
     """The audio normalizer as a DRIVER-CHECKED verdict: 50 docs carry
-    deterministic sine WAVs at rotating sample rates (8/22.05/44.1/48 kHz),
-    channel counts and frequencies; ``transcode_wav`` must emit 16 kHz
-    mono 16-bit PCM whose duration matches and whose tone frequency
-    survives resampling (zero-crossing count). Oracle = all-true."""
+    deterministic sine payloads at rotating sample rates (8/22.05/44.1/48
+    kHz), channel counts and frequencies — every third doc as a REAL FLAC
+    file (r5: CONSTANT/FIXED subframes + Rice residuals, mid/side when
+    stereo, decoded by the pure-Python RFC 9639 codec), the rest as PCM
+    WAV; ``transcode_wav`` must emit 16 kHz mono 16-bit PCM whose duration
+    matches and whose tone frequency survives resampling (zero-crossing
+    count). Oracle = all-true."""
     from autoextract.operators import audio as AU
 
     rates = [8000, 22050, 44100, 48000]
@@ -819,6 +822,14 @@ def _q_audio_transcode_roundtrip(spark, sf):
         t = np.arange(int(rate * seconds)) / rate
         tone = 0.6 * np.sin(2 * np.pi * freq * t)
         x = tone[:, None] if doc_id % 2 else np.stack([tone, tone * 0.5], axis=1)
+        if doc_id % 3 == 0:
+            from autoextract.operators.flac_codec import encode_flac
+
+            return (
+                encode_flac(x, sample_rate=rate, mid_side=(x.shape[1] == 2)),
+                freq,
+                seconds,
+            )
         return AU.make_wav(x, sample_rate=rate), freq, seconds
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50).select("doc_id")

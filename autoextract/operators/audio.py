@@ -7,8 +7,10 @@ integer and 32-bit float samples): ``decode_wav_meta`` reads the header
 facts, ``decode_wav`` yields the sample matrix, ``embed_audio`` pools a
 fixed-dim loudness envelope (windowed RMS, L2-normalized) — the hand-off
 into the similarity operators, exactly like ``embed_media`` for images.
-Compressed codecs (MP3/AAC/OGG) have no in-container decoder and hash-stub
-behind the same Arrow-batched interface (production: ffmpeg/torchaudio).
+FLAC decodes FOR REAL through ``operators.flac_codec`` (r5, RFC 9639);
+remaining compressed codecs (MP3/AAC/OGG) have no in-container decoder and
+hash-stub behind the same Arrow-batched interface (production:
+ffmpeg/torchaudio).
 """
 
 from __future__ import annotations
@@ -132,15 +134,27 @@ def resample_audio(samples: np.ndarray, src_rate: int, dst_rate: int) -> np.ndar
     return samples[i0] * (1.0 - frac) + samples[i1] * frac
 
 
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV or FLAC bytes → ((n_frames, n_channels) float64 in [-1, 1],
+    sample_rate). FLAC decodes through the pure-Python RFC 9639 codec
+    (r5 — ``operators.flac_codec``); anything else raises (→ containment
+    or hash-stub fallback upstream)."""
+    if data[:4] == b"fLaC":
+        from .flac_codec import decode_flac
+
+        return decode_flac(data)
+    return decode_wav(data)
+
+
 def transcode_wav(
     media: DataFrame,
     target_rate: int = 16000,
     mono: bool = True,
     payload_col: str = "payload",
 ) -> DataFrame:
-    """The training-pipeline audio normalizer: every decodable WAV is
-    resampled to ``target_rate`` (linear interpolation), optionally
-    channel-averaged to mono, and re-encoded 16-bit PCM — the uniform
+    """The training-pipeline audio normalizer: every decodable WAV or FLAC
+    (r5) is resampled to ``target_rate`` (linear interpolation), optionally
+    channel-averaged to mono, and re-encoded 16-bit PCM WAV — the uniform
     input shape a downstream audio encoder expects. Undecodable payloads
     pass through byte-identical with ``transcoded=false`` (same honest
     containment contract as the image resize kernel)."""
@@ -155,7 +169,7 @@ def transcode_wav(
             for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
                 try:
-                    x, rate = decode_wav(b)
+                    x, rate = decode_audio(b)
                     if mono and x.shape[1] > 1:
                         x = x.mean(axis=1, keepdims=True)
                     y = resample_audio(x, rate, target_rate)
@@ -179,20 +193,34 @@ def transcode_wav(
 
 
 def decode_audio_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """``(media_ref, payload)`` → typed audio metadata (real parser for WAV;
-    other/garbage payloads → valid=false row, never a task failure)."""
+    """``(media_ref, payload)`` → typed audio metadata (real parsers for
+    WAV and — r5 — FLAC STREAMINFO; other/garbage payloads → valid=false
+    row, never a task failure)."""
 
     def kernel(batches):
+        from .flac_codec import parse_flac_streaminfo
+
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
                 try:
-                    h = parse_wav_header(b)
+                    if b[:4] == b"fLaC":
+                        s = parse_flac_streaminfo(b)
+                        h = {
+                            "sample_rate": s["sample_rate"],
+                            "n_channels": s["n_channels"],
+                            "bits_per_sample": s["bits_per_sample"],
+                            "n_frames": s["total_samples"],
+                        }
+                        fmt = "flac"
+                    else:
+                        h = parse_wav_header(b)
+                        fmt = "wav"
                     rows.append(
                         {
                             "media_ref": ref,
-                            "fmt": "wav",
+                            "fmt": fmt,
                             "sample_rate": h["sample_rate"],
                             "n_channels": h["n_channels"],
                             "bits_per_sample": h["bits_per_sample"],
@@ -246,7 +274,7 @@ def embed_audio(
                 b = bytes(payload) if payload is not None else b""
                 vec = None
                 try:
-                    x, _ = decode_wav(b)
+                    x, _ = decode_audio(b)
                     mono = x.mean(axis=1)
                     if len(mono) >= dim:
                         cut = (len(mono) // dim) * dim
