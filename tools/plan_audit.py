@@ -46,6 +46,16 @@ AUDITED = {
     "join on (key, bucket) → partial-agg on the one-long __iid key; the "
     "interval payload rides as a struct, never as a join key; no rejoin "
     "of the intervals table",
+    # r5: the scale-path variants the 100 TB run would take
+    "asof_join_chunked": "time-chunked hot-key variant: same union-window "
+    "shape but partitioned on (key, bucket) so a mega-key splits across "
+    "tasks; still no join node, bounded extra exchange for the carry",
+    "embedding_neardup_blas": "LSH-bucket explode → shuffle on short band "
+    "keys → ONE python stage doing a Gram matmul per block; raw vectors "
+    "shuffle once, pairs never materialize outside blocks",
+    "pdf_encrypted_ingest": "byte-payload render + parse as two python "
+    "stages around the single spans exchange; decryption is per-row work "
+    "inside the kernel, invisible to the shuffle plan",
 }
 
 
