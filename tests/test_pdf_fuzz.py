@@ -43,6 +43,8 @@ def _base_pdfs() -> dict[str, bytes]:
         "a85": make_text_pdf(words, compress="a85+flate"),
         "type0": make_text_pdf(words, font="type0"),
         "encrypted": encrypt_pdf(make_text_pdf(words, compress=True)),
+        "aes128": encrypt_pdf(make_text_pdf(words, compress=True), revision=4),
+        "aes256": encrypt_pdf(make_text_pdf(words, compress=True), revision=5),
         "inline_img": make_text_pdf(words, inline_image=(4, 4, bytes(range(48)))),
     }
 
@@ -73,6 +75,22 @@ def _mutations() -> list[tuple[str, bytes]]:
     muts.append(("encrypted_bad_u",
                  re.sub(rb"/U <[0-9a-f]+>", b"/U <" + b"00" * 32 + b">", encd)))
     muts.append(("encrypted_trunc", encd[: int(len(encd) * 0.6)]))
+    aes = bases["aes128"]
+    # AES-specific shapes: stream not a whole number of blocks after the IV,
+    # corrupted IV+ciphertext (padding strips garbage), truncation, and a
+    # V5 file whose /UE key wrap is damaged (file key unrecoverable)
+    si = aes.find(b"stream\n") + 7
+    muts.append(("aes_ragged_blocks", aes[: si + 20] + aes[si + 27 :]))
+    ivflip = bytearray(aes)
+    for k in range(16):
+        ivflip[si + k] ^= 0xA5
+    muts.append(("aes_corrupt_iv", bytes(ivflip)))
+    muts.append(("aes_trunc", aes[: int(len(aes) * 0.55)]))
+    aes2 = bases["aes256"]
+    muts.append(("aes256_bad_ue",
+                 re.sub(rb"/UE <[0-9a-f]{8}", b"/UE <deadbeef", aes2)))
+    muts.append(("aes256_short_u",
+                 re.sub(rb"/U <[0-9a-f]+>", b"/U <aabb>", aes2)))
     inl = bases["inline_img"]
     muts.append(("inline_no_ei", inl.replace(b"EI Q", b"   Q")))
     muts.append(("inline_lying_dims", inl.replace(b"/W 4 /H 4", b"/W 99 /H 99")))
@@ -169,5 +187,5 @@ def test_fuzz_valid_bases_unaffected(spark):
     words = pdf_words_table(pdfs)
     counts = {r["doc_id"]: r["n"] for r in
               words.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
-    assert len(counts) == 11  # plain/flate/lzw/tm/media/flate_tm_media/objstm/a85/type0/encrypted/inline_img
+    assert len(counts) == 13  # + aes128/aes256 (r5)
     assert all(n == 3 for n in counts.values())  # 2 words + 1 media placeholder
