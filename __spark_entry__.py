@@ -585,6 +585,58 @@ def _q_pdf_encrypted_ingest(spark, sf):
     )
 
 
+def _q_pdf_aes256_ingest(spark, sf):
+    """The AES-256 hardened path (V5/R6 — the PDF 2.0 default) as its own
+    small-set driver gate: 6 docs render → encrypt with the standard
+    handler at R6 (Algorithm 2.B iterated hash, /UE file-key unwrap,
+    AESV3 stream+string decryption) → reassemble through the ordinary
+    layout/span pipeline. Small on purpose: 2.B costs ~1 s/file BY SPEC
+    (the hardening is the feature), so the wide rotation lives in
+    ``pdf_encrypted_ingest`` and this query pins R6 specifically."""
+    from autoextract.sources.pdf import pdf_words_table, render_docs_to_pdf
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 6)
+    raw = render_docs_to_pdf(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+        encrypt="aes256r6",
+        font="type0",
+    )
+    spans = spans_table(pdf_words_table(raw))
+    return spans.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.array_join(F.transform("spans", lambda s: s["text"]), " ").alias(
+            "text_rebuilt"
+        ),
+    )
+
+
+def _q_interval_count_null_bounds(spark, sf):
+    """NULL-bounded intervals (ADVICE r4): every 7th signup's start_ts is
+    NULLed; such rows must SURVIVE to the output with n_clicks = 0 (the
+    explode_outer path) — checked value-for-value against DuckDB's natural
+    LEFT JOIN semantics, where a NULL bound simply never matches."""
+    from autoextract.operators import temporal as TMP
+
+    e = _t(spark, sf, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    signups = e.where(F.col("event_type") == "signup").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("ts"))
+        .alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    out = TMP.interval_count_join(
+        signups, clicks, on="user_id", start_col="start_ts", end_col="end_ts",
+        count_alias="n_clicks",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("n_clicks").cast("long").alias("n_clicks")
+    )
+
+
 def _q_asof_join_chunked(spark, sf):
     """The time-chunked as-of variant (hot-key path) against the SAME DuckDB
     native ASOF JOIN oracle as ``asof_join`` — proving the bucket-local
@@ -952,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
+        "pdf_aes256_ingest": _q_pdf_aes256_ingest,
+        "interval_count_null_bounds": _q_interval_count_null_bounds,
         "pdf_media_roundtrip": _q_pdf_media_roundtrip,
         "media_resize_roundtrip": _q_media_resize_roundtrip,
         "audio_transcode_roundtrip": _q_audio_transcode_roundtrip,
@@ -1390,6 +1444,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60)) AS BIGINT) AS n_spans,
                    array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60), ' ') AS text_rebuilt
             FROM documents WHERE doc_id < 150
+        """,
+        "pdf_aes256_ingest": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60)) AS BIGINT) AS n_spans,
+                   array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 60), ' ') AS text_rebuilt
+            FROM documents WHERE doc_id < 6
+        """,
+        "interval_count_null_bounds": """
+            SELECT s.event_id, s.user_id,
+                   CAST(count(c.ts) AS BIGINT) AS n_clicks
+            FROM (SELECT event_id, user_id,
+                         CASE WHEN event_id % 7 = 0 THEN NULL ELSE ts END AS start_ts,
+                         ts + INTERVAL 30 MINUTE AS end_ts
+                  FROM events WHERE event_type = 'signup') s
+            LEFT JOIN events c
+              ON s.user_id = c.user_id AND c.event_type = 'click'
+             AND c.ts >= s.start_ts AND c.ts <= s.end_ts
+            GROUP BY 1, 2
         """,
         # verdict oracles: the engine computes the pass/fail fact; the SQL is
         # the expected all-true table (ids are deterministic by construction)

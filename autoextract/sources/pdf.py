@@ -1717,10 +1717,13 @@ def render_docs_to_pdf(
                 if encrypt == "mixed":
                     # rotate the four cheap handler revisions per doc: RC4
                     # 40/128-bit, AES-128 (AESV2), AES-256 (AESV3 R5). R6's
-                    # deliberately-slow 2.B hardening stays pytest-gated.
+                    # deliberately-slow 2.B hardening has its own small-set
+                    # driver query (pdf_aes256_ingest).
                     d = str(doc_id)[-1]
                     rev = (2, 3, 4, 5)[int(d) % 4 if d.isdigit() else 0]
                     payload = encrypt_pdf(payload, revision=rev)
+                elif encrypt == "aes256r6":
+                    payload = encrypt_pdf(payload, revision=6)
                 elif encrypt:
                     payload = encrypt_pdf(payload)
                 rows.append({"doc_id": str(doc_id), "payload": payload})
