@@ -640,10 +640,14 @@ def encode_webp_lossless(
     use_palette: bool = False,
     use_lz77: bool = True,
     color_transform: tuple[int, int, int] | None = None,
+    cache_bits: int = 0,
+    use_meta: bool = False,
 ) -> bytes:
     """(H, W, 3|4) uint8 → a REAL VP8L lossless WebP file. Transform flags
     exist so tests can exercise each decoder path; round-trips are exact by
-    construction. LZ77 emission covers horizontal runs (distance 1)."""
+    construction. LZ77 emission covers horizontal runs (distance 1) and
+    whole-row copies (distance = width); ``cache_bits`` turns on the color
+    cache, ``use_meta`` wraps the codes behind a trivial meta image."""
     if arr.ndim == 2:
         arr = arr[:, :, None].repeat(3, axis=2)
     h, w, nc = arr.shape
@@ -773,7 +777,9 @@ def encode_webp_lossless(
             xsize = packed_w
         pix = (0xFF000000 | (idx << 8)).reshape(-1).astype(np.uint32)
     bw.write(0, 1)  # end of transforms
-    _encode_entropy_image(bw, pix, use_lz77=use_lz77, is_level0=True)
+    _encode_entropy_image(bw, pix, use_lz77=use_lz77, is_level0=True,
+                          width=xsize, cache_bits=cache_bits,
+                          use_meta=use_meta)
     payload = bw.finish()  # signature byte 0x2F leads the aligned stream
 
     riff_body = b"WEBP" + b"VP8L" + struct.pack("<I", len(payload)) + payload
@@ -784,67 +790,126 @@ def encode_webp_lossless(
 
 def _encode_entropy_image(bw: _BitWriter, pix: np.ndarray,
                           use_lz77: bool = True,
-                          is_level0: bool = False) -> None:
-    """Entropy-code a pixel array: no color cache, no meta codes; literals
-    plus (optionally) distance-1 run copies."""
+                          is_level0: bool = False,
+                          width: int = 0,
+                          cache_bits: int = 0,
+                          use_meta: bool = False) -> None:
+    """Entropy-code a pixel array. Coverage knobs: ``use_lz77`` emits
+    distance-1 run copies AND whole-row copies (distance = width, the 2D
+    map's (0,1) entry); ``cache_bits`` > 0 maintains the color cache and
+    emits cache symbols for hits; ``use_meta`` wraps the single prefix
+    group behind a trivial meta image (exercises the recursion + index
+    lookup). Each knob exists so the matching DECODER path is testable
+    with real streams."""
     # tokenize
-    tokens: list[tuple] = []  # ("lit", px) | ("copy", length)
+    tokens: list[tuple] = []  # ("lit", px) | ("copy", length, distance)
     n = len(pix)
     i = 0
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    def cache_insert(px: int) -> None:
+        if cache is not None:
+            cache[_cache_key(px, cache_bits)] = px
+
     while i < n:
+        if use_lz77 and width and i >= width and i % width == 0:
+            # whole-row copy: this row equals the previous row
+            if i + width <= n and np.array_equal(
+                pix[i : i + width], pix[i - width : i]
+            ):
+                tokens.append(("copy", width, width))
+                for px in pix[i : i + width]:
+                    cache_insert(int(px))
+                i += width
+                continue
         if use_lz77 and i > 0 and pix[i] == pix[i - 1]:
             j = i
             while j < n and pix[j] == pix[i - 1]:
                 j += 1
             run = j - i
             if run >= 3:
-                tokens.append(("copy", run))
+                tokens.append(("copy", run, 1))
+                for _ in range(run):
+                    cache_insert(int(pix[i - 1]))
                 i = j
                 continue
-        tokens.append(("lit", int(pix[i])))
+        px = int(pix[i])
+        if cache is not None and cache[_cache_key(px, cache_bits)] == px and i:
+            tokens.append(("cache", _cache_key(px, cache_bits)))
+        else:
+            tokens.append(("lit", px))
+        cache_insert(px)
         i += 1
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
     gf: dict[int, int] = {}
     rf: dict[int, int] = {}
     bf: dict[int, int] = {}
     af: dict[int, int] = {}
     df: dict[int, int] = {}
-    for kind, v in tokens:
-        if kind == "lit":
+    for tok in tokens:
+        if tok[0] == "lit":
+            v = tok[1]
             gf[(v >> 8) & 0xFF] = gf.get((v >> 8) & 0xFF, 0) + 1
             rf[(v >> 16) & 0xFF] = rf.get((v >> 16) & 0xFF, 0) + 1
             bf[v & 0xFF] = bf.get(v & 0xFF, 0) + 1
             af[(v >> 24) & 0xFF] = af.get((v >> 24) & 0xFF, 0) + 1
+        elif tok[0] == "cache":
+            s = 280 + tok[1]
+            gf[s] = gf.get(s, 0) + 1
         else:
-            code, _, _ = _prefix_encode(v)
+            _, length, dist = tok
+            code, _, _ = _prefix_encode(length)
             gf[256 + code] = gf.get(256 + code, 0) + 1
-            df[1] = df.get(1, 0) + 1  # plane code 2 → (1,0) → distance 1
-    if is_level0:
-        bw.write(0, 1)  # no color cache
-        bw.write(0, 1)  # no meta prefix codes
+            # distance → plane code: 1 → (1,0) at index 2; width → (0,1)
+            # at index 1; both inverted through the SAME map the decoder uses
+            plane = 2 if dist == 1 else 1
+            dcode, _, _ = _prefix_encode(plane)
+            df[dcode] = df.get(dcode, 0) + 1
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
     else:
-        bw.write(0, 1)  # no color cache (sub-images read only this bit)
-    gw = _SymWriter(gf, 280)
+        bw.write(0, 1)  # no color cache
+    if is_level0:
+        if use_meta:
+            bw.write(1, 1)  # meta prefix codes present
+            bw.write(1, 3)  # meta_bits = 3 → 8px meta blocks
+            h = -(-n // max(width, 1)) if width else 1
+            mw = -(-max(width, 1) // 8)
+            mh = -(-h // 8)
+            # all-zero meta image → every block uses prefix group 0
+            _encode_entropy_image(
+                bw, np.full(mw * mh, 0xFF000000, np.uint32), use_lz77=False
+            )
+        else:
+            bw.write(0, 1)  # no meta prefix codes
+    gw = _SymWriter(gf, green_size)
     rw = _SymWriter(rf, 256)
     bw_w = _SymWriter(bf, 256)
     aw = _SymWriter(af, 256)
     dw = _SymWriter(df if df else {1: 1}, 40)
     for wtr in (gw, rw, bw_w, aw, dw):
         wtr.emit_header(bw)
-    for kind, v in tokens:
-        if kind == "lit":
+    for tok in tokens:
+        if tok[0] == "lit":
+            v = tok[1]
             gw.emit(bw, (v >> 8) & 0xFF)
             rw.emit(bw, (v >> 16) & 0xFF)
             bw_w.emit(bw, v & 0xFF)
             aw.emit(bw, (v >> 24) & 0xFF)
+        elif tok[0] == "cache":
+            gw.emit(bw, 280 + tok[1])
         else:
-            code, extra, rest = _prefix_encode(v)
+            _, length, dist = tok
+            code, extra, rest = _prefix_encode(length)
             gw.emit(bw, 256 + code)
             if extra:
                 bw.write(rest, extra)
-            dw.emit(bw, 1)  # plane code 2 (simple-form symbol value 1? no:
-            # dw alphabet symbol IS the distance prefix code; plane code 2
-            # → _prefix_encode(2) = (1, 0, 0) → symbol 1, no extra bits
-    # end
+            plane = 2 if dist == 1 else 1
+            dcode, dextra, drest = _prefix_encode(plane)
+            dw.emit(bw, dcode)
+            if dextra:
+                bw.write(drest, dextra)
 
 
 def resize_webp_bytes(data: bytes, target_w: int, target_h: int) -> bytes:

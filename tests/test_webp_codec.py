@@ -108,3 +108,31 @@ def test_embed_media_real_feature_for_webp(spark):
     row = MM.embed_media(media).collect()[0]
     assert row["real_feature"] is True
     assert abs(sum(v * v for v in row["embedding"]) - 1.0) < 1e-5
+
+
+@pytest.mark.parametrize("kwargs", [
+    {"cache_bits": 4},
+    {"cache_bits": 8},
+    {"use_meta": True},
+    {"cache_bits": 6, "use_meta": True},
+    {"cache_bits": 5, "use_subtract_green": True},
+])
+def test_color_cache_meta_and_row_copies(kwargs):
+    """The r5 coverage knobs: color-cache symbols (green alphabet > 280),
+    meta prefix recursion, and whole-row LZ77 copies (distance = width,
+    the 2D map's (0,1) entry) all decode exactly."""
+    rng = np.random.RandomState(9)
+    base_row = rng.randint(0, 6, (1, 50)).astype(np.uint8) * 40
+    arr = np.repeat(base_row[:, :, None].repeat(3, axis=2), 12, axis=0)
+    arr[6, 10:20] = [7, 7, 7]
+    b = W.encode_webp_lossless(arr, **kwargs)
+    assert np.array_equal(W.decode_webp(b), _rgba(arr))
+
+
+def test_row_copy_compression_fires():
+    rng = np.random.RandomState(9)
+    base_row = rng.randint(0, 6, (1, 50)).astype(np.uint8) * 40
+    arr = np.repeat(base_row[:, :, None].repeat(3, axis=2), 12, axis=0)
+    assert len(W.encode_webp_lossless(arr)) < len(
+        W.encode_webp_lossless(arr, use_lz77=False)
+    )
