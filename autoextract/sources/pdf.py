@@ -558,7 +558,13 @@ def _crypt_object_body(body: bytes, stream_fn, string_fn, emit: str) -> bytes:
     return head + body[i:j] + payload + _transform_strings(body[j + ln :], string_fn, emit)
 
 
-def encrypt_pdf(data: bytes, owner_pw: str = "owner", revision: int = 2) -> bytes:
+def encrypt_pdf(
+    data: bytes,
+    owner_pw: str = "owner",
+    revision: int = 2,
+    cfm_v2: bool = False,
+    encrypt_metadata: bool = True,
+) -> bytes:
     """Encrypt a classic writer-output file with the standard security
     handler — ``revision=2`` (V1, 40-bit RC4), ``revision=3`` (V2, 128-bit
     RC4) or ``revision=4`` (V4, AES-128-CBC via the AESV2 crypt filter —
@@ -568,7 +574,12 @@ def encrypt_pdf(data: bytes, owner_pw: str = "owner", revision: int = 2) -> byte
     /Encrypt dictionary + /ID land in the trailer. Produces the shape most
     'protected' PDFs use — openable by any reader without a password.
     AES IVs are derived deterministically from (id0, objnum, counter) so
-    fixtures are byte-reproducible."""
+    fixtures are byte-reproducible. Wild-shape knobs (revision 4 only):
+    ``cfm_v2=True`` emits the /CFM /V2 crypt filter (RC4-128 routed
+    through the V4 crypt-filter machinery — how some writers 'upgraded'
+    to V4 without AES) and ``encrypt_metadata=False`` exercises the
+    Algorithm-2 step-f key-derivation variant (/EncryptMetadata false →
+    FFFFFFFF appended to the MD5)."""
     import hashlib
 
     if revision not in (2, 3, 4, 5, 6):
@@ -607,8 +618,11 @@ def encrypt_pdf(data: bytes, owner_pw: str = "owner", revision: int = 2) -> byte
             _np.frombuffer(perms_pt, _np.uint8)[None, :]
         ).tobytes()
     else:
+        extra = b""
+        if revision == 4 and not encrypt_metadata:
+            extra = b"\xff\xff\xff\xff"  # Algorithm 2 step f
         o_value = _compute_o(owner_pw.encode(), b"", min(revision, 3), n)
-        fkey = _file_key(b"", o_value, p, id0, min(revision, 3), n)
+        fkey = _file_key(b"", o_value, p, id0, min(revision, 3), n, extra)
         u_value = _compute_u(fkey, id0, min(revision, 3))
 
     enc_num = max(objs) + 1
@@ -618,7 +632,7 @@ def encrypt_pdf(data: bytes, owner_pw: str = "owner", revision: int = 2) -> byte
     )
     offsets: dict[int, int] = {}
     for num in sorted(objs):
-        if revision < 4:
+        if revision < 4 or (revision == 4 and cfm_v2):
             okey = _object_key(fkey, num)
             stream_fn = string_fn = lambda b, k=okey: _rc4(k, b)
         else:
@@ -641,10 +655,12 @@ def encrypt_pdf(data: bytes, owner_pw: str = "owner", revision: int = 2) -> byte
         out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
     offsets[enc_num] = len(out)
     if revision == 4:
+        cfm = "/V2" if cfm_v2 else "/AESV2"
+        meta_part = "" if encrypt_metadata else "/EncryptMetadata false "
         dictpart = (
             "/V 4 /R 4 /Length 128 "
-            "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
-            "/StmF /StdCF /StrF /StdCF "
+            f"/CF << /StdCF << /CFM {cfm} /AuthEvent /DocOpen /Length 16 >> >> "
+            f"/StmF /StdCF /StrF /StdCF {meta_part}"
         )
     elif revision >= 5:
         dictpart = (

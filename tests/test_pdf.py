@@ -605,3 +605,22 @@ def test_encrypted_string_objects_rc4_conformant():
         enc = P.encrypt_pdf(t0, revision=rev)
         assert b"(Adobe)" not in enc and b"(Identity)" not in enc, rev
         assert _sig(P.pdf_word_rows("d", enc)) == base, rev
+
+
+def test_encrypted_pdf_v4_wild_variants():
+    """Two V4 wild shapes beyond plain AESV2: /CFM /V2 (RC4-128 routed
+    through the crypt-filter machinery — writers that 'upgraded' to V4
+    without AES) and /EncryptMetadata false (Algorithm 2 step f: FFFFFFFF
+    appended to the key-derivation MD5)."""
+    pages = [[("hello", 50, 60), ("world", 140, 60)], [("page2", 50, 60)]]
+    base = _sig(P.pdf_word_rows("d", P.make_text_pdf(pages, compress=True)))
+    enc = P.encrypt_pdf(P.make_text_pdf(pages, compress=True), revision=4,
+                        cfm_v2=True)
+    assert b"/CFM /V2" in enc and b"(hello)" not in enc
+    assert _sig(P.pdf_word_rows("d", enc)) == base
+    enc = P.encrypt_pdf(P.make_text_pdf(pages, compress=True), revision=4,
+                        encrypt_metadata=False)
+    assert b"/EncryptMetadata false" in enc and b"/AESV2" in enc
+    assert _sig(P.pdf_word_rows("d", enc)) == base
+    # wrong step-f handling would fail the /U check → honestly unreadable,
+    # so a parse that returns the words proves the key derivation variant
