@@ -162,3 +162,60 @@ def test_winnowing_shared_run_guarantee(vocab_ids, start):
     shared = toks_a[start : start + run_len]
     toks_b = ["x1", "x2"] + shared + ["x3", "x4"]
     assert fingerprints(toks_a) & fingerprints(toks_b)
+
+
+# ---- r5 codec properties: arbitrary pixel/sample content round-trips ----
+
+rgba_images = st.tuples(
+    st.integers(1, 12), st.integers(1, 12), st.sampled_from([3, 4]),
+    st.integers(0, 2**32 - 1),
+).map(
+    lambda t: np.random.RandomState(t[3]).randint(
+        0, 256, (t[0], t[1], t[2])
+    ).astype(np.uint8)
+)
+
+
+@given(rgba_images, st.booleans(), st.sampled_from([0, 3, 6]))
+@settings(max_examples=40, deadline=None)
+def test_webp_lossless_roundtrip_property(arr, sub_green, cache_bits):
+    """Any uint8 image, any size/channel combo, with/without transforms:
+    VP8L must round-trip EXACTLY (it is lossless by contract)."""
+    from autoextract.operators import webp_codec as W
+
+    b = W.encode_webp_lossless(
+        arr, use_subtract_green=sub_green, cache_bits=cache_bits
+    )
+    dec = W.decode_webp(b)
+    exp = arr if arr.shape[2] == 4 else np.dstack(
+        [arr, np.full(arr.shape[:2], 255, np.uint8)]
+    )
+    assert np.array_equal(dec, exp)
+
+
+@given(
+    st.integers(1, 3000), st.sampled_from([1, 2]),
+    st.integers(0, 2**32 - 1), st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_flac_roundtrip_property(n, n_ch, seed, verbatim):
+    """Any sample content (noise, not just tones) round-trips within the
+    16-bit quantization bound, for any length incl. sub-block tails."""
+    from autoextract.operators import flac_codec as FL
+
+    x = (np.random.RandomState(seed).rand(n, n_ch) - 0.5) * 1.8
+    y, sr = FL.decode_flac(
+        FL.encode_flac(x, sample_rate=16000, force_verbatim=verbatim)
+    )
+    assert sr == 16000 and y.shape == x.shape
+    assert np.abs(y - x).max() <= 1.5 / (1 << 15)
+
+
+@given(st.binary(min_size=0, max_size=96), st.sampled_from([16, 24, 32]))
+@settings(max_examples=60, deadline=None)
+def test_aes_cbc_roundtrip_property(data, klen):
+    from autoextract.sources import aes
+
+    key = bytes(range(klen))
+    iv = bytes(range(100, 116))
+    assert aes.cbc_decrypt(key, iv, aes.cbc_encrypt(key, iv, data)) == data
