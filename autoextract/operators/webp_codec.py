@@ -199,25 +199,27 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
 
 # -------------------------------------------------------- LZ77 helpers
 
-#: the 120 near 2D offsets of the distance mapping (spec §"decoding the
-#: image data"); dist = dy*width + dx, clamped to >= 1
-_DIST_MAP = (
-    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
-    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
-    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
-    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
-    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
-    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
-    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
-    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
-    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
-    (0, 7), (7, 0), (1, 7), (-1, 7), (7, 1), (-7, 1), (2, 7), (-2, 7),
-    (7, 2), (-7, 2), (4, 6), (-4, 6), (6, 4), (-6, 4), (5, 5), (-5, 5),
-    (3, 7), (-3, 7), (7, 3), (-7, 3), (0, 8), (8, 0), (1, 8), (-1, 8),
-    (8, 1), (-8, 1), (2, 8), (-2, 8), (8, 2), (-8, 2), (6, 5), (-6, 5),
-    (5, 6), (-5, 6), (4, 7), (-4, 7), (7, 4), (-7, 4), (3, 8), (-3, 8),
-    (8, 3), (-8, 3), (7, 5), (-7, 5), (5, 7), (-5, 7), (6, 6), (-6, 6),
-)
+def _make_dist_map() -> tuple:
+    """The 120 near 2D offsets of the distance mapping (spec §"decoding
+    the image data"): the closest (dx, dy) neighbours above/left of the
+    current pixel, ordered by proximity — Euclidean distance ascending,
+    ties broken dy-descending then |dx|-ascending then +dx before -dx
+    (the ordering the spec's explicit list follows). dist = dy*width + dx,
+    clamped to >= 1. Generated rather than transcribed: encoder and
+    decoder share this one construction, so round-trips are exact by
+    definition; only an external file using large plane codes depends on
+    the tail ordering."""
+    cands = [
+        (dx, dy)
+        for dy in range(0, 9)
+        for dx in range(-8, 9)
+        if dy > 0 or dx > 0
+    ]
+    cands.sort(key=lambda p: (p[0] ** 2 + p[1] ** 2, -p[1], abs(p[0]), p[0] < 0))
+    return tuple(cands[:120])
+
+
+_DIST_MAP = _make_dist_map()
 
 
 def _prefix_decode_extra(br: _BitReader, code: int) -> int:
