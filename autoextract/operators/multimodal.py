@@ -9,15 +9,16 @@ metadata alongside — never base64, never per-row Python.
 
 The image/audio libraries are not available in this container, so codec
 coverage is tiered: ``decode_image_meta`` parses real magic bytes + header
-dimensions (pure Python — PNG/JPEG/GIF); ``resize_image`` resamples PNG,
-baseline JPEG, and single-frame GIF *for real* (pure-Python codecs in
-``operators.png_codec`` / ``jpeg_codec`` / ``gif_codec``), passing other
-formats through byte-identical; ``frame_sample`` demuxes GIF frames *for
+dimensions (pure Python — PNG/JPEG/GIF/WEBP); ``resize_image`` resamples
+PNG, JPEG (baseline + progressive), GIF (single + animated) and lossless
+WebP *for real* (pure-Python codecs in ``operators.png_codec`` /
+``jpeg_codec`` / ``gif_codec`` / ``webp_codec``), passing only lossy-VP8
+WebP through byte-identical; ``frame_sample`` demuxes GIF frames *for
 real* (block-structure walk) and emits zero rows for other containers;
 ``embed_media`` computes a real pooled-intensity feature for decodable
-PNGs/JPEGs/GIFs and hash-stubs the rest. Every kernel keeps the same
-Arrow-batched production interface — swap the fallback bodies for
-Pillow/ffmpeg/torchcodec in production.
+PNGs/JPEGs/GIFs/lossless-WebPs and hash-stubs the rest. Every kernel
+keeps the same Arrow-batched production interface — swap the fallback
+bodies for Pillow/ffmpeg/torchcodec in production.
 """
 
 from __future__ import annotations
@@ -290,12 +291,23 @@ def frame_sample(
     schema = "media_ref string, frame_idx int, frame_payload binary"
 
     def kernel(batches):
+        from .webp_codec import webp_frames
+
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                # PRODUCTION: non-GIF containers → ffmpeg demux here
-                frames = gif_frames(b) if sniff_format(b) == "gif" else []
+                # PRODUCTION: other containers → ffmpeg demux here
+                fmt = sniff_format(b)
+                if fmt == "gif":
+                    frames = gif_frames(b)
+                elif fmt == "webp":
+                    try:  # animated VP8X/ANMF walk (r5); stills = 1 frame
+                        frames = webp_frames(b)
+                    except Exception:
+                        frames = []
+                else:
+                    frames = []
                 for idx in range(0, len(frames), every_n):
                     rows.append(
                         {

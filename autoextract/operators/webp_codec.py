@@ -914,6 +914,65 @@ def _encode_entropy_image(bw: _BitWriter, pix: np.ndarray,
                 bw.write(drest, dextra)
 
 
+def encode_animated_webp(frames: list[np.ndarray], delays_ms: list[int] | None = None,
+                         loop_count: int = 0) -> bytes:
+    """Frame arrays → an animated WebP: VP8X extended container with an
+    ANIM chunk and one ANMF per frame, each frame a lossless VP8L
+    bitstream (full canvas, no blending offsets — the fixture shape that
+    exercises the real container demux + per-frame decode)."""
+    if not frames:
+        raise WebpError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    delays_ms = delays_ms or [100] * len(frames)
+    body = bytearray(b"WEBP")
+    # VP8X: feature flags (animation + alpha), canvas size minus one
+    body += b"VP8X" + struct.pack("<I", 10)
+    body += bytes([0x12, 0, 0, 0])  # ANIM + ALPHA flag bits
+    body += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    body += b"ANIM" + struct.pack("<I", 6)
+    body += struct.pack("<IH", 0xFFFFFFFF, loop_count)  # bg color, loops
+    for arr, delay in zip(frames, delays_ms):
+        if arr.shape[:2] != (h, w):
+            raise WebpError("all frames must share the canvas size")
+        sub = encode_webp_lossless(arr)
+        vp8l = sub[12:]  # the "VP8L" chunk (fourcc + size + payload [+pad])
+        payload = bytearray()
+        payload += (0).to_bytes(3, "little") * 2  # frame x/2, y/2 offsets
+        payload += (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        payload += delay.to_bytes(3, "little")
+        payload += bytes([0])  # no blend, dispose-to-none
+        payload += vp8l
+        body += b"ANMF" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + bytes(body)
+
+
+def webp_frames(data: bytes) -> list[bytes]:
+    """REAL container demux for animated WebP (VP8X/ANMF walk): each
+    frame comes back as a standalone decodable WebP file (RIFF re-wrap of
+    the frame's VP8L/VP8 sub-chunk). A non-animated file returns itself
+    as a single frame; non-WebP raises WebpError."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpError("not a WEBP container")
+    frames: list[bytes] = []
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        chunk = data[pos + 8 : pos + 8 + size]
+        if tag == b"ANMF" and len(chunk) >= 16:
+            sub = chunk[16:]  # past x/y/w/h/delay/flags → frame sub-chunks
+            riff_body = b"WEBP" + sub
+            frames.append(
+                b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+            )
+        elif tag in (b"VP8L", b"VP8 ") and not frames:
+            return [data]  # still image: itself as the single frame
+        pos += 8 + size + (size & 1)
+    return frames
+
+
 def resize_webp_bytes(data: bytes, target_w: int, target_h: int) -> bytes:
     """Decode (lossless only) → nearest-neighbor resample → re-encode
     lossless. Same drop-in contract as resize_png_bytes."""

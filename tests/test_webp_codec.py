@@ -136,3 +136,35 @@ def test_row_copy_compression_fires():
     assert len(W.encode_webp_lossless(arr)) < len(
         W.encode_webp_lossless(arr, use_lz77=False)
     )
+
+
+def test_animated_webp_demux_and_frame_sample(spark):
+    """Animated WebP (VP8X/ANMF) demuxes for real: every sampled frame is
+    a standalone decodable WebP; stills yield one frame; garbage yields
+    zero rows (same contract as the GIF path)."""
+    from autoextract.operators import multimodal as MM
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, (10, 14, 3)).astype(np.uint8) for _ in range(4)]
+    anim = W.encode_animated_webp(frames, delays_ms=[40, 60, 80, 100])
+    outs = W.webp_frames(anim)
+    assert len(outs) == 4
+    for f, arr in zip(outs, frames):
+        assert np.array_equal(W.decode_webp(f), _rgba(arr))
+    media = spark.createDataFrame(
+        [("m-anim", bytearray(anim)),
+         ("m-still", bytearray(W.encode_webp_lossless(frames[0]))),
+         ("m-junk", bytearray(b"RIFF\x08\x00\x00\x00WEBPxxxx"))],
+        "media_ref string, payload binary",
+    )
+    rows = MM.frame_sample(media, every_n=2).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["media_ref"], []).append(r["frame_idx"])
+    assert got["m-anim"] == [0, 2]  # every 2nd of 4 frames
+    assert got["m-still"] == [0]
+    assert "m-junk" not in got
+    # sampled frames decode
+    anim_frames = [r for r in rows if r["media_ref"] == "m-anim"]
+    for r in anim_frames:
+        W.decode_webp(bytes(r["frame_payload"]))
