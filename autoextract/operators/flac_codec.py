@@ -13,7 +13,11 @@ is contained upstream, never mis-decoded silently.
 
 The encoder emits spec-conformant files for fixtures: per-channel subframe
 choice (CONSTANT for flat blocks, FIXED order 2 + Rice otherwise, VERBATIM
-on demand), optional mid/side stereo, correct CRCs — coverage over ratio.
+on demand), correct CRCs — coverage over ratio. Coverage knobs pin every
+decoder branch with a real stream: the three stereo decorrelation modes,
+an LPC subframe (coeffs 4,-2 / shift 1 — residual-identical to FIXED 2),
+Rice partition orders > 0, escape (raw) partitions, and the 5-bit
+parameter method.
 
 Beyond the reference envelope entirely (it has no audio path); built
 because web-scale training corpora carry FLAC.
@@ -403,29 +407,56 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
 # ------------------------------------------------------------- encode
 
 
-def _encode_residual(bw: _MsbWriter, res: list[int]) -> None:
-    """Single-partition 4-bit Rice coding with a simple parameter pick."""
-    bw.write(0, 2)  # method 0: 4-bit parameters
-    bw.write(0, 4)  # partition order 0
-    zz = [(abs(r) << 1) - (1 if r < 0 else 0) for r in res]
-    mean = (sum(zz) / max(len(zz), 1)) if zz else 0
-    param = 0
-    while (1 << param) < mean + 1 and param < 14:
-        param += 1
-    bw.write(param, 4)
-    for v in zz:
-        q, r = v >> param, v & ((1 << param) - 1)
-        if q > 48:  # pathological: unary blowup — not for fixture data
-            raise FlacError("rice quotient overflow; use verbatim")
-        bw.write_unary(q)
-        if param:
-            bw.write(r, param)
+def _encode_residual(bw: _MsbWriter, res: list[int], order: int = 0,
+                     block_size: int = 0, partition_order: int = 0,
+                     escape: bool = False, method5: bool = False) -> None:
+    """Rice coding with coverage knobs: ``partition_order`` splits the
+    residual into 2^k partitions (each with its own parameter),
+    ``escape`` stores partitions as raw fixed-width values (the
+    0b1111/0b11111 escape), ``method5`` uses the 5-bit-parameter variant.
+    Defaults reproduce the original single-partition 4-bit form."""
+    plen = 5 if method5 else 4
+    esc_code = (1 << plen) - 1
+    bw.write(1 if method5 else 0, 2)
+    bw.write(partition_order, 4)
+    n_parts = 1 << partition_order
+    if partition_order and (not block_size or block_size % n_parts):
+        raise FlacError("partition order must divide the block size")
+    pos = 0
+    for p in range(n_parts):
+        count = (block_size // n_parts - (order if p == 0 else 0)
+                 if partition_order else len(res))
+        part = res[pos : pos + count]
+        pos += count
+        if escape:
+            raw_bits = max((v.bit_length() + 1 for v in part), default=1)
+            raw_bits = min(raw_bits, 31)
+            bw.write(esc_code, plen)
+            bw.write(raw_bits, 5)
+            for v in part:
+                bw.write_signed(v, raw_bits)
+            continue
+        zz = [(abs(r) << 1) - (1 if r < 0 else 0) for r in part]
+        mean = (sum(zz) / max(len(zz), 1)) if zz else 0
+        param = 0
+        while (1 << param) < mean + 1 and param < esc_code - 1:
+            param += 1
+        bw.write(param, plen)
+        for v in zz:
+            q, r = v >> param, v & ((1 << param) - 1)
+            if q > 48:  # pathological: unary blowup — not for fixture data
+                raise FlacError("rice quotient overflow; use verbatim")
+            bw.write_unary(q)
+            if param:
+                bw.write(r, param)
 
 
 def _encode_subframe(bw: _MsbWriter, samples: list[int], bps: int,
-                     force_verbatim: bool = False) -> None:
+                     force_verbatim: bool = False, use_lpc: bool = False,
+                     partition_order: int = 0, rice_escape: bool = False,
+                     method5: bool = False) -> None:
     first = samples[0] if samples else 0
-    if not force_verbatim and all(s == first for s in samples):
+    if not force_verbatim and not use_lpc and all(s == first for s in samples):
         bw.write(0, 1)
         bw.write(0, 6)  # CONSTANT
         bw.write(0, 1)
@@ -438,21 +469,36 @@ def _encode_subframe(bw: _MsbWriter, samples: list[int], bps: int,
         for s in samples:
             bw.write_signed(s, bps)
         return
+    order = 2
+    res = [samples[i] - 2 * samples[i - 1] + samples[i - 2]
+           for i in range(order, len(samples))]
     try:
         probe = _MsbWriter()
-        order = 2
-        res = [samples[i] - 2 * samples[i - 1] + samples[i - 2]
-               for i in range(order, len(samples))]
-        _encode_residual(probe, res)
+        _encode_residual(probe, res, order, len(samples), partition_order,
+                         rice_escape, method5)
     except FlacError:
         _encode_subframe(bw, samples, bps, force_verbatim=True)
         return
     bw.write(0, 1)
-    bw.write(8 + order, 6)  # FIXED order 2
-    bw.write(0, 1)
-    for s in samples[:order]:
-        bw.write_signed(s, bps)
-    _encode_residual(bw, res)
+    if use_lpc:
+        # same 2nd-order predictor expressed as LPC: coeffs (4, -2),
+        # shift 1 → prediction (4·s[i-1] − 2·s[i-2]) >> 1 = 2·s[i-1] − s[i-2]
+        # — exercises warm-up + precision/shift/coeff parse + the >> path
+        bw.write(32 + (order - 1), 6)  # LPC, order 2
+        bw.write(0, 1)  # no wasted bits
+        for s in samples[:order]:
+            bw.write_signed(s, bps)
+        bw.write(4 - 1, 4)   # precision 4 bits
+        bw.write_signed(1, 5)  # shift 1
+        bw.write_signed(4, 4)
+        bw.write_signed(-2, 4)
+    else:
+        bw.write(8 + order, 6)  # FIXED order 2
+        bw.write(0, 1)
+        for s in samples[:order]:
+            bw.write_signed(s, bps)
+    _encode_residual(bw, res, order, len(samples), partition_order,
+                     rice_escape, method5)
 
 
 def encode_flac(
@@ -462,10 +508,23 @@ def encode_flac(
     block_size: int = 4096,
     mid_side: bool = False,
     force_verbatim: bool = False,
+    use_lpc: bool = False,
+    partition_order: int = 0,
+    rice_escape: bool = False,
+    method5: bool = False,
+    stereo_mode: str | None = None,
 ) -> bytes:
     """(n_frames,) or (n_frames, n_channels) float in [-1, 1] → FLAC.
-    ``mid_side=True`` (stereo only) exercises the decorrelated decode
-    path; ``force_verbatim`` pins the VERBATIM subframe type."""
+    Coverage knobs (each pins a decoder branch with a real stream):
+    ``stereo_mode`` in {"left_side", "right_side", "mid_side"} (stereo
+    only; ``mid_side=True`` is the r5-compat alias), ``use_lpc`` emits the
+    2nd-order predictor as an LPC subframe (coeffs 4,-2 / shift 1 —
+    numerically identical residuals to FIXED order 2), ``partition_order``
+    splits Rice partitions, ``rice_escape`` stores raw fixed-width
+    residual partitions, ``method5`` uses 5-bit Rice parameters, and
+    ``force_verbatim`` pins the VERBATIM subframe type."""
+    if mid_side and stereo_mode is None:
+        stereo_mode = "mid_side"
     if samples.ndim == 1:
         samples = samples[:, None]
     n_total, n_ch = samples.shape
@@ -501,8 +560,11 @@ def encode_flac(
         hw.write(0, 1)  # fixed block size strategy
         hw.write(bs_code, 4)
         hw.write(sr_code, 4)
-        use_ms = mid_side and n_ch == 2
-        hw.write(10 if use_ms else n_ch - 1, 4)
+        decor = stereo_mode if (stereo_mode and n_ch == 2) else None
+        ch_code = {"left_side": 8, "right_side": 9, "mid_side": 10}.get(
+            decor, n_ch - 1
+        )
+        hw.write(ch_code, 4)
         hw.write(ss_code, 3)
         hw.write(0, 1)
         header = bytearray(hw.finish())
@@ -513,15 +575,25 @@ def encode_flac(
             raise FlacError("fixture encoder needs a tabled sample rate")
         header.append(_crc8(bytes(header)))
         fw = _MsbWriter()
-        if use_ms:
+        knobs = dict(force_verbatim=force_verbatim, use_lpc=use_lpc,
+                     partition_order=partition_order,
+                     rice_escape=rice_escape, method5=method5)
+        if decor:
             left, right = blk[:, 0], blk[:, 1]
-            mid = (left + right) >> 1
-            side = left - right
-            _encode_subframe(fw, mid.tolist(), bps, force_verbatim)
-            _encode_subframe(fw, side.tolist(), bps + 1, force_verbatim)
+            side = (left - right).tolist()
+            if decor == "left_side":
+                _encode_subframe(fw, left.tolist(), bps, **knobs)
+                _encode_subframe(fw, side, bps + 1, **knobs)
+            elif decor == "right_side":
+                _encode_subframe(fw, side, bps + 1, **knobs)
+                _encode_subframe(fw, right.tolist(), bps, **knobs)
+            else:  # mid_side
+                mid = ((left + right) >> 1).tolist()
+                _encode_subframe(fw, mid, bps, **knobs)
+                _encode_subframe(fw, side, bps + 1, **knobs)
         else:
             for c in range(n_ch):
-                _encode_subframe(fw, blk[:, c].tolist(), bps, force_verbatim)
+                _encode_subframe(fw, blk[:, c].tolist(), bps, **knobs)
         frame = bytes(header) + fw.finish()
         frame += struct.pack(">H", _crc16(frame))
         out += frame

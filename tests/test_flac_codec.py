@@ -83,3 +83,33 @@ def test_audio_kernels_handle_flac(spark):
     e = {r["media_ref"]: r for r in A.embed_audio(media).collect()}
     assert e["m-f"]["real_feature"] is True
     assert e["m-junk"]["real_feature"] is False
+
+
+@pytest.mark.parametrize("kwargs", [
+    {"stereo_mode": "left_side"},
+    {"stereo_mode": "right_side"},
+    {"stereo_mode": "mid_side"},
+    {"use_lpc": True},
+    {"partition_order": 2},
+    {"rice_escape": True},
+    {"method5": True},
+    {"use_lpc": True, "partition_order": 1, "method5": True},
+    {"stereo_mode": "left_side", "rice_escape": True},
+])
+def test_decoder_branch_coverage(kwargs):
+    """r5 coverage knobs: every residual-coding and stereo-decorrelation
+    decoder branch is exercised by a real stream and round-trips within
+    the quantization bound."""
+    t = np.arange(8192) / 16000.0
+    x2 = np.stack([0.6 * np.sin(2 * np.pi * 440 * t),
+                   0.3 * np.sin(2 * np.pi * 221 * t)], axis=1)
+    x = x2 if "stereo_mode" in kwargs else x2[:, :1]
+    y, sr = FL.decode_flac(FL.encode_flac(x, sample_rate=16000, **kwargs))
+    assert y.shape == x.shape
+    assert np.abs(y - x).max() <= 1.5 / (1 << 15)
+
+
+def test_24_bit_roundtrip():
+    x = (0.6 * np.sin(2 * np.pi * 440 * np.arange(3000) / 16000.0))[:, None]
+    y, _ = FL.decode_flac(FL.encode_flac(x, bps=24))
+    assert np.abs(y - x).max() <= 1.5 / (1 << 23)
