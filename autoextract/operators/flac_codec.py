@@ -454,18 +454,28 @@ def _encode_residual(bw: _MsbWriter, res: list[int], order: int = 0,
 def _encode_subframe(bw: _MsbWriter, samples: list[int], bps: int,
                      force_verbatim: bool = False, use_lpc: bool = False,
                      partition_order: int = 0, rice_escape: bool = False,
-                     method5: bool = False) -> None:
+                     method5: bool = False, wasted_bits: int = 0) -> None:
+    def _wasted_flag():
+        if wasted_bits:
+            bw.write(1, 1)
+            bw.write_unary(wasted_bits - 1)
+        else:
+            bw.write(0, 1)
+
+    if wasted_bits:  # caller zeroed the low bits; code the shifted signal
+        samples = [s >> wasted_bits for s in samples]
+        bps -= wasted_bits
     first = samples[0] if samples else 0
     if not force_verbatim and not use_lpc and all(s == first for s in samples):
         bw.write(0, 1)
         bw.write(0, 6)  # CONSTANT
-        bw.write(0, 1)
+        _wasted_flag()
         bw.write_signed(first, bps)
         return
     if force_verbatim or len(samples) < 3:
         bw.write(0, 1)
         bw.write(1, 6)  # VERBATIM
-        bw.write(0, 1)
+        _wasted_flag()
         for s in samples:
             bw.write_signed(s, bps)
         return
@@ -485,7 +495,7 @@ def _encode_subframe(bw: _MsbWriter, samples: list[int], bps: int,
         # shift 1 → prediction (4·s[i-1] − 2·s[i-2]) >> 1 = 2·s[i-1] − s[i-2]
         # — exercises warm-up + precision/shift/coeff parse + the >> path
         bw.write(32 + (order - 1), 6)  # LPC, order 2
-        bw.write(0, 1)  # no wasted bits
+        _wasted_flag()
         for s in samples[:order]:
             bw.write_signed(s, bps)
         bw.write(4 - 1, 4)   # precision 4 bits
@@ -494,7 +504,7 @@ def _encode_subframe(bw: _MsbWriter, samples: list[int], bps: int,
         bw.write_signed(-2, 4)
     else:
         bw.write(8 + order, 6)  # FIXED order 2
-        bw.write(0, 1)
+        _wasted_flag()
         for s in samples[:order]:
             bw.write_signed(s, bps)
     _encode_residual(bw, res, order, len(samples), partition_order,
@@ -513,6 +523,7 @@ def encode_flac(
     rice_escape: bool = False,
     method5: bool = False,
     stereo_mode: str | None = None,
+    wasted_bits: int = 0,
 ) -> bytes:
     """(n_frames,) or (n_frames, n_channels) float in [-1, 1] → FLAC.
     Coverage knobs (each pins a decoder branch with a real stream):
@@ -534,6 +545,10 @@ def encode_flac(
         raise FlacError("fixture encoder uses tabled block sizes only")
     q = np.clip(np.rint(samples * (1 << (bps - 1))),
                 -(1 << (bps - 1)), (1 << (bps - 1)) - 1).astype(np.int64)
+    if wasted_bits:  # force the shared-zero-low-bits property; mid/side
+        # halves (l+r), which costs one zero bit — pre-zero one extra
+        zb = wasted_bits + (1 if stereo_mode == "mid_side" else 0)
+        q &= ~((1 << zb) - 1)
     out = bytearray(b"fLaC")
     si = _MsbWriter()
     si.write(block_size, 16)
@@ -577,7 +592,8 @@ def encode_flac(
         fw = _MsbWriter()
         knobs = dict(force_verbatim=force_verbatim, use_lpc=use_lpc,
                      partition_order=partition_order,
-                     rice_escape=rice_escape, method5=method5)
+                     rice_escape=rice_escape, method5=method5,
+                     wasted_bits=wasted_bits)
         if decor:
             left, right = blk[:, 0], blk[:, 1]
             side = (left - right).tolist()

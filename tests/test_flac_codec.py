@@ -113,3 +113,21 @@ def test_24_bit_roundtrip():
     x = (0.6 * np.sin(2 * np.pi * 440 * np.arange(3000) / 16000.0))[:, None]
     y, _ = FL.decode_flac(FL.encode_flac(x, bps=24))
     assert np.abs(y - x).max() <= 1.5 / (1 << 23)
+
+
+@pytest.mark.parametrize("wb", [1, 2, 4])
+def test_wasted_bits_roundtrip(wb):
+    """The wasted-bits decoder branch: samples with shared zero low bits
+    are coded shifted with a unary wasted count and shift back exactly."""
+    x = (0.6 * np.sin(2 * np.pi * 440 * np.arange(8192) / 16000.0))[:, None]
+    y, _ = FL.decode_flac(FL.encode_flac(x, wasted_bits=wb))
+    assert np.abs(y - x).max() <= ((1 << wb) - 1 + 0.5) / (1 << 15)
+
+
+def test_wasted_bits_with_stereo_modes():
+    t = np.arange(8192) / 16000.0
+    x2 = np.stack([0.6 * np.sin(2 * np.pi * 440 * t),
+                   0.3 * np.sin(2 * np.pi * 221 * t)], axis=1)
+    for mode in ("mid_side", "left_side", "right_side"):
+        y, _ = FL.decode_flac(FL.encode_flac(x2, stereo_mode=mode, wasted_bits=2))
+        assert np.abs(y - x2).max() <= 7.5 / (1 << 15), mode
