@@ -877,8 +877,21 @@ def _q_audio_transcode_roundtrip(spark, sf):
         if doc_id % 3 == 0:
             from autoextract.operators.flac_codec import encode_flac
 
+            # rotate the codec variants so the driver gate covers every
+            # decoder branch: stereo decorrelation modes, LPC subframes,
+            # Rice partitions/escapes/5-bit params, wasted bits
+            stereo = ("mid_side", "left_side", "right_side")[
+                (doc_id // 3) % 3
+            ] if x.shape[1] == 2 else None
+            knobs = [
+                {},
+                {"use_lpc": True},
+                {"partition_order": 1},
+                {"rice_escape": True},
+                {"method5": True, "wasted_bits": 1},
+            ][(doc_id // 3) % 5]
             return (
-                encode_flac(x, sample_rate=rate, mid_side=(x.shape[1] == 2)),
+                encode_flac(x, sample_rate=rate, stereo_mode=stereo, **knobs),
                 freq,
                 seconds,
             )
