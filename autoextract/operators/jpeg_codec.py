@@ -906,14 +906,18 @@ def _emit_ac_refine(bwr, zzb, ss, se, al, tab) -> None:
 
 
 def encode_progressive_jpeg(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """(H, W[, C]) uint8 → PROGRESSIVE JPEG (SOF2) exercising all four scan
     kinds: interleaved DC first pass at Al=1, per-component AC first passes
     at Al=1, a DC refinement (raw bits) and per-component AC refinements
     down to Al=0. Quantized coefficients are identical to ``encode_jpeg``'s
     at the same quality, so the decoded pixels are bit-identical to the
-    baseline encoding's (round-trip pinned by tests)."""
+    baseline encoding's (round-trip pinned by tests). ``restart_interval``
+    emits DRI + RSTn markers in every scan kind — intervals are MCUs for
+    the interleaved DC scans, BLOCKS for the single-component AC scans
+    (T.81: the restart interval unit follows the scan's data unit)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -988,12 +992,27 @@ def encode_progressive_jpeg(
             hdr += bytes([cid, tbl])
         return b"\xff\xda" + hdr + bytes([ss, se, (ah << 4) | al])
 
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def rst_break(bwr, rst):
+        """Flush the entropy segment and emit the next RSTn."""
+        bwr.flush()
+        out.extend(bwr.out)
+        out.extend(bytes([0xFF, 0xD0 + rst]))
+        return _BitWriter(), (rst + 1) % 8
+
     # scan 1: DC first pass, interleaved, Al=1
     out += sos_header([(c + 1, min(c, 1) << 4) for c in range(nc)], 0, 0, 0, 1)
     bwr = _BitWriter()
     preds = [0] * nc
+    rst = mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bwr, rst = rst_break(bwr, rst)
+                preds = [0] * nc
+            mcu_i += 1
             for ci in range(nc):
                 for by in range(hv[ci][1]):
                     for bx in range(hv[ci][0]):
@@ -1013,8 +1032,12 @@ def encode_progressive_jpeg(
         out += sos_header([(ci + 1, min(ci, 1))], 1, 63, 0, 1)
         bwr = _BitWriter()
         ubh, ubw = used[ci]
+        rst = bi = 0
         for by in range(ubh):
             for bx in range(ubw):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    bwr, rst = rst_break(bwr, rst)
+                bi += 1
                 _emit_ac_first(bwr, zzq[ci][by, bx], 1, 63, 1, ac_tabs[min(ci, 1)])
         bwr.flush()
         out += bwr.out
@@ -1022,8 +1045,12 @@ def encode_progressive_jpeg(
     # DC refinement: one raw bit per block, interleaved
     out += sos_header([(c + 1, 0) for c in range(nc)], 0, 0, 1, 0)
     bwr = _BitWriter()
+    rst = mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bwr, rst = rst_break(bwr, rst)
+            mcu_i += 1
             for ci in range(nc):
                 for by in range(hv[ci][1]):
                     for bx in range(hv[ci][0]):
@@ -1040,8 +1067,12 @@ def encode_progressive_jpeg(
         out += sos_header([(ci + 1, min(ci, 1))], 1, 63, 1, 0)
         bwr = _BitWriter()
         ubh, ubw = used[ci]
+        rst = bi = 0
         for by in range(ubh):
             for bx in range(ubw):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    bwr, rst = rst_break(bwr, rst)
+                bi += 1
                 _emit_ac_refine(bwr, zzq[ci][by, bx], 1, 63, 0, ac_tabs[min(ci, 1)])
         bwr.flush()
         out += bwr.out

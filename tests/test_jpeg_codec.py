@@ -252,3 +252,18 @@ def test_ac_refine_zrl_trailing_correction_bits():
     dec = J.decode_jpeg(J.encode_progressive_jpeg(img, quality=25))
     base = J.decode_jpeg(J.encode_jpeg(img, quality=25))
     assert np.array_equal(dec, base)
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+def test_progressive_with_restart_markers(sub):
+    """Progressive + DRI (the wild combo): RSTn markers inside all four
+    scan kinds — MCU-interval for interleaved DC scans, block-interval for
+    single-component AC scans — decode pixel-identical to baseline."""
+    img = _gradient_rgb(70, 100)
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=85, subsampling=sub))
+    for dri in (1, 3, 5):
+        prog = J.encode_progressive_jpeg(
+            img, quality=85, subsampling=sub, restart_interval=dri
+        )
+        assert b"\xff\xdd" in prog
+        assert np.array_equal(J.decode_jpeg(prog), base), dri
