@@ -253,11 +253,14 @@ def encode_gif(
     indices: np.ndarray,
     palette: np.ndarray,
     transparent_index: int | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Single-frame GIF89a from an index array + (N,3) palette. The palette
     is padded to the next power of two (GIF color tables must be 2^k);
     ``transparent_index`` (when given) is emitted as a Graphic Control
-    Extension with the transparency flag set."""
+    Extension with the transparency flag set; ``interlace=True`` stores
+    rows in the four-pass GIF interlace order with the descriptor flag set
+    (pins the decoder's deinterlace path with a real file)."""
     h, w = indices.shape
     n = len(palette)
     bits = max(1, (n - 1).bit_length())
@@ -270,7 +273,13 @@ def encode_gif(
     out += pal.tobytes()
     if transparent_index is not None:
         out += b"\x21\xf9\x04\x01\x00\x00" + bytes([transparent_index & 0xFF]) + b"\x00"
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
+        [0x40 if interlace else 0x00]
+    )
+    if interlace:  # four-pass row order: 0/8, 4/8, 2/4, 1/2
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        indices = indices[np.array(order)]
     min_code_size = max(bits, 2)
     out += bytes([min_code_size])
     lzw = lzw_encode(indices.astype(np.uint8), min_code_size)

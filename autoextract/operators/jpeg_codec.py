@@ -734,7 +734,7 @@ def encode_jpeg(
     h, w, nc = arr.shape
     if nc not in (1, 3, 4):
         raise JpegError("encode supports 1, 3, or 4 channels")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise JpegError(f"unsupported subsampling {subsampling}")
     arr = arr.astype(np.float64)
     if nc == 3:
@@ -743,7 +743,8 @@ def encode_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         chans = [y, cb, cr]
-        hv = [(2, 2), (1, 1), (1, 1)] if subsampling == "4:2:0" else [(1, 1)] * 3
+        hv = {"4:2:0": [(2, 2), (1, 1), (1, 1)],
+              "4:2:2": [(2, 1), (1, 1), (1, 1)]}.get(subsampling, [(1, 1)] * 3)
     elif nc == 4:  # Adobe-domain planes stored directly, no subsampling
         chans = [arr[:, :, c] for c in range(4)]
         hv = [(1, 1)] * 4
@@ -930,7 +931,8 @@ def encode_progressive_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         chans = [y, cb, cr]
-        hv = [(2, 2), (1, 1), (1, 1)] if subsampling == "4:2:0" else [(1, 1)] * 3
+        hv = {"4:2:0": [(2, 2), (1, 1), (1, 1)],
+              "4:2:2": [(2, 1), (1, 1), (1, 1)]}.get(subsampling, [(1, 1)] * 3)
     else:
         chans = [arr[:, :, 0]]
         hv = [(1, 1)]

@@ -165,3 +165,15 @@ def test_resize_kernel_resizes_real_and_animated_gifs(spark):
     _, _, _, rframes = G.parse_animated_gif(bytes(rows["anim"]["payload"]))
     assert len(rframes) == 2
     assert rframes[0]["indices"].shape[1] == MM.MAX_LONG_EDGE
+
+
+def test_interlaced_file_roundtrip():
+    """A real interlaced GIF (descriptor flag + four-pass row storage)
+    decodes back to the original index array — the deinterlace path pinned
+    by a full file, not just the permutation helper."""
+    rng = np.random.RandomState(4)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, (23, 31)).astype(np.uint8)
+    b = G.encode_gif(idx, pal, interlace=True)
+    dec_idx, _ = G.decode_gif_indexed(b)
+    assert np.array_equal(dec_idx, idx)

@@ -267,3 +267,16 @@ def test_progressive_with_restart_markers(sub):
         )
         assert b"\xff\xdd" in prog
         assert np.array_equal(J.decode_jpeg(prog), base), dri
+
+
+def test_422_sampling_roundtrip():
+    """4:2:2 (2×1 luma sampling — the DSLR/scanner default): both encoders
+    round-trip, progressive pixel-identical to baseline."""
+    img = _gradient_rgb(70, 100)
+    d1 = J.decode_jpeg(J.encode_jpeg(img, quality=90, subsampling="4:2:2"))
+    assert d1.shape == img.shape
+    assert np.abs(d1.astype(float) - img).mean() < 4.0
+    d2 = J.decode_jpeg(
+        J.encode_progressive_jpeg(img, quality=90, subsampling="4:2:2")
+    )
+    assert np.array_equal(d1, d2)
