@@ -283,6 +283,22 @@ def _q_dedup_components(spark, sf):
     )
 
 
+def _q_dedup_canonical_keep(spark, sf):
+    """Quality-aware canonical selection (r5): the post-clustering keep
+    decision — per duplicate cluster, the member with the most tokens
+    (ties → smallest doc_id) is canonical. Skew-proof max_by aggregation,
+    not a window sort (the mega-cluster of a boilerplate page duplicated
+    millions of times would serialize a row_number). Oracle: the same
+    recursive-CTE closure as dedup_components + a quality argmax."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 500)
+    return DD.canonical_docs(d, threshold=0.6).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "is_canonical",
+    )
+
+
 def _q_ngram_jaccard_topk(spark, sf):
     # doc_id bound keeps the deliberately-quadratic verify demo O(constant)
     # as sf grows — the scale path is minhash_candidates -> verified pairs
@@ -997,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_band_buckets": _q_minhash_band_buckets,
         "dedup_components": _q_dedup_components,
+        "dedup_canonical_keep": _q_dedup_canonical_keep,
         "ngram_jaccard_topk": _q_ngram_jaccard_topk,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1195,6 +1212,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(coalesce(comp.m, d.doc_id), d.doc_id) AS BIGINT) AS component
             FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
             LEFT JOIN comp ON d.doc_id = comp.doc_id
+        """,
+        "dedup_canonical_keep": f"""
+            WITH RECURSIVE
+            toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                     FROM documents WHERE doc_id < 500),
+            sh AS (SELECT doc_id, {_SHINGLES_SQL} AS s FROM toks),
+            shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+            sig AS (SELECT doc_id,
+                           [CAST(b AS VARCHAR) || '|' ||
+                            list_aggregate(list_transform(s, x -> md5(CAST(2*b AS VARCHAR) || x)), 'min') || '|' ||
+                            list_aggregate(list_transform(s, x -> md5(CAST(2*b+1 AS VARCHAR) || x)), 'min')
+                            for b in range(0, 4)] AS bands
+                    FROM sh),
+            ex AS (SELECT doc_id, unnest(bands) AS band FROM sig),
+            cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM ex a JOIN ex b USING (band)
+                     WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+            ver AS (SELECT doc_a, doc_b FROM cand
+                    JOIN shd sa ON sa.doc_id = cand.doc_a
+                    JOIN shd sb ON sb.doc_id = cand.doc_b
+                    WHERE round(CASE WHEN len(list_distinct(sa.s || sb.s)) > 0
+                          THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                               / len(list_distinct(sa.s || sb.s))
+                          ELSE 0.0 END, 6) >= 0.6),
+            bidir AS (SELECT doc_a AS a, doc_b AS b FROM ver
+                      UNION SELECT doc_b, doc_a FROM ver),
+            reach(a, b) AS (SELECT a, b FROM bidir
+                            UNION SELECT r.a, d.b FROM reach r
+                                  JOIN bidir d ON r.b = d.a WHERE d.b != r.a),
+            comp AS (SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a),
+            labeled AS (
+                SELECT d.doc_id,
+                       CAST(least(coalesce(comp.m, d.doc_id), d.doc_id) AS BIGINT) AS component,
+                       CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_tokens
+                FROM (SELECT doc_id, text FROM documents WHERE doc_id < 500) d
+                LEFT JOIN comp ON d.doc_id = comp.doc_id)
+            SELECT doc_id, component, n_tokens,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY n_tokens DESC, doc_id ASC) = 1
+                       AS is_canonical
+            FROM labeled
         """,
         "ngram_jaccard_topk": f"""
             WITH sh AS (

@@ -522,3 +522,46 @@ def duplicate_clusters(
         docs, text_col, threshold=threshold, n_hashes=n_hashes, n_bands=n_bands, k=k
     ).select("doc_a", "doc_b")
     return connected_components(pairs, nodes=docs.select("doc_id"))
+
+
+def canonical_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.6,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Quality-aware canonical selection (r5): the step after clustering —
+    per duplicate cluster, KEEP the highest-quality member (here: most
+    tokens; ties → smallest doc_id), not the arbitrary min-id keeper.
+    Returns ``(doc_id, component, n_tokens, is_canonical)``; downstream
+    filters ``is_canonical``.
+
+    Scale shape: the canonical member is found by a ``max_by`` AGGREGATION
+    on the component key — one partial-agg shuffle on a short key — not a
+    window ``row_number``, whose per-component sort serializes on the
+    pathological mega-cluster (the boilerplate page duplicated millions of
+    times is exactly the row a web-scale dedup run WILL contain). The
+    struct orders (quality asc, -doc_id asc), so max picks highest quality
+    then lowest id."""
+    comp = duplicate_clusters(
+        docs, text_col, threshold=threshold, n_hashes=n_hashes,
+        n_bands=n_bands, k=k,
+    )
+    quality = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
+    )
+    joined = comp.join(quality, "doc_id")
+    keep = joined.groupBy("component").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("nid"))
+        ).alias("__canonical_id")
+    )
+    return joined.join(keep, "component").select(
+        "doc_id",
+        "component",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("doc_id") == F.col("__canonical_id")).alias("is_canonical"),
+    )

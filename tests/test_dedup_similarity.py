@@ -366,3 +366,32 @@ def test_duplicate_clusters_matches_union_find(spark):
     assert len(got) == len(all_ids)
     assert all(got[i] == find(i) for i in all_ids)
     assert sum(1 for i in all_ids if got[i] != i) > 0  # corpus has real dups
+
+
+def test_canonical_docs_quality_argmax(spark):
+    """canonical_docs keeps exactly one member per cluster — the one with
+    most tokens, ties to the smallest doc_id — via the skew-proof max_by
+    aggregation (no per-component window sort)."""
+    from autoextract.operators import dedup as DD
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta"),   # same cluster, longer
+        (3, "alpha beta gamma delta epsilon zeta"),        # tie vs 1 → keep 1? no: 2 is longest
+        (10, "completely different text about other things"),
+        (11, "short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.canonical_docs(docs, threshold=0.5, k=2).collect()}
+    assert len(out) == 5
+    cluster = {out[i]["component"] for i in (1, 2, 3)}
+    assert len(cluster) == 1  # 1,2,3 really clustered
+    assert out[2]["is_canonical"] is True        # longest member wins
+    assert out[1]["is_canonical"] is False and out[3]["is_canonical"] is False
+    assert out[10]["is_canonical"] is True and out[11]["is_canonical"] is True
+    canon_per_comp = {}
+    for r in out.values():
+        canon_per_comp[r["component"]] = canon_per_comp.get(r["component"], 0) + (
+            1 if r["is_canonical"] else 0
+        )
+    assert all(v == 1 for v in canon_per_comp.values())
