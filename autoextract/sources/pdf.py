@@ -98,6 +98,7 @@ def make_text_pdf(
     image_jpeg: bytes | None = None,
     font: str = "simple",
     inline_image: tuple[int, int, bytes] | None = None,
+    image_raw: tuple[int, int, bytes] | None = None,
 ) -> bytes:
     """Pages of interleaved elements → a real PDF file.
 
@@ -247,7 +248,23 @@ def make_text_pdf(
         objs.append(
             (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
         )
-    if image_jpeg is not None:
+    if image_raw is not None:
+        # raw-bitmap XObject (the scanned-page / screenshot wild shape:
+        # Flate-compressed pixels, no image codec): channels inferred from
+        # the byte count → DeviceGray or DeviceRGB
+        rw, rh, pix = image_raw
+        cs = b"/DeviceRGB" if len(pix) == rw * rh * 3 else b"/DeviceGray"
+        comp = zlib.compress(pix)
+        objs.append(
+            (
+                img_num,
+                b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace %s /BitsPerComponent 8 "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+                % (rw, rh, cs, len(comp), comp),
+            )
+        )
+    elif image_jpeg is not None:
         from ..operators.multimodal import _jpeg_dims
 
         dims = _jpeg_dims(image_jpeg) or (1, 1)
@@ -1802,8 +1819,48 @@ def pdf_media_payloads(data: bytes) -> list[bytes]:
                     out.append(inline[el[1]])
                     continue
                 objnum = xmap.get(el[1]) if el[1] else None
-                out.append(_stream_of(objs.get(objnum, b"")) if objnum else b"")
+                out.append(
+                    _image_file_payload(objs.get(objnum, b"")) if objnum else b""
+                )
     return out
+
+
+def _image_file_payload(body: bytes) -> bytes:
+    """An image XObject's payload as a STANDALONE image file: DCTDecode
+    (and other image-codec) streams are already complete files and pass
+    through raw; an 8-bit DeviceGray/DeviceRGB raw bitmap (Flate or
+    uncompressed — the scanned-page shape) is inflated and wrapped as a
+    PNG so downstream multimodal kernels receive a decodable file rather
+    than naked pixels. Anything else returns the decoded stream bytes
+    unchanged (honest)."""
+    i = body.find(b"stream")
+    head = body[:i] if i != -1 else body
+    fm = _FILTERS_RE.search(head)
+    if fm and any(n in fm.group(1) for n in _IMAGE_FILTERS):
+        return _stream_of(body)
+    wm = re.search(rb"/Width\s+(\d+)", head)
+    hm = re.search(rb"/Height\s+(\d+)", head)
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+    data = _stream_of(body)
+    if not (wm and hm and bm and int(bm.group(1)) == 8):
+        return data
+    w, h = int(wm.group(1)), int(hm.group(1))
+    n_ch = None
+    if re.search(rb"/DeviceRGB\b", head) and len(data) == w * h * 3:
+        n_ch = 3
+    elif re.search(rb"/DeviceGray\b", head) and len(data) == w * h:
+        n_ch = 1
+    if n_ch is None:
+        return data
+    try:
+        import numpy as _np
+
+        from ..operators.png_codec import encode_png
+
+        arr = _np.frombuffer(data, _np.uint8).reshape(h, w, n_ch)
+        return encode_png(arr if n_ch == 3 else arr[:, :, 0])
+    except Exception:
+        return data
 
 
 def pdf_media_table(pdfs: DataFrame, payload_col: str = "payload") -> DataFrame:

@@ -624,3 +624,30 @@ def test_encrypted_pdf_v4_wild_variants():
     assert _sig(P.pdf_word_rows("d", enc)) == base
     # wrong step-f handling would fail the /U check → honestly unreadable,
     # so a parse that returns the words proves the key derivation variant
+
+
+def test_raw_bitmap_xobject_wrapped_as_png():
+    """The scanned-page/screenshot wild shape: a Flate-compressed 8-bit
+    raw-bitmap image XObject (no image codec) extracts as a DECODABLE
+    standalone PNG — downstream multimodal kernels get a file, not naked
+    pixels. DCT payloads still pass through as the original JPEG bytes."""
+    import numpy as np
+
+    from autoextract.operators.png_codec import decode_png
+
+    rng = np.random.RandomState(6)
+    pages = [[("x", 50, 60), (None, 50, 200, 90, 70)]]
+    pix = rng.randint(0, 256, (12, 9, 3)).astype(np.uint8)
+    b = P.make_text_pdf(pages, compress=True, image_raw=(9, 12, pix.tobytes()))
+    dec = decode_png(P.pdf_media_payloads(b)[0])
+    assert np.array_equal(dec[:, :, :3], pix)
+    g = rng.randint(0, 256, (7, 11)).astype(np.uint8)
+    enc = P.encrypt_pdf(
+        P.make_text_pdf(pages, image_raw=(11, 7, g.tobytes())), revision=4
+    )
+    dec = decode_png(P.pdf_media_payloads(enc)[0])
+    assert np.array_equal(dec[:, :, 0], g)
+    # the fmt column sees it as png through the media table path too
+    from autoextract.operators.multimodal import sniff_format
+
+    assert sniff_format(P.pdf_media_payloads(b)[0]) == "png"
