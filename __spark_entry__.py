@@ -688,19 +688,24 @@ def _q_asof_join_chunked(spark, sf):
 def _q_pdf_media_roundtrip(spark, sf):
     """The embedded-media half of interleaved documents as a DRIVER-CHECKED
     verdict: 50 docs are typeset into PDFs carrying a deterministic per-doc
-    baseline JPEG (DCTDecode XObject); ``pdf_media_table`` must extract each
-    placement byte-identically AND the bytes must decode to the expected
-    pixel grid. Oracle = the expected all-true table."""
+    image — even docs a baseline JPEG (DCTDecode XObject, extracted
+    byte-identically), odd docs (r5) a Flate raw-bitmap XObject that
+    ``pdf_media_table`` must inflate and PNG-wrap into a decodable file;
+    each payload must decode to the expected pixel grid. Oracle = the
+    expected all-true table."""
     import numpy as np
 
     from autoextract.operators.jpeg_codec import decode_jpeg, encode_jpeg
     from autoextract.sources.pdf import make_text_pdf, pdf_media_table
 
-    def doc_jpeg(doc_id: int) -> bytes:
+    def doc_pixels(doc_id: int) -> np.ndarray:
         g = np.tile(
             np.arange(16, dtype=np.float64)[None, :] * 10 + (doc_id % 100), (16, 1)
         )
-        return encode_jpeg(np.clip(g, 0, 255).astype(np.uint8), quality=95)
+        return np.clip(g, 0, 255).astype(np.uint8)
+
+    def doc_jpeg(doc_id: int) -> bytes:
+        return encode_jpeg(doc_pixels(doc_id), quality=95)
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 50).select("doc_id")
 
@@ -710,11 +715,14 @@ def _q_pdf_media_roundtrip(spark, sf):
             for doc_id in pdf["doc_id"]:
                 pages = [[("w0", 50.0, 60.0), (None, 50.0, 120.0, 200.0, 150.0),
                           ("w1", 50.0, 320.0)]]
+                d = int(doc_id)
+                img_kw = (
+                    {"image_jpeg": doc_jpeg(d)} if d % 2 == 0
+                    else {"image_raw": (16, 16, doc_pixels(d).tobytes())}
+                )
                 rows.append(
                     {"doc_id": str(doc_id),
-                     "payload": make_text_pdf(
-                         pages, compress=True, image_jpeg=doc_jpeg(int(doc_id))
-                     )}
+                     "payload": make_text_pdf(pages, compress=True, **img_kw)}
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -728,12 +736,21 @@ def _q_pdf_media_roundtrip(spark, sf):
                 pdf["doc_id"], pdf["media_ref"], pdf["payload"], pdf["fmt"]
             ):
                 b = bytes(payload) if payload is not None else b""
-                ok = fmt == "jpeg" and ref == f"pdf:{doc_id}:0" and b == doc_jpeg(int(doc_id))
-                if ok:
-                    try:
-                        ok = decode_jpeg(b).shape == (16, 16, 1)
-                    except Exception:
-                        ok = False
+                d = int(doc_id)
+                try:
+                    if d % 2 == 0:
+                        ok = (fmt == "jpeg" and ref == f"pdf:{doc_id}:0"
+                              and b == doc_jpeg(d)
+                              and decode_jpeg(b).shape == (16, 16, 1))
+                    else:
+                        from autoextract.operators.png_codec import decode_png
+
+                        arr = decode_png(b)
+                        ok = (fmt == "png" and ref == f"pdf:{doc_id}:0"
+                              and arr.shape[:2] == (16, 16)
+                              and bool(np.array_equal(arr[:, :, 0], doc_pixels(d))))
+                except Exception:
+                    ok = False
                 rows.append({"doc_id": int(doc_id), "media_ok": bool(ok)})
             yield pd.DataFrame(rows, columns=["doc_id", "media_ok"])
 
