@@ -299,6 +299,36 @@ def _q_dedup_canonical_keep(spark, sf):
     )
 
 
+def _q_common_line_removal(spark, sf):
+    """CCNet/RefinedWeb-style boilerplate line removal (r5) as a driver
+    gate: documents are re-lined deterministically (8-token lines, plus an
+    injected nav/header line shared by EVERY doc), then any line occurring
+    in ≥2 distinct docs is stripped corpus-wide. The injected boilerplate
+    must vanish from all docs and per-doc kept/removed counts must match
+    DuckDB's raw-line computation (Spark side counts/joins on xxhash64 of
+    the line — raw text never shuffles as a key)."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_lines = F.greatest(F.ceil(F.size(toks) / 8).cast("int"), F.lit(1))
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    lined = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit("site nav boilerplate header"), F.array_join(lines, "\n")
+        ).alias("text"),
+    )
+    out = DD.remove_common_lines(lined, min_docs=2)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "clean_text",
+        "n_kept",
+        "n_removed",
+    )
+
+
 def _q_ngram_jaccard_topk(spark, sf):
     # doc_id bound keeps the deliberately-quadratic verify demo O(constant)
     # as sf grows — the scale path is minhash_candidates -> verified pairs
@@ -1031,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_buckets": _q_minhash_band_buckets,
         "dedup_components": _q_dedup_components,
         "dedup_canonical_keep": _q_dedup_canonical_keep,
+        "common_line_removal": _q_common_line_removal,
         "ngram_jaccard_topk": _q_ngram_jaccard_topk,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1270,6 +1301,31 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY n_tokens DESC, doc_id ASC) = 1
                        AS is_canonical
             FROM labeled
+        """,
+        "common_line_removal": """
+            WITH lined AS (
+              SELECT doc_id,
+                     'site nav boilerplate header' || chr(10) ||
+                     array_to_string(
+                       [array_to_string(list_slice(l, i*8+1, i*8+8), ' ')
+                        for i in range(0, greatest(CAST(ceil(len(l)/8.0) AS INT), 1))],
+                       chr(10)) AS text
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                    FROM documents WHERE doc_id < 400)),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM lined),
+            counts AS (SELECT line, count(DISTINCT doc_id) AS nd
+                       FROM lines GROUP BY line)
+            SELECT l.doc_id,
+                   coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                            FILTER (WHERE c.nd < 2), '') AS clean_text,
+                   CAST(count_if(c.nd < 2) AS BIGINT) AS n_kept,
+                   CAST(count_if(c.nd >= 2) AS BIGINT) AS n_removed
+            FROM lines l JOIN counts c ON l.line = c.line
+            GROUP BY l.doc_id
         """,
         "ngram_jaccard_topk": f"""
             WITH sh AS (

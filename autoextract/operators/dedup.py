@@ -565,3 +565,51 @@ def canonical_docs(
         F.col("n_tokens").cast("long").alias("n_tokens"),
         (F.col("doc_id") == F.col("__canonical_id")).alias("is_canonical"),
     )
+
+
+def remove_common_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate line removal (r5) — the CCNet/RefinedWeb
+    preprocessing step: any line occurring in ≥ ``min_docs`` DISTINCT
+    documents (headers, footers, cookie banners, nav text) is stripped
+    from every document; remaining lines keep their order. Returns
+    ``(doc_id, clean_text, n_kept, n_removed)``.
+
+    Scale shape: lines are counted and re-joined by ``xxhash64`` of the
+    line — the raw line text never becomes a shuffle key (boilerplate
+    lines are exactly the ones repeated millions of times, i.e. the skew
+    rows); the count side is a partial-agg on the 8-byte hash, and
+    reassembly is one agg on doc_id with an in-memory array_sort (a
+    document's own line count is bounded, unlike a line's corpus
+    frequency)."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("line_h", F.xxhash64("line"))
+    counts = lines.groupBy("line_h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    tagged = lines.join(counts, "line_h").withColumn(
+        "keep", F.col("n_docs") < min_docs
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "line")).otherwise(
+                            F.lit(None)
+                        )
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_removed"),
+    )

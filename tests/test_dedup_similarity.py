@@ -395,3 +395,28 @@ def test_canonical_docs_quality_argmax(spark):
             1 if r["is_canonical"] else 0
         )
     assert all(v == 1 for v in canon_per_comp.values())
+
+
+def test_remove_common_lines_boilerplate_strip(spark):
+    """CCNet-style line dedup: lines in >= min_docs distinct docs vanish
+    corpus-wide, survivors keep order, fully-stripped docs yield an empty
+    clean_text row (never disappear)."""
+    from autoextract.operators import dedup as DD
+
+    rows = [
+        (1, "COMMON HEADER\nunique one\nCOMMON FOOTER"),
+        (2, "COMMON HEADER\nunique two\nCOMMON FOOTER"),
+        (3, "COMMON HEADER\nonly here\nalso only here"),
+        (4, "totally unique document"),
+        (5, "COMMON HEADER\nCOMMON FOOTER"),  # nothing survives
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in DD.remove_common_lines(docs, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "unique one" and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "unique two"
+    assert out[3]["clean_text"] == "only here\nalso only here"
+    assert out[4]["clean_text"] == "totally unique document"
+    assert out[5]["clean_text"] == "" and out[5]["n_kept"] == 0
+    # higher threshold: the 2-doc footer survives
+    out3 = {r["doc_id"]: r for r in DD.remove_common_lines(docs, min_docs=4).collect()}
+    assert out3[1]["clean_text"] == "unique one\nCOMMON FOOTER"
