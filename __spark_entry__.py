@@ -329,6 +329,22 @@ def _q_common_line_removal(spark, sf):
     )
 
 
+def _q_contamination_flags(spark, sf):
+    """Benchmark decontamination (r5) as a driver gate: docs 0-4 act as
+    the evaluation set; every corpus doc sharing a full 13-gram with them
+    (themselves and their exact duplicates, by construction) must flag
+    with the exact hit count. Broadcast benchmark-gram join — only 8-byte
+    hashes shuffle."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    return DD.contamination_flags(
+        d, d.where(F.col("doc_id") < 5), n=13
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "contaminated",
+        F.col("n_hits").cast("long").alias("n_hits"),
+    )
+
+
 def _q_ngram_jaccard_topk(spark, sf):
     # doc_id bound keeps the deliberately-quadratic verify demo O(constant)
     # as sf grows — the scale path is minhash_candidates -> verified pairs
@@ -1062,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_canonical_keep": _q_dedup_canonical_keep,
         "common_line_removal": _q_common_line_removal,
+        "contamination_flags": _q_contamination_flags,
         "ngram_jaccard_topk": _q_ngram_jaccard_topk,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1326,6 +1343,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count_if(c.nd >= 2) AS BIGINT) AS n_removed
             FROM lines l JOIN counts c ON l.line = c.line
             GROUP BY l.doc_id
+        """,
+        "contamination_flags": """
+            WITH g AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                       FROM documents WHERE doc_id < 400),
+            bg AS (SELECT DISTINCT unnest(
+                     [array_to_string(list_slice(l, i+1, i+13), ' ')
+                      for i in range(0, len(l) - 12)]) AS gram
+                   FROM g WHERE doc_id < 5 AND len(l) >= 13),
+            dg AS (SELECT doc_id, unnest(
+                     [array_to_string(list_slice(l, i+1, i+13), ' ')
+                      for i in range(0, len(l) - 12)]) AS gram
+                   FROM g WHERE len(l) >= 13),
+            hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                     FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+            SELECT g.doc_id, hits.doc_id IS NOT NULL AS contaminated,
+                   CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits
+            FROM (SELECT DISTINCT doc_id FROM g) g
+            LEFT JOIN hits USING (doc_id)
         """,
         "ngram_jaccard_topk": f"""
             WITH sh AS (

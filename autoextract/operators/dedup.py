@@ -613,3 +613,50 @@ def remove_common_lines(
         F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
         F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_removed"),
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (r5): flag every training document that
+    shares at least one ``n``-gram with the (small) evaluation set — the
+    standard pre-training hygiene pass. Returns ``(doc_id, contaminated,
+    n_hits)`` for every input doc.
+
+    Scale shape: the benchmark side is tiny by definition → its distinct
+    gram hashes BROADCAST; the corpus side explodes to (doc_id, gram_hash)
+    and the flag is a broadcast inner join + doc_id partial-agg. Raw
+    n-gram strings never shuffle — only 8-byte xxhash64 values — and the
+    corpus is touched once."""
+    def grams(df):
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        # FULL n-grams only: a doc shorter than n contributes none (the
+        # standard decontamination semantics — no partial-gram matches)
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
+                )
+            ).alias("gram_h"),
+        )
+
+    bench = grams(benchmark).select("gram_h").distinct()
+    hits = (
+        grams(docs)
+        .join(F.broadcast(bench), "gram_h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_hits").isNotNull().alias("contaminated"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+    )

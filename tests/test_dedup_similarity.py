@@ -420,3 +420,27 @@ def test_remove_common_lines_boilerplate_strip(spark):
     # higher threshold: the 2-doc footer survives
     out3 = {r["doc_id"]: r for r in DD.remove_common_lines(docs, min_docs=4).collect()}
     assert out3[1]["clean_text"] == "unique one\nCOMMON FOOTER"
+
+
+def test_contamination_flags_strict_full_grams(spark):
+    """Decontamination: full 13-gram matches flag with exact hit counts;
+    docs shorter than n contribute and match nothing."""
+    from autoextract.operators import dedup as DD
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog every single day again")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox jumps over the lazy dog "
+                "every single day again and more"),
+            (2, "no overlap at all here just unrelated content words going on and on"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DD.contamination_flags(docs, bench, n=13).collect()}
+    assert out[1]["contaminated"] is True and out[1]["n_hits"] == 1
+    assert out[2]["contaminated"] is False and out[2]["n_hits"] == 0
+    assert out[3]["contaminated"] is False
