@@ -345,6 +345,20 @@ def _q_contamination_flags(spark, sf):
     )
 
 
+def _q_sequence_packing(spark, sf):
+    """Sequence packing (r5) as a driver verdict: 400 docs greedily
+    next-fit-packed into 256-token training bins; per doc the gate checks
+    exactly-once assignment, bin totals ≤ budget (single-doc overflow bins
+    exempt), and the EXACT next-fit invariant (a closed bin plus the next
+    bin's first doc exceeds the budget). Oracle = all-true."""
+    from autoextract.operators import packing as PK
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    return PK.packing_verdict(d, budget=256).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "pack_ok"
+    )
+
+
 def _q_ngram_jaccard_topk(spark, sf):
     # doc_id bound keeps the deliberately-quadratic verify demo O(constant)
     # as sf grows — the scale path is minhash_candidates -> verified pairs
@@ -1079,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical_keep": _q_dedup_canonical_keep,
         "common_line_removal": _q_common_line_removal,
         "contamination_flags": _q_contamination_flags,
+        "sequence_packing": _q_sequence_packing,
         "ngram_jaccard_topk": _q_ngram_jaccard_topk,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1655,6 +1670,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_transcode_roundtrip": """
             SELECT CAST(range AS BIGINT) AS doc_id, true AS audio_ok
             FROM range(50)
+        """,
+        "sequence_packing": """
+            SELECT CAST(range AS BIGINT) AS doc_id, true AS pack_ok
+            FROM range(400)
         """,
         "simhash_sketches": """
             SELECT CAST(range AS BIGINT) AS doc_id, true AS simhash_ok
