@@ -99,6 +99,12 @@ HEADLINE = [
     "asof_join_chunked",
     "pdf_modern_ingest",
     "pdf_encrypted_ingest",
+    # r5 pipeline-completion operators (canonical selection is excluded for
+    # the same reason as dedup_components: its CC driver-loop fixed cost at
+    # a capped input is a constant, not a scale signal)
+    "common_line_removal",
+    "contamination_flags",
+    "sequence_packing",
 ]
 
 
