@@ -359,6 +359,29 @@ def _q_sequence_packing(spark, sf):
     )
 
 
+def _q_doc_chunking(spark, sf):
+    """Sliding-window chunking (r5): every doc < 300 becomes 32-token
+    chunks with 4-token overlap — pure JVM transform+posexplode, no
+    shuffle; value-checked chunk-for-chunk against DuckDB."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    return TX.chunk_documents(d, chunk_tokens=32, overlap=4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        "n_tokens",
+    )
+
+
+def _q_train_val_split(spark, sf):
+    """Deterministic md5-bucketed train/val assignment (r5) — reproducible
+    across engines by construction; the oracle recomputes the identical
+    bucket in DuckDB."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 500)
+    return TX.train_val_split(d.select("doc_id"), val_pct=10).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "bucket", "split"
+    )
+
+
 def _q_ngram_jaccard_topk(spark, sf):
     # doc_id bound keeps the deliberately-quadratic verify demo O(constant)
     # as sf grows — the scale path is minhash_candidates -> verified pairs
@@ -1094,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "common_line_removal": _q_common_line_removal,
         "contamination_flags": _q_contamination_flags,
         "sequence_packing": _q_sequence_packing,
+        "doc_chunking": _q_doc_chunking,
+        "train_val_split": _q_train_val_split,
         "ngram_jaccard_topk": _q_ngram_jaccard_topk,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1376,6 +1401,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits
             FROM (SELECT DISTINCT doc_id FROM g) g
             LEFT JOIN hits USING (doc_id)
+        """,
+        "doc_chunking": """
+            WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                       FROM documents WHERE doc_id < 300),
+            c AS (SELECT doc_id,
+                         [array_to_string(list_slice(l, i*28+1, i*28+32), ' ')
+                          for i in range(0, greatest(CAST(ceil((len(l)-4)/28.0) AS INT), 1))] AS chunks
+                  FROM t)
+            SELECT doc_id,
+                   CAST(generate_subscripts(chunks, 1) - 1 AS BIGINT) AS chunk_idx,
+                   unnest(chunks) AS chunk_text,
+                   CAST(len(string_split_regex(unnest(chunks), '\\s+')) AS BIGINT) AS n_tokens
+            FROM c
+        """,
+        "train_val_split": """
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS bucket,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8)) AS UBIGINT) % 100 < 10
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents WHERE doc_id < 500
         """,
         "ngram_jaccard_topk": f"""
             WITH sh AS (

@@ -322,3 +322,64 @@ def document_filter(docs, id_col: str = "doc_id", text_col: str = "text"):
     return j.select(
         id_col, keep.alias("keep"), reason.alias("reject_reason")
     )
+
+
+def chunk_documents(
+    docs,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Sliding-window document chunking (r5) — the embedding/context-window
+    preprocessing step: each doc becomes ⌈(n-overlap)/(chunk-overlap)⌉
+    chunks of ``chunk_tokens`` whitespace tokens with ``overlap`` tokens
+    shared between neighbours (the final chunk is the short tail). Pure
+    JVM expressions — transform over a stride sequence, then posexplode;
+    zero Python, one Generate, no shuffle at all."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / stride).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " "),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).withColumn(
+        "n_tokens",
+        F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long"),
+    )
+
+
+def train_val_split(
+    docs,
+    val_pct: int = 10,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+):
+    """Deterministic, engine-portable train/validation assignment (r5):
+    ``md5(doc_id ‖ salt)`` bucketed mod 100 — reproducible across runs,
+    clusters AND engines (the md5 family is the repo's portable hash;
+    xxhash64 does not exist in DuckDB), stable under corpus growth (a
+    doc's split never depends on other rows), and re-saltable for fresh
+    splits. Returns ``(doc_id, bucket, split)``."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.select(
+        F.col(id_col),
+        bucket.cast("long").alias("bucket"),
+        F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split"),
+    )

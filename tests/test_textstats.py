@@ -142,3 +142,46 @@ def test_document_filter_reasons(spark):
     assert got[2] == (False, "quality")
     assert got[3] == (False, "repetition")
     assert got[4] == (False, "pii")
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """Sliding-window chunking: stride = chunk - overlap, neighbours share
+    exactly `overlap` tokens, the tail chunk is short, tiny docs yield one
+    chunk, and every token appears in some chunk."""
+    from autoextract.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    ch = sorted(
+        TX.chunk_documents(docs, chunk_tokens=32, overlap=4).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    d1 = [r for r in ch if r["doc_id"] == 1]
+    assert len(d1) == 4  # ceil((100-4)/28)
+    c0, c1 = d1[0]["chunk_text"].split(), d1[1]["chunk_text"].split()
+    assert c0[-4:] == c1[:4]
+    assert "t99" in d1[-1]["chunk_text"]
+    covered = set()
+    for r in d1:
+        covered.update(r["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(100)}
+    assert [r["chunk_text"] for r in ch if r["doc_id"] == 2] == ["a b c"]
+
+
+def test_train_val_split_deterministic_and_stable(spark):
+    """The split is a pure per-doc function: rerun-identical, unchanged by
+    corpus growth, and re-saltable."""
+    from autoextract.functions import text as TX
+
+    base = spark.range(200).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in TX.train_val_split(base).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in TX.train_val_split(spark.range(400).withColumnRenamed("id", "doc_id")).collect()}
+    assert all(b[k] == v for k, v in a.items())  # growth never flips a doc
+    c = {r["doc_id"]: r["split"]
+         for r in TX.train_val_split(base, salt="other").collect()}
+    assert any(c[k] != v for k, v in a.items())  # fresh salt, fresh split
+    frac = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.02 < frac < 0.25  # ~10% with small-sample slack
