@@ -105,6 +105,8 @@ HEADLINE = [
     "common_line_removal",
     "contamination_flags",
     "sequence_packing",
+    "doc_chunking",
+    "train_val_split",
 ]
 
 
