@@ -322,6 +322,14 @@ def main() -> None:
     timings["span_pipeline"] = round(span_wall, 3)
     spark.stop()
 
+    # CHECKPOINT LINE: the driver parses the LAST stdout line — if an
+    # outer timeout kills this process mid-scaling/soak, the suite record
+    # survives as the last complete line instead of the round losing its
+    # entire perf artifact (the r3 parse-loss lesson, applied to walls).
+    _print_result(timings, query_runs, n_docs, span_wall,
+                  {"pending": "scaling phase running at checkpoint time"},
+                  {"pending": "soak runs after scaling"})
+
     # scaling: same job, same input, at N and 4N parallelism — paired,
     # calibration-gated attempts (see module docstring for the protocol).
     scaling = {}
@@ -430,6 +438,10 @@ def main() -> None:
         }
     except Exception as exc:  # scaling evidence is best-effort in-harness
         scaling = {"error": str(exc)[:200]}
+
+    # CHECKPOINT LINE 2: suite + scaling banked before the soak starts
+    _print_result(timings, query_runs, n_docs, span_wall, scaling,
+                  {"pending": "soak running at checkpoint time"})
 
     # soak: one long bounded-local[8] materialization at ≥5M docs (~1000×
     # the suite's corpus) — skipped when the scaling phase already consumed
