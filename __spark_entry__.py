@@ -382,6 +382,46 @@ def _q_train_val_split(spark, sf):
     )
 
 
+def _q_source_quota_sample(spark, sf):
+    """Per-source quota downsampling (r5): a synthetic mega-source (70% of
+    the corpus) is hash-threshold downsampled to ~cap while the small
+    sources pass through whole — one broadcast of per-source counts onto a
+    single filter pass, no document-row shuffle; the oracle recomputes the
+    identical md5-threshold rule in DuckDB."""
+    from autoextract.operators import sampling as SMP
+
+    d = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 < 7, F.lit("mega"))
+            .otherwise(F.col("source"))
+            .alias("source"),
+        )
+    )
+    return SMP.source_quota_sample(d, cap=50).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_source_docs").cast("long").alias("n_source_docs"),
+    )
+
+
+def _q_shard_assignment(spark, sf):
+    """Deterministic training-shard layout (r5): shard = md5-hash mod K is
+    a map-side expression; within-shard position is a per-shard rank that
+    matches the physical repartition+sortWithinPartitions write — no
+    global sort, skew impossible under a uniform hash.  Byte-identical
+    across runs, engines, and cluster sizes; DuckDB replays the rule."""
+    from autoextract.operators import sampling as SMP
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return SMP.shard_assignment(d, n_shards=16).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
 def _q_ngram_jaccard_topk(spark, sf):
     # doc_id bound keeps the deliberately-quadratic verify demo O(constant)
     # as sf grows — the scale path is minhash_candidates -> verified pairs
@@ -1119,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "doc_chunking": _q_doc_chunking,
         "train_val_split": _q_train_val_split,
+        "source_quota_sample": _q_source_quota_sample,
+        "shard_assignment": _q_shard_assignment,
         "ngram_jaccard_topk": _q_ngram_jaccard_topk,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1421,6 +1463,28 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8)) AS UBIGINT) % 100 < 10
                         THEN 'val' ELSE 'train' END AS split
             FROM documents WHERE doc_id < 500
+        """,
+        "source_quota_sample": """
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN doc_id % 10 < 7 THEN 'mega' ELSE source END AS source
+                       FROM documents),
+            c AS (SELECT source, COUNT(*) AS n_source_docs FROM d GROUP BY source)
+            SELECT d.doc_id, d.source, c.n_source_docs
+            FROM d JOIN c USING (source)
+            WHERE c.n_source_docs <= 50
+               OR CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'quota-v1'), 1, 8)) AS UBIGINT)
+                  < 50.0 / c.n_source_docs * 4294967296.0
+        """,
+        "shard_assignment": """
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shard-v1'), 1, 8)) AS UBIGINT) AS h1,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shard-v1/order'), 1, 8)) AS UBIGINT) AS h2
+              FROM documents)
+            SELECT doc_id,
+                   CAST(h1 % 16 AS BIGINT) AS shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY h1 % 16 ORDER BY h2, doc_id) - 1 AS BIGINT) AS pos
+            FROM h
         """,
         "ngram_jaccard_topk": f"""
             WITH sh AS (

@@ -1,0 +1,114 @@
+"""Corpus-assembly sampling — deterministic downsampling and sharding for
+training-data pipelines.
+
+Two operators the 100 TB run needs between dedup and packing:
+
+* :func:`source_quota_sample` — downsample over-represented sources to a
+  per-source document cap (the CCNet/Dolma "domain quota" step) with a
+  hash-threshold Bernoulli rule.  Scale shape: one tiny per-source count
+  aggregate (map-side combined, a handful of rows) broadcast back onto the
+  corpus; the big side is a single filter pass — no shuffle of document
+  rows, no per-source window sort, immune to mega-source skew.
+* :func:`shard_assignment` — deterministic pseudo-random shard id +
+  within-shard order for writing training shards: every engine and every
+  cluster size produces byte-identical shard contents and ordering.  Scale
+  shape: shard = hash % K is a map-side expression; the within-shard
+  position is a rank inside each shard, which physically matches how the
+  write happens anyway (``repartition(K)`` + ``sortWithinPartitions``) —
+  the sort is per-shard, never global.
+
+Both use the repo's engine-portable hash (md5 prefix → uint32, the same
+family as :func:`autoextract.functions.text.train_val_split`): assignments
+are reproducible across runs, cluster sizes AND engines, re-saltable for
+fresh draws, and each row's fate depends only on its own key — corpus
+growth never reshuffles prior decisions (hash-threshold sampling keeps a
+superset-stable sample as caps rise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: size of the md5-prefix hash space: first 8 hex chars → [0, 2^32)
+_HASH_SPACE = 4294967296.0
+
+
+def _hash32(col, salt: str):
+    """First 8 hex of ``md5(key ‖ salt)`` as a BIGINT in [0, 2^32) — the
+    engine-portable uniform hash (xxhash64 does not exist in DuckDB)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def source_quota_sample(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "quota-v1",
+) -> DataFrame:
+    """Downsample each source to ~``cap`` documents: keep a row iff
+    ``hash32(doc_id) < cap / count(source) * 2^32`` (sources at or under
+    the cap keep everything).  Returns ``(doc_id, source, n_source_docs)``
+    for the kept rows.
+
+    The threshold comparison is float but deterministic: both engines
+    evaluate the identical IEEE expression ``cap / cnt * 2^32``, so the
+    kept set is exactly reproducible (the driver oracle recomputes it in
+    DuckDB).  Expected kept count per source is ``cap`` ± binomial noise;
+    the rule is the scale path — an exact top-``cap``-by-hash needs a
+    per-source sort that a mega-source turns into a straggler, while this
+    is a broadcast-joined filter.
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_source_docs")
+    )
+    h = _hash32(F.col(id_col), salt)
+    return (
+        docs.select(id_col, source_col)
+        .join(F.broadcast(counts), source_col)
+        .where(
+            (F.col("n_source_docs") <= cap)
+            | (h < F.lit(float(cap)) / F.col("n_source_docs") * F.lit(_HASH_SPACE))
+        )
+        .select(id_col, source_col, "n_source_docs")
+    )
+
+
+def shard_assignment(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shard-v1",
+) -> DataFrame:
+    """Deterministic training-shard layout: ``(doc_id, shard, pos)`` where
+    ``shard = hash32(doc_id ‖ salt) % n_shards`` and ``pos`` is the row's
+    0-based position within its shard under a second independent hash
+    (tie-broken by doc_id) — a reproducible global pseudo-shuffle, so the
+    written shards are byte-identical regardless of engine, run, or
+    cluster size.
+
+    The rank is per-shard (Window PARTITION BY shard), matching the
+    physical write pattern ``repartition(n_shards) +
+    sortWithinPartitions`` — each shard sorts independently; there is no
+    global sort.  With n_shards sized so a shard is a comfortable task
+    (e.g. 10^12 docs / 10^5 shards = 10^7 docs ≈ a few GB per shard), the
+    sort stays in-memory per task; skew is impossible because shard
+    membership is a uniform hash.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    shard = (_hash32(F.col(id_col), salt) % n_shards).alias("shard")
+    order_key = _hash32(F.col(id_col), salt + "/order").alias("order_key")
+    w = Window.partitionBy("shard").orderBy("order_key", id_col)
+    return (
+        docs.select(id_col, shard, order_key)
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

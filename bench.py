@@ -107,6 +107,8 @@ HEADLINE = [
     "sequence_packing",
     "doc_chunking",
     "train_val_split",
+    "source_quota_sample",
+    "shard_assignment",
 ]
 
 

@@ -1,0 +1,110 @@
+"""Tests for corpus-assembly sampling: per-source quota downsampling and
+deterministic shard layout (autoextract/operators/sampling.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from autoextract.operators.sampling import (
+    _HASH_SPACE,
+    shard_assignment,
+    source_quota_sample,
+)
+
+
+def _h32(key: str, salt: str) -> int:
+    return int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 3 sources with very different sizes: "big" must be downsampled,
+    # "small" kept whole, "edge" sits exactly at the cap
+    rows = (
+        [(i, "big") for i in range(600)]
+        + [(1000 + i, "small") for i in range(40)]
+        + [(2000 + i, "edge") for i in range(100)]
+    )
+    return spark.createDataFrame(rows, "doc_id: long, source: string")
+
+
+def test_quota_matches_python_reference(docs):
+    cap = 100
+    kept = {
+        r["doc_id"]: r["n_source_docs"]
+        for r in source_quota_sample(docs, cap=cap).collect()
+    }
+    # python reference: identical rule, row-by-row
+    for doc_id, source, n in [
+        (i, "big", 600) for i in range(600)
+    ] + [(1000 + i, "small", 40) for i in range(40)] + [
+        (2000 + i, "edge", 100) for i in range(100)
+    ]:
+        expect = n <= cap or _h32(str(doc_id), "quota-v1") < cap / n * _HASH_SPACE
+        assert (doc_id in kept) == expect, (doc_id, source)
+        if doc_id in kept:
+            assert kept[doc_id] == n
+
+
+def test_quota_keeps_small_sources_whole_and_downsamples_big(docs):
+    out = source_quota_sample(docs, cap=100)
+    by_source = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_source["small"] == 40  # under cap: untouched
+    assert by_source["edge"] == 100  # at cap: untouched
+    # big: ~cap kept (binomial around 100 of 600); generous 3-sigma band
+    assert 60 <= by_source["big"] <= 140
+
+
+def test_quota_sample_is_superset_stable(docs):
+    """Raising the cap only ADDS documents (hash-threshold property)."""
+    k50 = {r["doc_id"] for r in source_quota_sample(docs, cap=50).collect()}
+    k100 = {r["doc_id"] for r in source_quota_sample(docs, cap=100).collect()}
+    assert k50 <= k100
+
+
+def test_quota_rejects_bad_cap(docs):
+    with pytest.raises(ValueError):
+        source_quota_sample(docs, cap=0)
+
+
+def test_shard_assignment_matches_python_reference(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = {(r["doc_id"]): (r["shard"], r["pos"])
+           for r in shard_assignment(df, n_shards=8).collect()}
+    # python reference: same hashes, same per-shard ordering
+    ref = {}
+    per_shard = {}
+    for i in range(500):
+        s = _h32(str(i), "shard-v1") % 8
+        per_shard.setdefault(s, []).append((_h32(str(i), "shard-v1/order"), i))
+    for s, lst in per_shard.items():
+        for pos, (_, i) in enumerate(sorted(lst)):
+            ref[i] = (s, pos)
+    assert out == ref
+
+
+def test_shard_positions_are_dense_and_unique(spark):
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    out = shard_assignment(df, n_shards=4)
+    per = (
+        out.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.min("pos").alias("lo"),
+             F.max("pos").alias("hi"),
+             F.countDistinct("pos").alias("d"))
+        .collect()
+    )
+    assert {r["shard"] for r in per} == {0, 1, 2, 3}
+    for r in per:
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1 and r["d"] == r["n"]
+
+
+def test_shard_assignment_independent_of_partitioning(spark):
+    df1 = spark.range(400).select(F.col("id").alias("doc_id")).repartition(1)
+    df7 = spark.range(400).select(F.col("id").alias("doc_id")).repartition(7)
+    a = sorted(map(tuple, shard_assignment(df1, n_shards=5).collect()))
+    b = sorted(map(tuple, shard_assignment(df7, n_shards=5).collect()))
+    assert a == b
