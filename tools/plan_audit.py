@@ -56,6 +56,12 @@ AUDITED = {
     "pdf_encrypted_ingest": "byte-payload render + parse as two python "
     "stages around the single spans exchange; decryption is per-row work "
     "inside the kernel, invisible to the shuffle plan",
+    "source_quota_sample": "tiny per-source count agg broadcast back onto "
+    "a single filter pass — document rows never shuffle; the md5 threshold "
+    "is a codegen'd projection",
+    "shard_assignment": "map-side hash shard id → one exchange on the "
+    "shard key → per-shard window rank (matches the physical "
+    "repartition+sortWithinPartitions write); no global sort",
 }
 
 
