@@ -422,6 +422,21 @@ def _q_shard_assignment(spark, sf):
     )
 
 
+def _q_exact_substring_dedup(spark, sf):
+    """ExactSubstr range dedup (r5): every duplicated 8-token window past
+    its first (doc_id, start)-lexicographic occurrence is excised from the
+    text — the Lee-et-al. suffix-array pass re-expressed as a sliding-hash
+    window shuffle (one exchange, md5 keys, never raw text). The oracle
+    replays the identical rule in DuckDB with list comprehensions."""
+    d = _t(spark, sf, "documents")
+    return DD.exact_substring_dedup(d, window=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_dup_tokens",
+        "clean_text",
+    )
+
+
 def _q_ngram_jaccard_topk(spark, sf):
     # doc_id bound keeps the deliberately-quadratic verify demo O(constant)
     # as sf grows — the scale path is minhash_candidates -> verified pairs
@@ -1161,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": _q_train_val_split,
         "source_quota_sample": _q_source_quota_sample,
         "shard_assignment": _q_shard_assignment,
+        "exact_substring_dedup": _q_exact_substring_dedup,
         "ngram_jaccard_topk": _q_ngram_jaccard_topk,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1485,6 +1501,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h1 % 16 AS BIGINT) AS shard,
                    CAST(ROW_NUMBER() OVER (PARTITION BY h1 % 16 ORDER BY h2, doc_id) - 1 AS BIGINT) AS pos
             FROM h
+        """,
+        "exact_substring_dedup": """
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS start,
+                     md5(array_to_string(toks[i:i+7], ' ')) AS h
+              FROM t, UNNEST(generate_series(1, len(toks) - 7)) u(i)
+              WHERE len(toks) >= 8),
+            occ AS (
+              SELECT doc_id, start,
+                     ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+              FROM g),
+            pos AS (
+              SELECT DISTINCT doc_id, start + off AS p
+              FROM occ, UNNEST(generate_series(0, 7)) v(off)
+              WHERE rn > 1),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_dup, list(p ORDER BY p) AS ps
+              FROM pos GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+                   COALESCE(array_to_string(
+                     [t.toks[i] for i in generate_series(1, len(t.toks))
+                      if NOT COALESCE(list_contains(a.ps, i - 1), false)], ' '), '')
+                     AS clean_text
+            FROM t LEFT JOIN agg a USING (doc_id)
         """,
         "ngram_jaccard_topk": f"""
             WITH sh AS (

@@ -660,3 +660,137 @@ def contamination_flags(
         F.col("n_hits").isNotNull().alias("contaminated"),
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame, text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """ExactSubstr deduplication at token granularity: excise every
+    duplicated ``window``-token run, keeping its first occurrence.
+
+    The sixth dedup strategy — the one the near-dup family can't express:
+    MinHash/SimHash score whole documents, but real corpora duplicate
+    *ranges* (boilerplate paragraphs, quoted passages, mirrored sections)
+    inside otherwise-distinct documents. The standard fix (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") removes any
+    substring of >= N tokens that appears elsewhere in the corpus. The
+    paper builds a corpus-wide suffix array — a sequential construction
+    with no good distributed analogue; the Spark-first re-expression is a
+    sliding-window hash join, equivalent for fixed minimum match length:
+
+      1. tokenize; slide a ``window``-token hash over each doc
+         (``transform`` over ``sequence`` — one JVM projection, no UDF)
+      2. rank every occurrence of each hash with ``row_number() OVER
+         (PARTITION BY gram_hash ORDER BY doc_id, start)`` — ONE shuffle,
+         keyed on the 32-byte md5, never on raw text
+      3. occurrences with rank > 1 are duplicate ranges [start, start+W-1];
+         merge overlaps per doc with an ``aggregate`` HOF over the sorted
+         starts (equal-width intervals + sorted starts → single linear pass)
+      4. excise covered tokens with an indexed ``filter`` HOF; emit
+         ``(doc_id, n_tokens, n_dup_tokens, clean_text)``
+
+    Keep-first is deterministic ((doc_id, start) lexicographic) and
+    cluster-size-invariant. Whole-document duplicates degenerate correctly:
+    the later copy's every window ranks > 1, so its clean_text is empty.
+
+    Scale notes: the only corpus-sized exchange is the window shuffle on
+    the gram hash. A pathologically common window (site-wide boilerplate)
+    makes a hot hash partition; the mitigation at 100 TB is the same
+    count-cap used for LSH bands — pre-aggregate ``count(*) OVER hash``,
+    cap contributions per hash at k occurrences (all beyond rank k are
+    duplicates by definition and need no ordering). Interval merge and
+    excision are per-doc array ops — embarrassingly parallel, no shuffle.
+    Replaces nothing in the reference (no corpus dedup exists there); cited
+    scope per SURVEY §2.9 training-data extensions.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    base = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n_tokens", F.size("toks")
+    )
+    grams = (
+        base.where(F.col("n_tokens") >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - window),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.md5(
+                            F.concat_ws(
+                                " ", F.slice(F.col("toks"), i + 1, F.lit(window))
+                            )
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.start").alias("start"), F.col("g.h").alias("h"))
+    )
+    from pyspark.sql import Window as W
+
+    dup_occ = (
+        grams.withColumn(
+            "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id", "start"))
+        )
+        .where(F.col("rn") > 1)
+        .select("doc_id", "start")
+    )
+    # equal-width intervals over sorted starts merge in one linear aggregate:
+    # contiguous-or-overlapping (s <= hi + 1) extends the last range to
+    # s + window - 1 (always >= the old hi because starts are sorted)
+    merged = (
+        dup_occ.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("start")).alias("starts"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                "starts",
+                F.array().cast("array<struct<lo:int,hi:int>>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (s <= F.element_at(acc, -1)["hi"] + 1),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["lo"].alias("lo"),
+                                (s + window - 1).cast("int").alias("hi"),
+                            )
+                        ),
+                    ),
+                ).otherwise(
+                    F.concat(
+                        acc,
+                        F.array(
+                            F.struct(
+                                s.cast("int").alias("lo"),
+                                (s + window - 1).cast("int").alias("hi"),
+                            )
+                        ),
+                    )
+                ),
+            ).alias("ranges"),
+        )
+    )
+    ranges = F.coalesce(
+        F.col("ranges"), F.array().cast("array<struct<lo:int,hi:int>>")
+    )
+    covered = lambda i: F.exists(
+        ranges, lambda iv: (i >= iv["lo"]) & (i <= iv["hi"])
+    )
+    return (
+        base.join(merged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.aggregate(
+                ranges, F.lit(0), lambda a, iv: a + iv["hi"] - iv["lo"] + 1
+            )
+            .cast("long")
+            .alias("n_dup_tokens"),
+            F.array_join(
+                F.filter("toks", lambda x, i: ~covered(i)), " "
+            ).alias("clean_text"),
+        )
+    )

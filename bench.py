@@ -104,6 +104,7 @@ HEADLINE = [
     # a capped input is a constant, not a scale signal)
     "common_line_removal",
     "contamination_flags",
+    "exact_substring_dedup",
     "sequence_packing",
     "doc_chunking",
     "train_val_split",

@@ -444,3 +444,67 @@ def test_contamination_flags_strict_full_grams(spark):
     assert out[1]["contaminated"] is True and out[1]["n_hits"] == 1
     assert out[2]["contaminated"] is False and out[2]["n_hits"] == 0
     assert out[3]["contaminated"] is False
+
+
+# ---------------------------------------------------------------- ExactSubstr
+
+
+def _substr_rows(spark, texts, window=4):
+    from autoextract.operators.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = exact_substring_dedup(df, window=window).orderBy("doc_id").collect()
+    return {r["doc_id"]: r for r in out}
+
+
+def test_substr_whole_duplicate_doc_empties_later_copy(spark):
+    t = "a b c d e f g h"
+    rows = _substr_rows(spark, [t, t], window=4)
+    assert rows[0]["clean_text"] == t and rows[0]["n_dup_tokens"] == 0
+    assert rows[1]["clean_text"] == "" and rows[1]["n_dup_tokens"] == 8
+
+
+def test_substr_short_doc_passes_through(spark):
+    rows = _substr_rows(spark, ["x y z", "x y z"], window=4)
+    # both copies are shorter than the window: no grams, nothing excised
+    for i in (0, 1):
+        assert rows[i]["clean_text"] == "x y z"
+        assert rows[i]["n_dup_tokens"] == 0
+
+
+def test_substr_overlapping_runs_merge(spark):
+    # doc1 embeds a 6-token run of doc0 -> three overlapping dup 4-grams
+    # merge into ONE range of 6 tokens, not 12
+    rows = _substr_rows(
+        spark,
+        ["p q r s t u", "A B p q r s t u C D"],
+        window=4,
+    )
+    assert rows[0]["n_dup_tokens"] == 0
+    assert rows[1]["n_dup_tokens"] == 6
+    assert rows[1]["clean_text"] == "A B C D"
+
+
+def test_substr_within_doc_repeat_keeps_first(spark):
+    # the same 4-gram twice inside one doc: the second occurrence is excised
+    rows = _substr_rows(spark, ["m n o p X m n o p"], window=4)
+    assert rows[0]["n_dup_tokens"] == 4
+    assert rows[0]["clean_text"] == "m n o p X"
+
+
+def test_substr_deterministic_across_shuffle_partitions(spark):
+    from autoextract.operators.dedup import exact_substring_dedup
+
+    texts = [("d%d" % i, "w%d x y z a b c d e f" % (i % 3)) for i in range(30)]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    a = {
+        r["doc_id"]: (r["n_dup_tokens"], r["clean_text"])
+        for r in exact_substring_dedup(df.repartition(1), window=5).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_dup_tokens"], r["clean_text"])
+        for r in exact_substring_dedup(df.repartition(7), window=5).collect()
+    }
+    assert a == b
