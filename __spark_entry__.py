@@ -422,6 +422,42 @@ def _q_shard_assignment(spark, sf):
     )
 
 
+def _q_temperature_mixture_sample(spark, sf):
+    """Temperature mixture resampling (r5): the same synthetic mega-source
+    skew as the quota query, reshaped to p_s ∝ n_s^0.5 at a 300-doc
+    target — rare sources keep everything (rate clamps at 1), the mega
+    source thins to its temperature share. One broadcast of per-source
+    counts + the Σn^α scalar onto a single filter pass."""
+    from autoextract.operators import sampling as SMP
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("mega"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+    return SMP.temperature_mixture_sample(d, alpha=0.5, target_total=300).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        "n_source_docs",
+        "p_target",
+    )
+
+
+def _q_unigram_quality(spark, sf):
+    """Corpus-unigram cross-entropy (r5): the CCNet perplexity-style
+    quality signal with the corpus itself as the LM — deterministic, no
+    external model. Two partial-agg shuffles on short keys (token, then
+    doc_id); raw text never shuffles."""
+    from autoextract.functions.text import unigram_cross_entropy
+
+    return unigram_cross_entropy(_t(spark, sf, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "cross_entropy",
+    )
+
+
 def _q_exact_substring_dedup(spark, sf):
     """ExactSubstr range dedup (r5): every duplicated 8-token window past
     its first (doc_id, start)-lexicographic occurrence is excised from the
@@ -1177,6 +1213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quota_sample": _q_source_quota_sample,
         "shard_assignment": _q_shard_assignment,
         "exact_substring_dedup": _q_exact_substring_dedup,
+        "temperature_mixture_sample": _q_temperature_mixture_sample,
+        "unigram_quality": _q_unigram_quality,
         "ngram_jaccard_topk": _q_ngram_jaccard_topk,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1501,6 +1539,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h1 % 16 AS BIGINT) AS shard,
                    CAST(ROW_NUMBER() OVER (PARTITION BY h1 % 16 ORDER BY h2, doc_id) - 1 AS BIGINT) AS pos
             FROM h
+        """,
+        "temperature_mixture_sample": """
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN doc_id % 10 < 7 THEN 'mega' ELSE source END AS source
+                       FROM documents),
+            c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_src FROM d GROUP BY source),
+            t AS (SELECT SUM(pow(n_src, 0.5)) AS sum_pow FROM c)
+            SELECT d.doc_id, d.source,
+                   CAST(c.n_src AS BIGINT) AS n_source_docs,
+                   round(pow(c.n_src, 0.5) / t.sum_pow, 6) AS p_target
+            FROM d JOIN c USING (source), t
+            WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp-v1'), 1, 8)) AS UBIGINT)
+                  < LEAST(1.0, 300.0 * pow(c.n_src, 0.5) / t.sum_pow / c.n_src) * 4294967296.0
+        """,
+        "unigram_quality": """
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents),
+            c AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tk GROUP BY tok),
+            t AS (SELECT SUM(cnt) AS total FROM c)
+            SELECT tk.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   round(-avg(ln(cnt / total)), 6) AS cross_entropy
+            FROM tk JOIN c USING (tok), t
+            GROUP BY tk.doc_id
         """,
         "exact_substring_dedup": """
             WITH t AS (

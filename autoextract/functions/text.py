@@ -269,6 +269,45 @@ def repetition_metrics(docs, n: int = 2, id_col: str = "doc_id", text_col: str =
     return gram_stats.join(tok_stats, id_col)
 
 
+def unigram_cross_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc cross-entropy against the corpus's own unigram LM — the
+    CCNet-style perplexity quality signal without an external model: a
+    document of common words scores low, word-soup/garbage scores high,
+    and the score is fully deterministic (no trained weights).
+
+      H(d) = -mean over tokens t of ln( count(t) / total_tokens )
+
+    Two passes, both shuffle-light at 100 TB: (1) the unigram table is ONE
+    partially-aggregated count on short token keys — vocab is sublinear in
+    corpus size (Heaps' law), so the result is a small table; (2) the
+    per-doc score joins tokens to that table and re-aggregates on doc_id.
+    The token→logprob join is broadcastable whenever the vocab fits (a
+    100 TB natural-language corpus has ~10^7-10^8 unigrams — tens of MB
+    as hashes); the fallback is a plain shuffle join on the token key.
+    Returns ``(doc_id, n_tokens, cross_entropy)`` with the score rounded
+    to 6 dp (a float-sum-order guard for the engine-parity oracle).
+    """
+    tok_rows = docs.select(
+        id_col,
+        F.explode(F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))).alias(
+            "tok"
+        ),
+    )
+    counts = tok_rows.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        tok_rows.join(counts, "tok")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(-F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "cross_entropy"
+            ),
+        )
+    )
+
+
 # ----------------------------------------------------------------------
 # the composed corpus filter (what a training-data run actually applies)
 # ----------------------------------------------------------------------

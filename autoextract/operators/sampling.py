@@ -1,7 +1,7 @@
 """Corpus-assembly sampling — deterministic downsampling and sharding for
 training-data pipelines.
 
-Two operators the 100 TB run needs between dedup and packing:
+Three operators the 100 TB run needs between dedup and packing:
 
 * :func:`source_quota_sample` — downsample over-represented sources to a
   per-source document cap (the CCNet/Dolma "domain quota" step) with a
@@ -9,6 +9,10 @@ Two operators the 100 TB run needs between dedup and packing:
   aggregate (map-side combined, a handful of rows) broadcast back onto the
   corpus; the big side is a single filter pass — no shuffle of document
   rows, no per-source window sort, immune to mega-source skew.
+* :func:`temperature_mixture_sample` — reshape the source mixture to
+  ``p_s ∝ n_s^alpha`` (the multilingual-LM temperature rule); same
+  broadcast-filter scale shape as the quota, but targeting a corpus-wide
+  distribution instead of independent caps.
 * :func:`shard_assignment` — deterministic pseudo-random shard id +
   within-shard order for writing training shards: every engine and every
   cluster size produces byte-identical shard contents and ordering.  Scale
@@ -111,4 +115,66 @@ def shard_assignment(
         docs.select(id_col, shard, order_key)
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .select(id_col, "shard", "pos")
+    )
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    target_total: int = 1000,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling: reshape the per-source
+    distribution to ``p_s ∝ n_s^alpha`` (the multilingual-LM upsampling
+    rule — alpha<1 flattens the mixture toward rare sources) and keep each
+    row iff ``hash32(doc_id) < min(1, target_total·p_s/n_s)·2^32``.
+
+    The complement of :func:`source_quota_sample`: a quota CAPS each
+    source independently, temperature sampling targets a corpus-wide
+    SHAPE.  Returns ``(doc_id, source, n_source_docs, p_target)`` for the
+    kept rows, where ``p_target`` is the source's target mixture share.
+
+    Scale shape is identical to the quota rule: the per-source counts and
+    the scalar ``Σ n_t^alpha`` are a handful of rows broadcast onto one
+    corpus filter pass — no document-row shuffle, no window, mega-source
+    immune.  Acceptance cannot upsample (rate is clamped at 1); a true
+    >1× upsample is a write-time repeat, not a filter, and stays out of
+    scope here.  Hash-threshold acceptance keeps the sample
+    superset-stable as ``target_total`` rises, and the threshold
+    expression ``least(1, target·pow(n,alpha)/Σpow/n)·2^32`` is evaluated
+    in the identical IEEE order by the DuckDB oracle.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if target_total <= 0:
+        raise ValueError("target_total must be positive")
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n_src")
+    )
+    sum_pow = counts.agg(
+        F.sum(F.pow("n_src", F.lit(float(alpha)))).alias("sum_pow")
+    )
+    h = _hash32(F.col(id_col), salt)
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(target_total))
+        * F.pow("n_src", F.lit(float(alpha)))
+        / F.col("sum_pow")
+        / F.col("n_src"),
+    )
+    return (
+        docs.select(id_col, source_col)
+        .join(F.broadcast(counts), source_col)
+        .join(F.broadcast(sum_pow))
+        .where(h < rate * F.lit(_HASH_SPACE))
+        .select(
+            id_col,
+            source_col,
+            F.col("n_src").cast("long").alias("n_source_docs"),
+            F.round(
+                F.pow("n_src", F.lit(float(alpha))) / F.col("sum_pow"), 6
+            ).alias("p_target"),
+        )
     )

@@ -110,6 +110,8 @@ HEADLINE = [
     "train_val_split",
     "source_quota_sample",
     "shard_assignment",
+    "temperature_mixture_sample",
+    "unigram_quality",
 ]
 
 

@@ -108,3 +108,42 @@ def test_shard_assignment_independent_of_partitioning(spark):
     a = sorted(map(tuple, shard_assignment(df1, n_shards=5).collect()))
     b = sorted(map(tuple, shard_assignment(df7, n_shards=5).collect()))
     assert a == b
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    from autoextract.operators.sampling import temperature_mixture_sample
+
+    # 900-doc mega source vs two 50-doc rare sources, alpha=0.5
+    rows = [(i, "mega" if i < 900 else ("a" if i < 950 else "b")) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture_sample(df, alpha=0.5, target_total=300)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # rare sources: rate = 300*sqrt(50)/(sqrt(900)+2*sqrt(50))/50 ~ 0.96
+    # -> nearly everything kept (~48 of 50 expected)
+    assert 40 <= per["a"] <= 50 and 40 <= per["b"] <= 50
+    # mega: target share = sqrt(900)/(sqrt(900)+2*sqrt(50)) ~ 0.68 of 300
+    # ~ 204 expected of 900 (a 0.23 rate vs 0.90 raw share: flattened);
+    # binomial noise is ~ +-13 at one sigma
+    assert 150 < per["mega"] < 260
+    # the mixture is genuinely flattened: mega's kept share is far below
+    # its 90% raw share
+    assert per["mega"] / sum(per.values()) < 0.75
+
+
+def test_temperature_sample_deterministic_and_validated(spark):
+    import pytest as _pt
+
+    from autoextract.operators.sampling import temperature_mixture_sample
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    a = sorted(map(tuple, temperature_mixture_sample(df.repartition(1)).collect()))
+    b = sorted(map(tuple, temperature_mixture_sample(df.repartition(9)).collect()))
+    assert a == b
+    with _pt.raises(ValueError):
+        temperature_mixture_sample(df, alpha=0.0)
+    with _pt.raises(ValueError):
+        temperature_mixture_sample(df, target_total=0)

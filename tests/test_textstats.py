@@ -185,3 +185,37 @@ def test_train_val_split_deterministic_and_stable(spark):
     assert any(c[k] != v for k, v in a.items())  # fresh salt, fresh split
     frac = sum(1 for v in a.values() if v == "val") / len(a)
     assert 0.02 < frac < 0.25  # ~10% with small-sample slack
+
+
+def test_unigram_cross_entropy_orders_rarity(spark):
+    from autoextract.functions.text import unigram_cross_entropy
+
+    # "the" dominates the corpus; doc 2 is all-rare tokens
+    df = spark.createDataFrame(
+        [
+            (0, "the the the the the"),
+            (1, "the the the cat"),
+            (2, "zyx qwv jkl"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_cross_entropy(df).collect()}
+    assert out[0]["n_tokens"] == 5 and out[2]["n_tokens"] == 3
+    # common-word doc scores lowest, all-rare doc highest
+    assert out[0]["cross_entropy"] < out[1]["cross_entropy"] < out[2]["cross_entropy"]
+    # exact value for doc 0: -ln(8/12) (token 'the' count=8, total=12)
+    import math
+
+    assert abs(out[0]["cross_entropy"] - (-math.log(8 / 12))) < 1e-6
+
+
+def test_unigram_cross_entropy_partition_invariant(spark):
+    from autoextract.functions.text import unigram_cross_entropy
+
+    df = spark.createDataFrame(
+        [(i, "w%d common common x%d" % (i % 5, i % 2)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, unigram_cross_entropy(df.repartition(1)).collect()))
+    b = sorted(map(tuple, unigram_cross_entropy(df.repartition(8)).collect()))
+    assert a == b

@@ -62,6 +62,16 @@ AUDITED = {
     "shard_assignment": "map-side hash shard id → one exchange on the "
     "shard key → per-shard window rank (matches the physical "
     "repartition+sortWithinPartitions write); no global sort",
+    "exact_substring_dedup": "gram explode (constant ×n_tokens factor) → "
+    "ONE window exchange on the 32-byte md5 gram key (raw text never "
+    "shuffles) → per-doc collect+interval-merge agg → left join back; "
+    "excision is a codegen'd filter HOF, no python stage",
+    "temperature_mixture_sample": "per-source count agg + Σn^α scalar both "
+    "broadcast onto a single filter pass — document rows never shuffle; "
+    "the threshold chain is a codegen'd projection",
+    "unigram_quality": "token explode → partial-agg exchange on the token "
+    "key (vocab-sized result) → join back + per-doc partial agg; both "
+    "shuffles carry short keys, raw text stays in the scan stage",
 }
 
 
