@@ -458,6 +458,72 @@ def _q_unigram_quality(spark, sf):
     )
 
 
+def _q_url_domain_filter(spark, sf):
+    """URL hygiene pass (r5): synthesize an adversarial URL per doc
+    (uppercase scheme/host, multi-part public suffix, default port,
+    interior+trailing tracking params, fragment), then normalize, extract
+    the registered domain, and verdict against a broadcast blocklist —
+    one codegen'd projection + broadcast left join, no doc-row shuffle.
+    The DuckDB oracle replays the identical Java∩RE2 regex chain."""
+    from autoextract.functions import urls as U
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(".CO.UK")).otherwise(F.lit(".com")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Path/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("?id="),
+                F.col("doc_id").cast("string"),
+                F.lit("&utm_campaign=x"),
+            )
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#Frag")).otherwise(F.lit("")),
+    )
+    bl = spark.createDataFrame([("src3.com",), ("src7.co.uk",)], "domain string")
+    return U.domain_filter(d.withColumn("url", url), bl).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "url_norm",
+        "domain",
+        "blocked",
+    )
+
+
+def _q_bm25_topk(spark, sf):
+    """Distributed inverted-index + BM25 ranking (r5): postings from ONE
+    partial-agg shuffle over exploded tokens, tiny query set broadcast,
+    per-query window top-k over the 6-dp-rounded score (doc_id tiebreak)
+    so ranking is float-sum-order-proof across engines."""
+    from autoextract.operators import retrieval as RET
+
+    d = _t(spark, sf, "documents")
+    qt = spark.createDataFrame(
+        [
+            (1, "table"),
+            (1, "scan"),
+            (2, "hash"),
+            (2, "merge"),
+            (3, "spark"),
+            (3, "vector"),
+            (3, "fast"),
+        ],
+        "query_id long, term string",
+    )
+    return RET.bm25_topk(d, qt, k=10).select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+        "rank",
+    )
+
+
 def _q_exact_substring_dedup(spark, sf):
     """ExactSubstr range dedup (r5): every duplicated 8-token window past
     its first (doc_id, start)-lexicographic occurrence is excised from the
@@ -1215,6 +1281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": _q_exact_substring_dedup,
         "temperature_mixture_sample": _q_temperature_mixture_sample,
         "unigram_quality": _q_unigram_quality,
+        "bm25_topk": _q_bm25_topk,
+        "url_domain_filter": _q_url_domain_filter,
         "ngram_jaccard_topk": _q_ngram_jaccard_topk,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1539,6 +1607,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h1 % 16 AS BIGINT) AS shard,
                    CAST(ROW_NUMBER() OVER (PARTITION BY h1 % 16 ORDER BY h2, doc_id) - 1 AS BIGINT) AS pos
             FROM h
+        """,
+        "url_domain_filter": """
+            WITH d AS (
+              SELECT doc_id,
+                     'HTTPS://WWW.' || source ||
+                     CASE WHEN doc_id % 4 = 0 THEN '.CO.UK' ELSE '.com' END ||
+                     CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+                     '/Path/' || CAST(doc_id AS VARCHAR) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                          ELSE '?id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+                     END ||
+                     CASE WHEN doc_id % 5 = 0 THEN '#Frag' ELSE '' END AS url
+              FROM documents),
+            p AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+                     regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS port,
+                     regexp_extract(regexp_replace(url, '#.*$', '', 'g'),
+                                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS pq
+              FROM d),
+            n AS (
+              SELECT doc_id,
+                     scheme || '://' ||
+                     CASE WHEN port = '' THEN host
+                          WHEN (scheme = 'http' AND port = '80')
+                            OR (scheme = 'https' AND port = '443') THEN host
+                          ELSE host || ':' || port END ||
+                     regexp_replace(
+                       regexp_replace(pq, '(?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '', 'g'),
+                       '[?&](?:utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', '', 'g') AS url_norm,
+                     regexp_extract(host,
+                       '([^.]+\\.(?:co|com|ac|org|net|gov)\\.(?:uk|au|jp|br|in)|[^.]+\\.[^.]+)$',
+                       1) AS domain
+              FROM p)
+            SELECT doc_id, url_norm, domain,
+                   domain IN ('src3.com', 'src7.co.uk') AS blocked
+            FROM n
+        """,
+        "bm25_topk": """
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x <> '')) AS term
+              FROM documents),
+            post AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+                     FROM tk GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+                   FROM tk GROUP BY doc_id),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            ad AS (SELECT AVG(dl.dl) AS avgdl FROM dl),
+            dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                    FROM post GROUP BY term),
+            q(query_id, term) AS (VALUES
+              (1, 'table'), (1, 'scan'), (2, 'hash'), (2, 'merge'),
+              (3, 'spark'), (3, 'vector'), (3, 'fast')),
+            sc AS (
+              SELECT q.query_id, post.doc_id,
+                     round(SUM(
+                       ln(1.0 + (n.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                       * (post.tf * 2.2)
+                       / (post.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl))
+                     ), 6) AS score
+              FROM post
+              JOIN q USING (term)
+              JOIN dft USING (term)
+              JOIN dl ON post.doc_id = dl.doc_id
+              CROSS JOIN n CROSS JOIN ad
+              GROUP BY q.query_id, post.doc_id)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
+            FROM (SELECT query_id, doc_id, score,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+                  FROM sc)
+            WHERE rank <= 10
         """,
         "temperature_mixture_sample": """
             WITH d AS (SELECT doc_id,

@@ -112,6 +112,8 @@ HEADLINE = [
     "shard_assignment",
     "temperature_mixture_sample",
     "unigram_quality",
+    "bm25_topk",
+    "url_domain_filter",
 ]
 
 

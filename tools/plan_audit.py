@@ -72,6 +72,15 @@ AUDITED = {
     "unigram_quality": "token explode → partial-agg exchange on the token "
     "key (vocab-sized result) → join back + per-doc partial agg; both "
     "shuffles carry short keys, raw text stays in the scan stage",
+    "bm25_topk": "ONE corpus explode (single Generate): tf partial-agg + "
+    "dl window are the only corpus-sized exchanges; query set, df (window "
+    "count over the query-term-pruned slice) and scalars ride tiny/"
+    "broadcast exchanges; (query_id, doc_id) agg fuses onto the doc_id "
+    "partitioning; per-query window top-k — no python stages, raw text "
+    "never shuffles",
+    "url_domain_filter": "one codegen'd regexp projection + broadcast "
+    "left join against the blocklist — zero non-broadcast exchanges, "
+    "document rows never shuffle",
 }
 
 
