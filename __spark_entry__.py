@@ -496,6 +496,15 @@ def _q_url_domain_filter(spark, sf):
     )
 
 
+def _q_corpus_stats(spark, sf):
+    """Per-source corpus report (r5): one partial-agg shuffle on the
+    group key; exact percentiles anchor the oracle (approx_percentile is
+    the documented 100 TB path in the same plan shape)."""
+    from autoextract.functions.text import corpus_stats
+
+    return corpus_stats(_t(spark, sf, "documents"))
+
+
 def _q_bm25_topk(spark, sf):
     """Distributed inverted-index + BM25 ranking (r5): postings from ONE
     partial-agg shuffle over exploded tokens, tiny query set broadcast,
@@ -1283,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_quality": _q_unigram_quality,
         "bm25_topk": _q_bm25_topk,
         "url_domain_filter": _q_url_domain_filter,
+        "corpus_stats": _q_corpus_stats,
         "ngram_jaccard_topk": _q_ngram_jaccard_topk,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1607,6 +1617,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h1 % 16 AS BIGINT) AS shard,
                    CAST(ROW_NUMBER() OVER (PARTITION BY h1 % 16 ORDER BY h2, doc_id) - 1 AS BIGINT) AS pos
             FROM h
+        """,
+        "corpus_stats": """
+            WITH t AS (
+              SELECT source, lang, n_chars,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> '')) AS wc
+              FROM documents)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   round(AVG(n_chars), 6) AS avg_chars,
+                   round(quantile_cont(wc, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(wc, 0.9), 6) AS p90_tokens,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM t GROUP BY source
         """,
         "url_domain_filter": """
             WITH d AS (

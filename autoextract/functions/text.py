@@ -308,6 +308,40 @@ def unigram_cross_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def corpus_stats(
+    docs,
+    group_col: str = "source",
+    text_col: str = "text",
+    approx: bool = False,
+):
+    """Per-group corpus report: doc count, mean char length, exact p50/p90
+    token counts, distinct languages — the rollup a pipeline run prints
+    per source before/after each cleaning stage.
+
+    ``approx=False`` uses exact ``percentile`` (linear interpolation, the
+    same method as DuckDB's ``quantile_cont`` — this is the driver-oracle
+    anchor). At 100 TB exact percentiles hold per-group value buffers, so
+    the scale path is ``approx=True`` → ``approx_percentile`` (t-digest
+    style bounded memory, same plan shape, no oracle parity).
+    One partial-agg shuffle on the group key; the token count is a
+    ``size(split(...))`` projection — the tokens are never exploded.
+    """
+    wc = F.size(F.filter(tokens(F.col(text_col)), lambda x: x != F.lit("")))
+    pct = (
+        (lambda c, p: F.approx_percentile(c, F.lit(p)))
+        if approx
+        else (lambda c, p: F.percentile(c, F.lit(p)))
+    )
+    base = docs.select(group_col, "lang", "n_chars", wc.alias("wc"))
+    return base.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(pct(F.col("wc"), 0.5).cast("double"), 6).alias("p50_tokens"),
+        F.round(pct(F.col("wc"), 0.9).cast("double"), 6).alias("p90_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
 # ----------------------------------------------------------------------
 # the composed corpus filter (what a training-data run actually applies)
 # ----------------------------------------------------------------------

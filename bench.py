@@ -114,6 +114,7 @@ HEADLINE = [
     "unigram_quality",
     "bm25_topk",
     "url_domain_filter",
+    "corpus_stats",
 ]
 
 

@@ -219,3 +219,26 @@ def test_unigram_cross_entropy_partition_invariant(spark):
     a = sorted(map(tuple, unigram_cross_entropy(df.repartition(1)).collect()))
     b = sorted(map(tuple, unigram_cross_entropy(df.repartition(8)).collect()))
     assert a == b
+
+
+def test_corpus_stats_exact_and_approx(spark):
+    from autoextract.functions.text import corpus_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c", "en", "s1", 5),
+            (1, "a b c d e", "en", "s1", 9),
+            (2, "a", "fr", "s1", 1),
+            (3, "x y", "en", "s2", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in corpus_stats(df).collect()}
+    assert out["s1"]["n_docs"] == 3 and out["s1"]["n_langs"] == 2
+    assert out["s1"]["avg_chars"] == 5.0
+    assert out["s1"]["p50_tokens"] == 3.0  # token counts 1,3,5 -> exact median
+    assert out["s2"]["p50_tokens"] == 2.0
+    # approx path: same schema, plausible values (t-digest, no exact pin)
+    ap = {r["source"]: r for r in corpus_stats(df, approx=True).collect()}
+    assert set(ap) == {"s1", "s2"}
+    assert 1.0 <= ap["s1"]["p50_tokens"] <= 5.0
