@@ -1252,6 +1252,16 @@ def _q_ivf_ann_topk(spark, sf):
     )
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup as a verdict (r5): plant ε-twins, run the FULL pipeline
+    (IVF k-means cells → per-cell BLAS Gram near-dup pairs → connected
+    components → min-id keeper); per planted pair the original and twin
+    must share a component that keeps exactly one member, the minimum id."""
+    return SIM.semantic_dedup_verdict(
+        _t(spark, sf, "embeddings"), n_plants=8, threshold=0.95, n_cells=8
+    )
+
+
 def _q_batch_ann_knn(spark, sf):
     """Batch k-NN join as a verdict: the FULL production batch_ann_topk runs
     over the planted corpus; each of the first 50 rows must recover its
@@ -1323,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_sketches": _q_simhash,
         "srp_ann_topk": _q_srp_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "semantic_dedup": _q_semantic_dedup,
         "batch_ann_knn": _q_batch_ann_knn,
     }
 
@@ -2072,6 +2083,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ivf_ann_topk": """
             SELECT CAST(range AS BIGINT) AS query_id, true AS ann_ok
+            FROM range(8)
+        """,
+        "semantic_dedup": """
+            SELECT CAST(range AS BIGINT) AS query_id, true AS semdedup_ok
             FROM range(8)
         """,
         "batch_ann_knn": """

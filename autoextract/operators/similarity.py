@@ -649,3 +649,142 @@ def batch_knn_verdict(
         corpus.crossJoin(F.broadcast(qdf)), k, id_col, vec_col, exclude_self=True
     )
     return _ann_verdict(approx, exact, qdf, k, recall_floor)
+
+
+# ----------------------------------------------------------------------
+# SemDeDup: embedding-cluster semantic deduplication
+# ----------------------------------------------------------------------
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    seed: int = 42,
+    max_cell_rows: int = 65536,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the corpus embeddings with the
+    IVF coarse quantizer, find intra-cluster cosine near-duplicates, and
+    keep one representative per duplicate group.
+
+    Composition of the repo's scale pieces, each already verdict-checked:
+
+      1. ``train_ivf_centroids`` — seeded k-means on a bounded driver
+         sample (tiny, one-off);
+      2. ``ivf_assign`` — one NumPy distance matrix per Arrow batch;
+      3. ``embedding_near_dup_pairs_blas`` blocked on the cell — one Gram
+         matmul per cluster, never corpus²; ``max_cell_rows`` is the same
+         OOM guard (re-cluster with larger ``n_cells`` if a cell overflows:
+         the paper's recipe scales k with corpus size for exactly this
+         reason);
+      4. ``dedup.connected_components`` over the ≥ threshold pairs —
+         keep-policy = component minimum, deterministic across runs and
+         cluster sizes.
+
+    Grouping is the transitive closure of the ≥ threshold relation within
+    a cell (the paper greedily keeps one item per ε-ball; closure is the
+    order-free deterministic variant of the same idea — every dropped row
+    has a ≥ threshold edge into its component by construction).
+
+    Returns every input row as ``(vec_id, cell, rep_id, keep)`` —
+    downstream keeps ``keep`` rows; the verdict and lineage both want the
+    dropped rows visible rather than silently filtered.
+    """
+    from .dedup import connected_components
+
+    cents = train_ivf_centroids(
+        embeddings,
+        n_cells=n_cells,
+        sample_size=sample_size,
+        seed=seed,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+    cells = ivf_assign(embeddings, cents, vec_col=vec_col)
+    pairs = embedding_near_dup_pairs_blas(
+        cells,
+        threshold=threshold,
+        block_col="ivf_cell",
+        id_col=id_col,
+        vec_col=vec_col,
+        max_block_rows=max_cell_rows,
+    )
+    comp = connected_components(
+        pairs, nodes=embeddings.select(id_col), id_a="id_a", id_b="id_b"
+    )
+    return (
+        cells.select(id_col, F.col("ivf_cell").alias("cell"))
+        .join(
+            comp.select(
+                F.col("doc_id").alias(id_col), F.col("component").alias("rep_id")
+            ),
+            id_col,
+        )
+        .withColumn("keep", F.col("rep_id") == F.col(id_col))
+    )
+
+
+def semantic_dedup_verdict(
+    embeddings: DataFrame,
+    n_plants: int = 8,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup as a driver-checkable boolean table: plant an ε-twin of the
+    first ``n_plants`` rows, run the FULL production pipeline, and emit
+    ``(query_id, semdedup_ok)`` where ok requires, per planted pair:
+
+      * the original and its twin land in the same duplicate component
+        (the clustering did not split an ε-ball across cells);
+      * their component keeps EXACTLY ONE member (dedup actually dropped
+        the duplicates);
+      * the keeper is the component's minimum id (the documented policy).
+    """
+    planted = plant_near_neighbors(
+        embeddings, n_plants, id_col=id_col, vec_col=vec_col
+    )
+    out = semantic_dedup(
+        planted,
+        threshold=threshold,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    comp_stats = out.groupBy("rep_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep"),
+        F.min(id_col).alias("comp_min"),
+    )
+    facts = (
+        out.join(comp_stats, "rep_id")
+        .select(
+            id_col,
+            "rep_id",
+            "n_keep",
+            (F.col("comp_min") == F.col("rep_id")).alias("rep_is_min"),
+        )
+    )
+    orig = facts.where(F.col(id_col) < n_plants).alias("o")
+    twin = facts.where(
+        (F.col(id_col) >= PLANT_ID_OFFSET)
+        & (F.col(id_col) < PLANT_ID_OFFSET + n_plants)
+    ).alias("t")
+    return (
+        orig.join(
+            twin,
+            F.col(f"o.{id_col}") + PLANT_ID_OFFSET == F.col(f"t.{id_col}"),
+        )
+        .select(
+            F.col(f"o.{id_col}").cast("long").alias("query_id"),
+            (
+                (F.col("o.rep_id") == F.col("t.rep_id"))
+                & (F.col("o.n_keep") == 1)
+                & F.col("o.rep_is_min")
+            ).alias("semdedup_ok"),
+        )
+        .orderBy("query_id")
+    )

@@ -508,3 +508,42 @@ def test_substr_deterministic_across_shuffle_partitions(spark):
         for r in exact_substring_dedup(df.repartition(7), window=5).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------- SemDeDup
+
+
+def test_semantic_dedup_drops_planted_twins(spark):
+    from autoextract.operators.similarity import (
+        PLANT_ID_OFFSET,
+        plant_near_neighbors,
+        semantic_dedup,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planted = plant_near_neighbors(e, 4)
+    out = semantic_dedup(planted, threshold=0.95, n_cells=4)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == planted.count()  # every row survives with a verdict
+    for q in range(4):
+        o, t = rows[q], rows[q + PLANT_ID_OFFSET]
+        assert o["rep_id"] == t["rep_id"]  # twin pair in one component
+        assert o["keep"] and not t["keep"]  # min-id keeper policy
+    # keepers are exactly the component minima, one per component
+    comps = {}
+    for r in rows.values():
+        comps.setdefault(r["rep_id"], []).append(r)
+    for rep, members in comps.items():
+        keeps = [m for m in members if m["keep"]]
+        assert len(keeps) == 1 and keeps[0]["vec_id"] == min(
+            m["vec_id"] for m in members
+        ) == rep
+
+
+def test_semantic_dedup_verdict_all_true(spark):
+    from autoextract.operators.similarity import semantic_dedup_verdict
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup_verdict(e, n_plants=4, n_cells=4).collect()
+    assert [r["query_id"] for r in out] == [0, 1, 2, 3]
+    assert all(r["semdedup_ok"] for r in out)
