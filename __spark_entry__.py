@@ -496,6 +496,16 @@ def _q_url_domain_filter(spark, sf):
     )
 
 
+def _q_quality_classifier(spark, sf):
+    """Model-based quality filter (r5): logistic score over the rounded
+    rule-based features in ONE codegen'd projection — the DCLM/fastText
+    classifier stage with deterministic stand-in weights (production swaps
+    trained weights without touching the plan)."""
+    from autoextract.functions.text import quality_classifier
+
+    return quality_classifier(_t(spark, sf, "documents"))
+
+
 def _q_corpus_stats(spark, sf):
     """Per-source corpus report (r5): one partial-agg shuffle on the
     group key; exact percentiles anchor the oracle (approx_percentile is
@@ -1303,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "url_domain_filter": _q_url_domain_filter,
         "corpus_stats": _q_corpus_stats,
+        "quality_classifier": _q_quality_classifier,
         "ngram_jaccard_topk": _q_ngram_jaccard_topk,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_neardup": _q_embedding_neardup,
@@ -1629,6 +1640,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY h1 % 16 ORDER BY h2, doc_id) - 1 AS BIGINT) AS pos
             FROM h
         """,
+        "quality_classifier": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST(n_words AS BIGINT) AS n_words,
+                     round(CASE WHEN n_words > 0 THEN CAST(n_chars - n_words + 1 AS DOUBLE)/n_words ELSE 0.0 END, 4) AS mwl,
+                     round(CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE)/n_chars ELSE 0.0 END, 4) AS ar,
+                     round(CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE)/n_chars ELSE 0.0 END, 4) AS pr,
+                     round(CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE)/n_words ELSE 0.0 END, 4) AS sr
+              FROM (SELECT doc_id, len(text) AS n_chars,
+                           CASE WHEN len(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+                           len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                           len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars,
+                           {_LANG} AS stop_hits
+                    FROM documents)),
+            z AS (SELECT doc_id,
+                         -1.0 + 1.5 * (mwl / 10.0) + 2.0 * ar + (-3.0) * pr
+                         + 2.5 * sr + 1.0 * (ln(1.0 + n_words) / 10.0) AS zz
+                  FROM m)
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-zz)), 6) AS qscore,
+                   round(1.0 / (1.0 + exp(-zz)), 6) >= 0.5 AS clf_keep
+            FROM z
+        """.replace("{_LANG}", _LANG_SCORE["en"]),
         "corpus_stats": """
             WITH t AS (
               SELECT source, lang, n_chars,

@@ -269,6 +269,54 @@ def repetition_metrics(docs, n: int = 2, id_col: str = "doc_id", text_col: str =
     return gram_stats.join(tok_stats, id_col)
 
 
+#: fixed stand-in weights for the model-based quality classifier — the
+#: plumbing contract (feature vector, score expression, keep gate) is the
+#: deliverable; a production run swaps TRAINED weights in via this dict (or
+#: a broadcast map for per-domain weight sets) without touching the plan.
+QUALITY_CLF_WEIGHTS = {
+    "bias": -1.0,
+    "mean_word_len": 1.5,  # over mean_word_len / 10
+    "alpha_ratio": 2.0,
+    "punct_ratio": -3.0,
+    "stopword_ratio": 2.5,
+    "log_words": 1.0,  # over ln(1 + n_words) / 10
+}
+
+
+def quality_classifier(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Model-based quality scoring (the DCLM/fastText-classifier stage of a
+    modern data pipeline) as one codegen'd projection: a logistic model
+    over the rule-based quality features,
+
+        qscore = sigmoid(b + Σ w_i · f_i),   keep = qscore ≥ 0.5.
+
+    The features are the ROUNDED outputs of :func:`quality_metrics`
+    (exactly engine-portable already), so the only float work on top is
+    the dot product + sigmoid over identical inputs — a 6-dp round makes
+    the score itself oracle-comparable. Weights are deterministic stand-ins
+    (see :data:`QUALITY_CLF_WEIGHTS`); training them is an offline concern
+    by design — the reference's analogue is an external model endpoint,
+    and the Spark-side contract (feature extraction, scoring plan, gate)
+    is identical whichever weights ride in. Zero shuffles, zero Python.
+    """
+    w = QUALITY_CLF_WEIGHTS
+    m = quality_metrics(F.col(text_col))
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["mean_word_len"]) * (m["mean_word_len"] / 10.0)
+        + F.lit(w["alpha_ratio"]) * m["alpha_ratio"]
+        + F.lit(w["punct_ratio"]) * m["punct_ratio"]
+        + F.lit(w["stopword_ratio"]) * m["stopword_ratio"]
+        + F.lit(w["log_words"]) * (F.log(F.lit(1.0) + m["n_words"]) / 10.0)
+    )
+    qscore = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        id_col,
+        qscore.alias("qscore"),
+        (qscore >= 0.5).alias("clf_keep"),
+    )
+
+
 def unigram_cross_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Per-doc cross-entropy against the corpus's own unigram LM — the
     CCNet-style perplexity quality signal without an external model: a

@@ -115,6 +115,7 @@ HEADLINE = [
     "bm25_topk",
     "url_domain_filter",
     "corpus_stats",
+    "quality_classifier",
 ]
 
 

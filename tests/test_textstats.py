@@ -242,3 +242,43 @@ def test_corpus_stats_exact_and_approx(spark):
     ap = {r["source"]: r for r in corpus_stats(df, approx=True).collect()}
     assert set(ap) == {"s1", "s2"}
     assert 1.0 <= ap["s1"]["p50_tokens"] <= 5.0
+
+
+def test_quality_classifier_orders_quality(spark):
+    import math
+
+    from autoextract.functions.text import QUALITY_CLF_WEIGHTS, quality_classifier
+
+    good = "the cat and the dog walked to the house of the friendly neighbour today"
+    junk = "%%% !!! ??? ;;; ,,, ... ::: !!! %%% ??? ;;;"
+    df = spark.createDataFrame(
+        [(0, good), (1, junk)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in quality_classifier(df).collect()}
+    assert out[0]["qscore"] > out[1]["qscore"]
+    assert out[0]["clf_keep"] and not out[1]["clf_keep"]
+    # the score must equal the documented formula over the quality_metrics
+    # features (computed independently here, then recombined in Python)
+    from autoextract.functions.text import quality_metrics
+
+    m = quality_metrics(F.col("text"))
+    feats = df.select(
+        "doc_id",
+        m["mean_word_len"].alias("mwl"),
+        m["alpha_ratio"].alias("ar"),
+        m["punct_ratio"].alias("pr"),
+        m["stopword_ratio"].alias("sr"),
+        m["n_words"].alias("nw"),
+    ).collect()
+    w = QUALITY_CLF_WEIGHTS
+    for r in feats:
+        z = (
+            w["bias"]
+            + w["mean_word_len"] * (r["mwl"] / 10.0)
+            + w["alpha_ratio"] * r["ar"]
+            + w["punct_ratio"] * r["pr"]
+            + w["stopword_ratio"] * r["sr"]
+            + w["log_words"] * (math.log(1.0 + r["nw"]) / 10.0)
+        )
+        expect = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert abs(out[r["doc_id"]]["qscore"] - expect) < 1e-9
