@@ -775,6 +775,32 @@ def _q_extraction_oracle(spark, sf):
     )
 
 
+def _q_warc_ingest(spark, sf):
+    """Web-archive ingestion end-to-end: documents → typeset into real
+    ISO 28500 WARC segments (warcinfo + request + response records,
+    rotating plain / whole-file-gzip / per-record-gzip-member layouts ×
+    identity / chunked / gzip HTTP body encodings — 9 wire shapes) → parse
+    back through member splitting, record framing, and HTTP unwrapping.
+    The oracle recomputes every expectation straight from the source table,
+    so record counts, the HTTP status, the target URI, and the byte-exact
+    body text all gate. This is the engine's Common Crawl front door — the
+    shape a 100 TB web corpus actually lands in."""
+    from autoextract.sources.warc import render_docs_to_warc, warc_records
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 250)
+    raw = render_docs_to_warc(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    recs = warc_records(raw)
+    resp = F.col("warc_type") == "response"
+    return recs.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.max(F.when(resp, F.col("http_status"))).cast("int").alias("http_status"),
+        F.max(F.when(resp, F.col("target_uri"))).alias("target_uri"),
+        F.max(F.when(resp, F.decode("body", "UTF-8"))).alias("text_rebuilt"),
+    )
+
+
 def _q_pdf_ingest_spans(spark, sf):
     """P1 end-to-end: documents → typeset into REAL multi-page PDF payloads
     → text-layer parse back to word boxes → the ordinary layout/span
@@ -1331,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "events_hourly": _q_events_hourly,
         "layout_reading_order": _q_layout_reading_order,
+        "warc_ingest": _q_warc_ingest,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
@@ -2050,6 +2077,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT printf('doc-13-%09d', range) AS doc_id,
                    true AS fields_exact
             FROM range(50)
+        """,
+        # WARC round-trip: every expectation derives from the source table —
+        # 3 records per segment (warcinfo/request/response), HTTP 200, the
+        # fixture URI scheme, and byte-exact body text through all 9
+        # compression×encoding wire shapes
+        "warc_ingest": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(3 AS BIGINT) AS n_records,
+                   CAST(200 AS INTEGER) AS http_status,
+                   'https://example.org/' || CAST(doc_id AS VARCHAR) AS target_uri,
+                   text AS text_rebuilt
+            FROM documents WHERE doc_id < 250
         """,
         "pdf_ingest_spans": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -116,6 +116,9 @@ HEADLINE = [
     "url_domain_filter",
     "corpus_stats",
     "quality_classifier",
+    # WARC front door: segment split + record framing + HTTP unwrap is the
+    # first stage of any crawl-scale run, so its throughput is tracked
+    "warc_ingest",
 ]
 
 

@@ -1,0 +1,138 @@
+"""WARC ingestion: every compression layout × HTTP body encoding must
+round-trip the document text exactly; corruption is contained per file."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from autoextract.sources.warc import (
+    build_warc_segment,
+    parse_warc_bytes,
+    render_docs_to_warc,
+    warc_records,
+    warc_text_docs,
+)
+
+TEXT = "the quick brown fox jumps over the lazy dog " * 8  # > one chunk
+
+
+@pytest.mark.parametrize("layout", ["plain", "gzip", "members"])
+@pytest.mark.parametrize("encoding", ["identity", "chunked", "gzip"])
+def test_roundtrip_all_shapes(layout, encoding):
+    seg = build_warc_segment("d1", TEXT, layout, encoding)
+    rows = parse_warc_bytes("d1", seg)
+    assert [r["warc_type"] for r in rows] == ["warcinfo", "request", "response"]
+    resp = rows[2]
+    assert resp["http_status"] == 200
+    assert resp["mime"] == "text/plain"
+    assert resp["target_uri"] == "https://example.org/d1"
+    assert resp["body"].decode("utf-8") == TEXT
+    assert all(r["valid"] for r in rows)
+
+
+def test_members_layout_is_concatenated_gzip():
+    seg = build_warc_segment("d1", TEXT, "members", "identity")
+    assert seg[:2] == b"\x1f\x8b"
+    # three records -> three independent members
+    assert seg.count(b"\x1f\x8b\x08") == 3
+
+
+def test_deflate_content_encoding():
+    import zlib
+
+    body = TEXT.encode()
+    coded = zlib.compress(body)
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Encoding: deflate\r\n"
+        b"Content-Length: " + str(len(coded)).encode() + b"\r\n\r\n" + coded
+    )
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+    rows = parse_warc_bytes("d", rec)
+    assert rows[0]["body"].decode() == TEXT
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[: len(b) // 2],                       # truncated
+        lambda b: b"JUNK" + b[4:],                        # bad magic
+        lambda b: b.replace(b"Content-Length: ", b"Content-Length: 9", 1),
+        lambda b: gzip.compress(b)[:-8],                  # truncated gzip
+    ],
+)
+def test_malformed_contained(mutate):
+    seg = build_warc_segment("d1", TEXT, "plain", "identity")
+    rows = parse_warc_bytes_safe("d1", mutate(seg))
+    assert rows and rows[-1]["valid"] is False and rows[-1]["err"]
+
+
+def parse_warc_bytes_safe(doc_id, buf):
+    try:
+        return parse_warc_bytes(doc_id, buf)
+    except Exception as exc:
+        return [{"valid": False, "err": str(exc) or type(exc).__name__}]
+
+
+def test_spark_pipeline_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", f"document {i} body text " * 5) for i in range(18)],
+        "doc_id string, text string",
+    ).repartition(4)
+    raw = render_docs_to_warc(docs)
+    recs = warc_records(raw)
+    got = {
+        r["doc_id"]: r
+        for r in recs.where("warc_type = 'response'").collect()
+    }
+    assert len(got) == 18
+    for i in range(18):
+        assert got[f"doc-{i}"]["valid"]
+        assert bytes(got[f"doc-{i}"]["body"]).decode() == f"document {i} body text " * 5
+    # warcinfo/request records parsed but typed distinctly
+    assert recs.where("warc_type = 'warcinfo'").count() == 18
+    texts = {r["doc_id"]: r["text"] for r in warc_text_docs(raw).collect()}
+    assert texts["doc-7"] == "document 7 body text " * 5
+
+
+def test_spark_malformed_file_yields_error_row(spark):
+    raw = spark.createDataFrame(
+        [("bad-1", b"WARC/1.0\r\nno blank line ever")],
+        "doc_id string, content binary",
+    )
+    rows = warc_records(raw).collect()
+    assert len(rows) == 1 and rows[0]["valid"] is False
+
+
+def test_html_response_routes_to_strip_html(spark):
+    from pyspark.sql import functions as F
+
+    from autoextract.operators.html import strip_html
+    from autoextract.sources.warc import _http_response, _warc_record
+
+    html = (
+        "<html><body><article><p>real content paragraph with plenty of "
+        "words to win the density vote</p></article></body></html>"
+    )
+    http = _http_response(html.encode(), "identity", "text/html")
+    rec = _warc_record(
+        "response", "https://x/p", "2024-01-01T00:00:00Z", http,
+        "application/http; msgtype=response", "r1",
+    )
+    raw = spark.createDataFrame(
+        [("h1", rec)], "doc_id string, content binary"
+    )
+    recs = warc_records(raw)
+    html_docs = recs.where(
+        (F.col("warc_type") == "response") & (F.col("mime") == "text/html")
+    ).select("doc_id", F.decode("body", "UTF-8").alias("html"))
+    spans = strip_html(html_docs).collect()
+    joined = " ".join(s["text"] for s in spans if s["text"])
+    assert "real content paragraph" in joined
