@@ -801,6 +801,46 @@ def _q_warc_ingest(spark, sf):
     )
 
 
+def _q_warc_html_ingest(spark, sf):
+    """P6 driver-checked end-to-end: documents → boilerplate-framed HTML
+    pages (link-dense nav + footer around an <article> with the text split
+    across two <p>s and one <img>) → WARC segments across the 9 wire shapes
+    → parse → HTTP unwrap → text-density boilerplate strip → span
+    reassembly. The oracle recomputes expected text straight from the
+    source table, so the density vote must keep exactly the article
+    (boilerplate leakage or content loss both hash-mismatch), the media
+    span must surface the <img> src, and the whitespace-normalized text
+    must round-trip byte-exactly. Reference parity: the reference's HTML
+    branch strips chrome before extraction (SURVEY §2.6 P6)."""
+    from autoextract.operators.html import strip_html
+    from autoextract.sources.warc import render_docs_to_warc, warc_records
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 250)
+    raw = render_docs_to_warc(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+        as_html=True,
+    )
+    recs = warc_records(raw)
+    html_docs = recs.where(
+        (F.col("warc_type") == "response") & F.col("valid")
+        & (F.col("mime") == "text/html")
+    ).select("doc_id", F.decode("body", "UTF-8").alias("html"))
+    flat = strip_html(html_docs)
+    s = F.struct(F.col("seq"), F.col("text"))
+    return flat.groupBy("doc_id").agg(
+        F.count(F.when(F.col("kind") == "text", 1)).cast("long").alias("n_text_spans"),
+        F.count(F.when(F.col("kind") == "media", 1)).cast("long").alias("n_media"),
+        F.max(F.when(F.col("kind") == "media", F.col("media_ref"))).alias("media_ref"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.when(F.col("kind") == "text", s))),
+                lambda x: x["text"],
+            ),
+            " ",
+        ).alias("text_rebuilt"),
+    )
+
+
 def _q_pdf_ingest_spans(spark, sf):
     """P1 end-to-end: documents → typeset into REAL multi-page PDF payloads
     → text-layer parse back to word boxes → the ordinary layout/span
@@ -1358,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "layout_reading_order": _q_layout_reading_order,
         "warc_ingest": _q_warc_ingest,
+        "warc_html_ingest": _q_warc_html_ingest,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
@@ -2088,6 +2129,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(200 AS INTEGER) AS http_status,
                    'https://example.org/' || CAST(doc_id AS VARCHAR) AS target_uri,
                    text AS text_rebuilt
+            FROM documents WHERE doc_id < 250
+        """,
+        # HTML boilerplate strip gated end-to-end: the density vote keeps
+        # exactly the two article paragraphs (leakage or loss mismatches),
+        # the <img> surfaces as one media span with its src, and text
+        # round-trips under whitespace normalization
+        "warc_html_ingest": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 1
+                             THEN 2 ELSE 1 END AS BIGINT) AS n_text_spans,
+                   CAST(1 AS BIGINT) AS n_media,
+                   'https://example.org/' || CAST(doc_id AS VARCHAR) || '/img.png' AS media_ref,
+                   array_to_string(string_split_regex(trim(text), '\\s+'), ' ') AS text_rebuilt
             FROM documents WHERE doc_id < 250
         """,
         "pdf_ingest_spans": """

@@ -104,7 +104,10 @@ def _warc_record(rtype: str, uri: str, date: str, block: bytes,
     return CRLF.join(headers) + CRLF + CRLF + block + CRLF + CRLF
 
 
-def build_warc_segment(doc_id: str, text: str, layout: str, encoding: str) -> bytes:
+def build_warc_segment(
+    doc_id: str, text: str, layout: str, encoding: str,
+    mime: str = "text/plain; charset=utf-8",
+) -> bytes:
     """One spec-shaped segment: warcinfo + request + response records (the
     parser must skip the first two), under the given compression layout."""
     date = "2024-01-01T00:00:00Z"
@@ -123,7 +126,7 @@ def build_warc_segment(doc_id: str, text: str, layout: str, encoding: str) -> by
     )
     resp = _warc_record(
         "response", uri, date,
-        _http_response(body, encoding, "text/plain; charset=utf-8"),
+        _http_response(body, encoding, mime),
         "application/http; msgtype=response", f"resp-{doc_id}",
     )
     if layout == "gzip":  # whole-file single member
@@ -134,11 +137,39 @@ def build_warc_segment(doc_id: str, text: str, layout: str, encoding: str) -> by
     return info + req + resp
 
 
-def render_docs_to_warc(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_html_page(doc_id: str, text: str) -> str:
+    """A deterministic crawl-shaped page: link-dense nav + footer
+    boilerplate the density vote must strip, an ``<article>`` holding the
+    document text split across two paragraphs around one ``<img>``. The
+    boilerplate-free round-trip expectation is exactly
+    ``' '.join(text.split())`` (plus one media span)."""
+    import html as _html
+
+    words = text.split()
+    mid = max(1, len(words) // 2)
+    p1 = _html.escape(" ".join(words[:mid]))
+    p2 = _html.escape(" ".join(words[mid:]))
+    return (
+        "<html><head><title>doc</title></head><body>"
+        "<nav><ul><li><a href='/home'>home nav link</a></li>"
+        "<li><a href='/about'>about nav link</a></li>"
+        "<li><a href='/contact'>contact nav link</a></li></ul></nav>"
+        f"<article><p>{p1}</p>"
+        f"<img src='https://example.org/{doc_id}/img.png'>"
+        f"<p>{p2}</p></article>"
+        "<footer>&#169; corpus</footer></body></html>"
+    )
+
+
+def render_docs_to_warc(
+    docs: DataFrame, text_col: str = "text", as_html: bool = False
+) -> DataFrame:
     """``docs(doc_id, text)`` → ``(doc_id, content binary)``: one WARC
     segment per document, rotating compression layout × body encoding by
     doc position so the 9 shape combinations all appear in any fixture of
-    ≥9 docs. Deterministic (no clocks, mtime=0 gzip)."""
+    ≥9 docs. ``as_html=True`` serves each document as a boilerplate-framed
+    ``text/html`` page (see ``doc_html_page``) instead of ``text/plain``.
+    Deterministic (no clocks, mtime=0 gzip)."""
     layouts = ["plain", "gzip", "members"]
     encodings = ["identity", "chunked", "gzip"]
 
@@ -147,12 +178,15 @@ def render_docs_to_warc(docs: DataFrame, text_col: str = "text") -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 n = int(str(doc_id).split("-")[-1]) if str(doc_id)[-1].isdigit() else 0
+                body = doc_html_page(str(doc_id), text) if as_html else text
                 rows.append(
                     {
                         "doc_id": str(doc_id),
                         "content": build_warc_segment(
-                            str(doc_id), text,
+                            str(doc_id), body,
                             layouts[n % 3], encodings[(n // 3) % 3],
+                            mime="text/html; charset=utf-8" if as_html
+                            else "text/plain; charset=utf-8",
                         ),
                     }
                 )

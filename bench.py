@@ -117,8 +117,11 @@ HEADLINE = [
     "corpus_stats",
     "quality_classifier",
     # WARC front door: segment split + record framing + HTTP unwrap is the
-    # first stage of any crawl-scale run, so its throughput is tracked
+    # first stage of any crawl-scale run, so its throughput is tracked —
+    # and the full crawl entry chain (WARC → HTTP → boilerplate strip →
+    # spans) right behind it
     "warc_ingest",
+    "warc_html_ingest",
 ]
 
 

@@ -111,6 +111,19 @@ def test_spark_malformed_file_yields_error_row(spark):
     assert len(rows) == 1 and rows[0]["valid"] is False
 
 
+def test_html_fixture_page_strips_to_source_text():
+    from autoextract.operators.html import html_to_spans
+    from autoextract.sources.warc import doc_html_page
+
+    text = "alpha <beta> & gamma   delta " * 6
+    spans = html_to_spans("d9", doc_html_page("d9", text))
+    texts = [t for k, t, _ in spans if k == "text"]
+    media = [r for k, _, r in spans if k == "media"]
+    assert " ".join(texts) == " ".join(text.split())  # no boilerplate leak
+    assert len(texts) == 2 and media == ["https://example.org/d9/img.png"]
+    assert "nav link" not in " ".join(texts) and "corpus" not in " ".join(texts)
+
+
 def test_html_response_routes_to_strip_html(spark):
     from pyspark.sql import functions as F
 
