@@ -406,6 +406,29 @@ def _q_source_quota_sample(spark, sf):
     )
 
 
+def _q_host_cap_topk(spark, sf):
+    """EXACT per-host cap (r5): keep the best 40 docs per host by quality
+    (n_chars) through the SKEW-SAFE two-phase plan (salt_parts=8) over a
+    deliberately skewed fixture (one host holds 70% of the corpus). The
+    oracle replays the single-phase window rule — the two plans must agree
+    exactly, so the sub-partition top-K merge property itself is under the
+    driver hash."""
+    from autoextract.operators import sampling as SMP
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("mega"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        "n_chars",
+    )
+    return SMP.host_cap_topk(
+        d, cap=40, priority_col="n_chars", salt_parts=8
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "source", "rank"
+    )
+
+
 def _q_shard_assignment(spark, sf):
     """Deterministic training-shard layout (r5): shard = md5-hash mod K is
     a map-side expression; within-shard position is a per-shard rank that
@@ -1372,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": _q_doc_chunking,
         "train_val_split": _q_train_val_split,
         "source_quota_sample": _q_source_quota_sample,
+        "host_cap_topk": _q_host_cap_topk,
         "shard_assignment": _q_shard_assignment,
         "exact_substring_dedup": _q_exact_substring_dedup,
         "temperature_mixture_sample": _q_temperature_mixture_sample,
@@ -1685,6 +1709,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8)) AS UBIGINT) % 100 < 10
                         THEN 'val' ELSE 'train' END AS split
             FROM documents WHERE doc_id < 500
+        """,
+        # single-phase window replay — must equal the engine's two-phase
+        # skew-safe plan exactly (top-K merge property under the hash)
+        "host_cap_topk": """
+            WITH d AS (SELECT doc_id,
+                              CASE WHEN doc_id % 10 < 7 THEN 'mega' ELSE source END AS source,
+                              n_chars
+                       FROM documents),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY n_chars DESC,
+                                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'hostcap-v1'), 1, 8)) AS UBIGINT) ASC,
+                                 doc_id ASC) AS rank
+                  FROM d)
+            SELECT doc_id, source, CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 40
         """,
         "source_quota_sample": """
             WITH d AS (SELECT doc_id,

@@ -178,3 +178,55 @@ def temperature_mixture_sample(
             ).alias("p_target"),
         )
     )
+
+
+def host_cap_topk(
+    docs: DataFrame,
+    cap: int,
+    key_col: str = "source",
+    priority_col: str | None = None,
+    id_col: str = "doc_id",
+    salt_parts: int | None = None,
+    salt: str = "hostcap-v1",
+) -> DataFrame:
+    """EXACT per-host cap: keep the best ``min(cap, n)`` documents per key,
+    ranked by ``priority_col`` descending (quality-first, the C4/RefinedWeb
+    per-host cap) with the id as the deterministic tie-break; no priority →
+    hash order (a uniform "first N").
+
+    Unlike :func:`source_quota_sample` (Bernoulli, ~cap in expectation)
+    this is exact — the shape needed when the budget is a hard limit.  The
+    naive plan is one window over ``key_col``, which serializes a mega-host
+    into a single task.  ``salt_parts=k`` selects the skew-safe two-phase
+    plan: rank within ``(key, hash % k)`` first and keep ``cap`` per
+    sub-partition (the global per-key top-cap is always a subset of the
+    union of sub-partition top-caps), then re-rank only those ``≤ cap·k``
+    survivors per key.  Phase-1 tasks are bounded by the largest host
+    divided by k; phase 2 is bounded by ``cap·k`` rows per host regardless
+    of host size.  Both phases are pure-JVM window aggregates; the result
+    is identical to the single-phase plan (tested).
+
+    Returns ``(id, key, rank)`` with ``rank`` in [1, cap] — deterministic
+    across cluster sizes and engines (md5 ordering, no floats).
+    """
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    order = (
+        [F.col(priority_col).desc()] if priority_col else []
+    ) + [_hash32(F.col(id_col), salt).asc(), F.col(id_col).asc()]
+    keep = [id_col, key_col] + ([priority_col] if priority_col else [])
+    sub = docs.select(*keep)
+    if salt_parts and salt_parts > 1:
+        part = F.pmod(_hash32(F.col(id_col), salt + "-part"), F.lit(salt_parts))
+        w1 = Window.partitionBy(F.col(key_col), part).orderBy(*order)
+        sub = (
+            sub.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= cap)
+            .drop("__r1")
+        )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        sub.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= cap)
+        .select(id_col, key_col, F.col("rank").cast("int").alias("rank"))
+    )

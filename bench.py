@@ -122,6 +122,8 @@ HEADLINE = [
     # spans) right behind it
     "warc_ingest",
     "warc_html_ingest",
+    # exact per-host cap through the skew-safe two-phase window plan
+    "host_cap_topk",
 ]
 
 

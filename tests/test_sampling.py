@@ -147,3 +147,59 @@ def test_temperature_sample_deterministic_and_validated(spark):
         temperature_mixture_sample(df, alpha=0.0)
     with _pt.raises(ValueError):
         temperature_mixture_sample(df, target_total=0)
+
+
+def _skewed_docs(spark, n=600):
+    # one mega host with 70% of rows, long tail for the rest
+    rows = [
+        (i, "mega" if i % 10 < 7 else f"host-{i % 10}", (i * 37) % 500)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+
+def test_host_cap_two_phase_equals_single_phase(spark):
+    from autoextract.operators.sampling import host_cap_topk
+
+    d = _skewed_docs(spark).repartition(7)
+    one = host_cap_topk(d, cap=25, priority_col="n_chars")
+    two = host_cap_topk(d, cap=25, priority_col="n_chars", salt_parts=8)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_host_cap_exact_and_priority_ordered(spark):
+    from autoextract.operators.sampling import host_cap_topk
+
+    d = _skewed_docs(spark)
+    out = host_cap_topk(d, cap=25, priority_col="n_chars", salt_parts=4).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["source"], []).append(r)
+    assert len(by_host["mega"]) == 25  # hard cap on the mega host
+    src = {(r["doc_id"]): r for r in _skewed_docs(spark).collect()}
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: r["rank"])
+        prios = [src[r["doc_id"]]["n_chars"] for r in rows]
+        assert prios == sorted(prios, reverse=True)  # best-first
+        # nothing outside the kept set beats the worst kept priority
+        host_all = sorted(
+            (v["n_chars"] for v in src.values() if v["source"] == host),
+            reverse=True,
+        )
+        assert prios[-1] >= host_all[len(rows) - 1]
+
+
+def test_host_cap_no_priority_is_hash_order_and_partition_invariant(spark):
+    from autoextract.operators.sampling import host_cap_topk
+
+    d = _skewed_docs(spark)
+    a = host_cap_topk(d.repartition(3), cap=10, salt_parts=8).collect()
+    b = host_cap_topk(d.repartition(11), cap=10, salt_parts=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_host_cap_rejects_bad_cap(spark):
+    from autoextract.operators.sampling import host_cap_topk
+
+    with pytest.raises(ValueError):
+        host_cap_topk(_skewed_docs(spark), cap=0)
