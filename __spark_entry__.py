@@ -406,6 +406,48 @@ def _q_source_quota_sample(spark, sf):
     )
 
 
+#: deterministic synthetic link graph over the documents table: docs not
+#: divisible by 5 link to two hub pages; hubs 0..499 that never link out are
+#: dangling. Engine and oracle derive edges from the same arithmetic.
+_PAGERANK_EDGES_SQL = """
+    SELECT doc_id AS src, (doc_id * 7 + 1) % 500 AS dst
+    FROM documents WHERE doc_id < 2000 AND doc_id % 5 <> 0
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 13 + 3) % 500 AS dst
+    FROM documents WHERE doc_id < 2000 AND doc_id % 5 <> 0
+"""
+
+
+def _q_pagerank(spark, sf):
+    """Link-graph centrality (r5): 10 synchronous PageRank rounds with
+    dangling-mass redistribution over a deterministic 1,700-node /
+    ~3,200-edge graph synthesized from the documents table. The DuckDB
+    oracle replays the identical Jacobi recurrence as an unrolled CTE
+    chain (generated by the same module as the operator, so they cannot
+    drift); ranks match to 8 dp. Per round the engine shuffles only
+    (long, long, double) rows — two exchanges — and truncates lineage
+    with localCheckpoint."""
+    from autoextract.operators.graph import pagerank
+
+    d = _t(spark, sf, "documents").where(
+        (F.col("doc_id") < 2000) & (F.col("doc_id") % 5 != 0)
+    )
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % 500).alias("dst"),
+    ).unionByName(
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 3) % 500).alias("dst"),
+        )
+    )
+    pr = pagerank(edges, n_iter=10, damping=0.85)
+    return pr.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("rank", 8).alias("rank"),
+    )
+
+
 def _q_host_cap_topk(spark, sf):
     """EXACT per-host cap (r5): keep the best 40 docs per host by quality
     (n_chars) through the SKEW-SAFE two-phase plan (salt_parts=8) over a
@@ -1396,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": _q_train_val_split,
         "source_quota_sample": _q_source_quota_sample,
         "host_cap_topk": _q_host_cap_topk,
+        "pagerank": _q_pagerank,
         "shard_assignment": _q_shard_assignment,
         "exact_substring_dedup": _q_exact_substring_dedup,
         "temperature_mixture_sample": _q_temperature_mixture_sample,
@@ -1710,6 +1753,11 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'val' ELSE 'train' END AS split
             FROM documents WHERE doc_id < 500
         """,
+        # unrolled-CTE replay of the exact Jacobi recurrence, generated by
+        # the same module as the operator (autoextract/operators/graph.py)
+        "pagerank": __import__(
+            "autoextract.operators.graph", fromlist=["pagerank_oracle_sql"]
+        ).pagerank_oracle_sql(_PAGERANK_EDGES_SQL, n_iter=10, damping=0.85),
         # single-phase window replay — must equal the engine's two-phase
         # skew-safe plan exactly (top-K merge property under the hash)
         "host_cap_topk": """
