@@ -81,6 +81,22 @@ AUDITED = {
     "url_domain_filter": "one codegen'd regexp projection + broadcast "
     "left join against the blocklist — zero non-broadcast exchanges, "
     "document rows never shuffle",
+    # r5 late adds: crawl front door + curation caps + graph prior
+    "warc_ingest": "two python stages (segment render is fixture-only; "
+    "record parse + HTTP unwrap is the production one) around a single "
+    "per-doc partial agg — segments parse independently, the stage is "
+    "narrow until the one rollup exchange",
+    "warc_html_ingest": "the full crawl entry chain as narrow python "
+    "stages (WARC parse → HTTP unwrap → boilerplate strip) feeding one "
+    "per-doc agg exchange — body bytes never shuffle raw",
+    "host_cap_topk": "two-phase skew-safe top-K: WindowGroupLimit "
+    "map-side partial top-K before BOTH window exchanges, so at most "
+    "cap rows per (host, salt) per mapper ever shuffle; no python stages",
+    "pagerank": "per-round: edges⋈ranks shuffle on src + partial-agg on "
+    "dst, both over (long,long,double) rows; dangling mass is a 1-row "
+    "broadcast; localCheckpoint truncates lineage between rounds — so "
+    "the settled plan shown here is just the final round's checkpointed "
+    "scan (rounds execute eagerly during construction)",
 }
 
 
