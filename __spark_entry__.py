@@ -906,6 +906,31 @@ def _q_warc_html_ingest(spark, sf):
     )
 
 
+def _q_html_link_graph(spark, sf):
+    """The crawl's edge list (r5): every <a href> per page in document
+    order — including boilerplate nav links, which ARE graph edges — with
+    anchor text and RFC 3986 resolution against the page's base URI
+    (root-relative, bare-relative, scheme-relative, absolute and
+    ../-relative hrefs all appear in the fixture). The oracle replays all
+    five expected links per document from the same arithmetic, so parse
+    order, anchor collapsing, and every resolution branch gate. This edge
+    list is what feeds operators/graph.pagerank."""
+    from autoextract.operators.html import extract_links
+    from autoextract.sources.warc import render_docs_to_html
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 250)
+    pages = render_docs_to_html(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    return extract_links(pages).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "seq",
+        "href",
+        "anchor",
+        "url",
+    )
+
+
 def _q_pdf_ingest_spans(spark, sf):
     """P1 end-to-end: documents → typeset into REAL multi-page PDF payloads
     → text-layer parse back to word boxes → the ordinary layout/span
@@ -1466,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_reading_order": _q_layout_reading_order,
         "warc_ingest": _q_warc_ingest,
         "warc_html_ingest": _q_warc_html_ingest,
+        "html_link_graph": _q_html_link_graph,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
@@ -2219,6 +2245,31 @@ def oracle_sql() -> dict[str, str]:
                    'https://example.org/' || CAST(doc_id AS VARCHAR) AS target_uri,
                    text AS text_rebuilt
             FROM documents WHERE doc_id < 250
+        """,
+        # five links per page in parse order; every resolution branch
+        # (root-relative, bare-relative, scheme-relative, absolute,
+        # ../-relative) replayed from the same arithmetic
+        "html_link_graph": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 250)
+            SELECT doc_id, CAST(0 AS INTEGER) AS seq, '/home' AS href,
+                   'home nav link' AS anchor,
+                   'https://example.org/home' AS url FROM d
+            UNION ALL
+            SELECT doc_id, 1, 'about', 'about nav link',
+                   'https://example.org/about' FROM d
+            UNION ALL
+            SELECT doc_id, 2, '//example.org/contact', 'contact nav link',
+                   'https://example.org/contact' FROM d
+            UNION ALL
+            SELECT doc_id, 3,
+                   'https://example.org/' || CAST((doc_id * 7 + 1) % 500 AS VARCHAR),
+                   'related one',
+                   'https://example.org/' || CAST((doc_id * 7 + 1) % 500 AS VARCHAR) FROM d
+            UNION ALL
+            SELECT doc_id, 4,
+                   '../' || CAST((doc_id * 11 + 9) % 500 AS VARCHAR),
+                   'related two',
+                   'https://example.org/' || CAST((doc_id * 11 + 9) % 500 AS VARCHAR) FROM d
         """,
         # HTML boilerplate strip gated end-to-end: the density vote keeps
         # exactly the two article paragraphs (leakage or loss mismatches),

@@ -259,3 +259,131 @@ def html_spans_table(html_docs: DataFrame) -> DataFrame:
             ).alias("spans"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# link extraction — the crawl's edge list (feeds operators/graph.pagerank)
+
+
+class _LinkCollector(HTMLParser):
+    """Collect every ``<a href>`` with its anchor text, in document order —
+    including links inside boilerplate (nav menus ARE graph edges even
+    though they are not main content)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[list] = []  # [href, [text parts]]
+        self._open: list[int] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            self.links.append([dict(attrs).get("href"), []])
+            self._open.append(len(self.links) - 1)
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._open:
+            self._open.pop()
+
+    def handle_data(self, data):
+        for i in self._open:
+            self.links[i][1].append(data)
+
+
+def _remove_dot_segments(path: str) -> str:
+    out: list[str] = []
+    for seg in path.split("/"):
+        if seg == ".":
+            continue
+        if seg == "..":
+            if len(out) > 1:
+                out.pop()
+            continue
+        out.append(seg)
+    return "/".join(out) or "/"
+
+
+import re as _re  # noqa: E402
+
+_SCHEME_RE = _re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def resolve_href(base: str, href: str) -> str | None:
+    """RFC 3986 §5 reference resolution, the subset a link graph needs:
+    absolute / scheme-relative / root-relative / relative hrefs against an
+    absolute http(s) base, with dot-segment removal. Returns ``None`` for
+    non-graph refs (empty, fragment-only, and non-http(s) schemes like
+    ``mailto:`` / ``javascript:``)."""
+    href = (href or "").strip()
+    if not href or href.startswith("#"):
+        return None
+    m = _SCHEME_RE.match(href)
+    if m:
+        return href if href.split(":", 1)[0].lower() in ("http", "https") else None
+    scheme, rest = base.split(":", 1)
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if not rest.startswith("//"):
+        raise ValueError(f"base must be absolute: {base!r}")
+    auth_path = rest[2:]
+    cut = len(auth_path)
+    for stop in "/?#":
+        p = auth_path.find(stop)
+        if 0 <= p < cut:
+            cut = p
+    authority, path = auth_path[:cut], auth_path[cut:]
+    path = path.split("?", 1)[0].split("#", 1)[0] or "/"
+    if href.startswith("/"):
+        merged = href
+    else:
+        merged = path[: path.rfind("/") + 1] + href
+    merged = merged.split("#", 1)[0]
+    merged, q = (merged.split("?", 1) + [""])[:2]
+    resolved = _remove_dot_segments(merged)
+    return f"{scheme}://{authority}{resolved}" + (f"?{q}" if q else "")
+
+
+#: one row per <a href> in document order
+HTML_LINKS_SCHEMA = (
+    "doc_id string, seq int, href string, anchor string, url string"
+)
+
+
+def extract_links(html_docs: DataFrame) -> DataFrame:
+    """``html_docs(doc_id, html, base_url)`` → ``(doc_id, seq, href,
+    anchor, url)`` — every anchor in document order with its text
+    (whitespace-collapsed) and the resolved absolute URL (NULL for
+    non-graph refs). Narrow Arrow-batched stage, same containment contract
+    as :func:`strip_html` (a parse failure yields zero rows for that doc,
+    never a task failure). The edge list for
+    :func:`autoextract.operators.graph.pagerank` is
+    ``select(doc_id, url).where(url is not null)``."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, html, base in zip(
+                pdf["doc_id"], pdf["html"], pdf["base_url"]
+            ):
+                try:
+                    c = _LinkCollector()
+                    c.feed(html if html is not None else "")
+                    c.close()
+                    for seq, (href, parts) in enumerate(
+                        (h, p) for h, p in c.links if h
+                    ):
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "seq": seq,
+                                "href": href,
+                                "anchor": " ".join(" ".join(parts).split()),
+                                "url": resolve_href(base, href),
+                            }
+                        )
+                except Exception:  # O6 containment
+                    pass
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "seq", "href", "anchor", "url"]
+            )
+
+    return html_docs.mapInPandas(kernel, schema=HTML_LINKS_SCHEMA)

@@ -149,15 +149,43 @@ def doc_html_page(doc_id: str, text: str) -> str:
     mid = max(1, len(words) // 2)
     p1 = _html.escape(" ".join(words[:mid]))
     p2 = _html.escape(" ".join(words[mid:]))
+    n = int(doc_id) if doc_id.isdigit() else 0
+    # nav hrefs exercise root-relative / relative / scheme-relative
+    # resolution; the "related" list carries the doc→doc graph edges
+    # (absolute and ../-relative) that extract_links + pagerank consume
     return (
         "<html><head><title>doc</title></head><body>"
         "<nav><ul><li><a href='/home'>home nav link</a></li>"
-        "<li><a href='/about'>about nav link</a></li>"
-        "<li><a href='/contact'>contact nav link</a></li></ul></nav>"
+        "<li><a href='about'>about nav link</a></li>"
+        "<li><a href='//example.org/contact'>contact nav link</a></li></ul></nav>"
         f"<article><p>{p1}</p>"
         f"<img src='https://example.org/{doc_id}/img.png'>"
         f"<p>{p2}</p></article>"
+        f"<ul><li><a href='https://example.org/{(7 * n + 1) % 500}'>related one</a></li>"
+        f"<li><a href='../{(11 * n + 9) % 500}'>related two</a></li></ul>"
         "<footer>&#169; corpus</footer></body></html>"
+    )
+
+
+def render_docs_to_html(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``docs(doc_id, text)`` → ``(doc_id, html, base_url)``: the fixture
+    page plus the base URI it was 'fetched' from — the shape
+    ``operators.html.extract_links`` consumes."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = [
+                {
+                    "doc_id": str(doc_id),
+                    "html": doc_html_page(str(doc_id), text),
+                    "base_url": f"https://example.org/{doc_id}",
+                }
+                for doc_id, text in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "html", "base_url"])
+
+    return docs.mapInPandas(
+        kernel, schema="doc_id string, html string, base_url string"
     )
 
 

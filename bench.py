@@ -122,6 +122,7 @@ HEADLINE = [
     # spans) right behind it
     "warc_ingest",
     "warc_html_ingest",
+    "html_link_graph",
     # exact per-host cap through the skew-safe two-phase window plan
     "host_cap_topk",
 ]

@@ -149,3 +149,70 @@ def test_html_response_routes_to_strip_html(spark):
     spans = strip_html(html_docs).collect()
     joined = " ".join(s["text"] for s in spans if s["text"])
     assert "real content paragraph" in joined
+
+
+def test_resolve_href_branches():
+    from autoextract.operators.html import resolve_href as r
+
+    base = "https://example.org/a/b/c"
+    assert r(base, "/x") == "https://example.org/x"
+    assert r(base, "x/y") == "https://example.org/a/b/x/y"
+    assert r(base, "../x") == "https://example.org/a/x"
+    assert r(base, "../../../x") == "https://example.org/x"  # can't go above root
+    assert r(base, "//cdn.example/img") == "https://cdn.example/img"
+    assert r(base, "./x?q=1") == "https://example.org/a/b/x?q=1"
+    assert r(base, "http://other/") == "http://other/"
+    assert r(base, "mailto:x@y") is None
+    assert r(base, "javascript:void(0)") is None
+    assert r(base, "#frag") is None and r(base, "") is None
+    with pytest.raises(ValueError):
+        r("not-absolute", "/x")
+
+
+def test_extract_links_order_anchor_and_containment(spark):
+    from autoextract.operators.html import extract_links
+
+    rows = spark.createDataFrame(
+        [
+            (
+                "d1",
+                "<nav><a href='/one'> first  link </a></nav>"
+                "<p><a href='two'><b>second</b> link</a>"
+                "<a name='no-href'>skipped</a>"
+                "<a href='mailto:x'>mail</a></p>",
+                "https://h.example/base/page",
+            ),
+            ("d2", None, "https://h.example/"),  # contained, zero rows
+        ],
+        "doc_id string, html string, base_url string",
+    )
+    got = extract_links(rows).collect()
+    assert [(r["doc_id"], r["seq"], r["href"], r["anchor"], r["url"]) for r in got] == [
+        ("d1", 0, "/one", "first link", "https://h.example/one"),
+        ("d1", 1, "two", "second link", "https://h.example/base/two"),
+        ("d1", 2, "mailto:x", "mail", None),
+    ]
+
+
+def test_link_graph_feeds_pagerank(spark):
+    from pyspark.sql import functions as F
+
+    from autoextract.operators.graph import pagerank
+    from autoextract.operators.html import extract_links
+    from autoextract.sources.warc import render_docs_to_html
+
+    docs = spark.createDataFrame(
+        [(str(i), f"text body {i} " * 8) for i in range(12)],
+        "doc_id string, text string",
+    )
+    links = extract_links(render_docs_to_html(docs))
+    edges = links.where(F.col("url").isNotNull()).select(
+        F.col("doc_id").alias("src"), F.col("url").alias("dst")
+    )
+    pr = pagerank(edges, n_iter=3)
+    ranks = {r["node"]: r["rank"] for r in pr.collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # every page links to /home, so it must outrank any single doc page
+    assert ranks["https://example.org/home"] > max(
+        v for k, v in ranks.items() if k in {str(i) for i in range(12)}
+    )
