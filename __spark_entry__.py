@@ -561,6 +561,17 @@ def _q_url_domain_filter(spark, sf):
     )
 
 
+def _q_bigram_quality(spark, sf):
+    """Interpolated-bigram LM quality (r5): the corpus-as-LM perplexity
+    signal one order above unigram_quality — locally scrambled text scores
+    high even when every word is common. Bigrams are an arrays_zip
+    expression (no positional self-join); the vocab aggregates carry short
+    keys only. DuckDB replays the identical interpolation chain."""
+    from autoextract.functions.text import bigram_cross_entropy
+
+    return bigram_cross_entropy(_t(spark, sf, "documents"))
+
+
 def _q_quality_classifier(spark, sf):
     """Model-based quality filter (r5): logistic score over the rounded
     rule-based features in ONE codegen'd projection — the DCLM/fastText
@@ -1468,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": _q_exact_substring_dedup,
         "temperature_mixture_sample": _q_temperature_mixture_sample,
         "unigram_quality": _q_unigram_quality,
+        "bigram_quality": _q_bigram_quality,
         "bm25_topk": _q_bm25_topk,
         "url_domain_filter": _q_url_domain_filter,
         "corpus_stats": _q_corpus_stats,
@@ -1949,6 +1961,36 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN c USING (source), t
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp-v1'), 1, 8)) AS UBIGINT)
                   < LEAST(1.0, 300.0 * pow(c.n_src, 0.5) / t.sum_pow / c.n_src) * 4294967296.0
+        """,
+        # identical interpolation chain: λ·cnt2/ctx + (1-λ)·cnt1/total,
+        # contexts derived from the bigram table itself
+        "bigram_quality": """
+            WITH tl AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents),
+            tk AS MATERIALIZED (SELECT doc_id, unnest(l) AS tok FROM tl),
+            bg AS MATERIALIZED (
+              SELECT doc_id, z[1] AS prev, z[2] AS cur
+              FROM (SELECT doc_id,
+                           unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+                    FROM tl WHERE len(l) >= 2)),
+            c2 AS MATERIALIZED (SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS cnt2
+                                FROM bg GROUP BY prev, cur),
+            cx AS (SELECT prev, SUM(cnt2) AS ctx FROM c2 GROUP BY prev),
+            c1 AS MATERIALIZED (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cnt1
+                                FROM tk GROUP BY tok),
+            t AS (SELECT SUM(cnt1) AS total FROM c1)
+            SELECT bg.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   round(-avg(ln(0.75 * cnt2 / ctx + 0.25 * cnt1 / total)), 6)
+                       AS cross_entropy
+            FROM bg
+            JOIN c2 USING (prev, cur)
+            JOIN cx USING (prev)
+            JOIN c1 ON bg.cur = c1.tok, t
+            GROUP BY bg.doc_id
         """,
         "unigram_quality": """
             WITH tk AS (

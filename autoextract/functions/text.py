@@ -356,6 +356,62 @@ def unigram_cross_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def bigram_cross_entropy(
+    docs, id_col: str = "doc_id", text_col: str = "text", lam: float = 0.75
+):
+    """Per-doc cross-entropy against the corpus's own INTERPOLATED bigram
+    LM — one order above :func:`unigram_cross_entropy`, catching locally
+    scrambled text (every word common, transitions nonsense) that the
+    unigram signal scores as clean:
+
+      H(d) = -mean over adjacent pairs (p, c) of
+             ln( λ·cnt2(p,c)/ctx(p) + (1-λ)·cnt1(c)/total )
+
+    where ``ctx(p) = Σ_c cnt2(p, c)`` (contexts derived from the bigram
+    table itself, so the definition is self-contained and exactly
+    oracle-replayable). Docs with <2 tokens produce no row.
+
+    Scale shape: bigrams come from ``arrays_zip(slice, slice)`` — pure
+    expression, NO positional self-join; the bigram vocabulary aggregate
+    partial-combines on short (prev, cur) keys (bigram types are sublinear
+    in corpus size); the context table is a re-agg of that small table,
+    never of the corpus; the score join carries token keys only. Rounded
+    to 6 dp (float-sum-order guard, same as the unigram oracle).
+    """
+    toks = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, F.lit(1), n - 1).alias("prev"),
+        F.slice(toks, F.lit(2), n - 1).alias("cur"),
+    )
+    big_rows = (
+        docs.where(n >= 2)
+        .select(id_col, F.explode(pairs).alias("z"))
+        .select(id_col, F.col("z.prev").alias("prev"), F.col("z.cur").alias("cur"))
+    )
+    tok_rows = docs.select(id_col, F.explode(toks).alias("tok"))
+    cnt2 = big_rows.groupBy("prev", "cur").agg(
+        F.count("*").cast("double").alias("cnt2")
+    )
+    ctx = cnt2.groupBy("prev").agg(F.sum("cnt2").alias("ctx"))
+    cnt1 = tok_rows.groupBy("tok").agg(F.count("*").cast("double").alias("cnt1"))
+    total = cnt1.agg(F.sum("cnt1").alias("total"))
+    p = F.lit(float(lam)) * F.col("cnt2") / F.col("ctx") + F.lit(
+        1.0 - float(lam)
+    ) * F.col("cnt1") / F.col("total")
+    return (
+        big_rows.join(cnt2, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(cnt1, F.col("cur") == F.col("tok"))
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(-F.avg(F.log(p)), 6).alias("cross_entropy"),
+        )
+    )
+
+
 def corpus_stats(
     docs,
     group_col: str = "source",

@@ -112,6 +112,7 @@ HEADLINE = [
     "shard_assignment",
     "temperature_mixture_sample",
     "unigram_quality",
+    "bigram_quality",
     "bm25_topk",
     "url_domain_filter",
     "corpus_stats",

@@ -282,3 +282,52 @@ def test_quality_classifier_orders_quality(spark):
         )
         expect = round(1.0 / (1.0 + math.exp(-z)), 6)
         assert abs(out[r["doc_id"]]["qscore"] - expect) < 1e-9
+
+
+def test_bigram_cross_entropy_hand_computed(spark):
+    import math
+
+    from autoextract.functions.text import bigram_cross_entropy
+
+    # corpus: "a b" x3 and "b a" x1 → cnt2(a,b)=3, cnt2(b,a)=1,
+    # ctx(a)=3, ctx(b)=1, cnt1: a=4, b=4, total=8
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a b"), (3, "b a")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_cross_entropy(df).collect()}
+    p_ab = 0.75 * 3 / 3 + 0.25 * 4 / 8
+    p_ba = 0.75 * 1 / 1 + 0.25 * 4 / 8
+    assert out[0]["n_bigrams"] == 1
+    assert out[0]["cross_entropy"] == round(-math.log(p_ab), 6)
+    assert out[3]["cross_entropy"] == round(-math.log(p_ba), 6)
+
+
+def test_bigram_flags_scrambled_word_order(spark):
+    from autoextract.functions.text import bigram_cross_entropy
+
+    base = "the cat sat on the mat and the dog ran to the door"
+    docs = [(i, base) for i in range(20)]
+    docs.append((99, "door the to ran dog mat the on sat cat the and the"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["cross_entropy"] for r in bigram_cross_entropy(df).collect()}
+    # same unigram distribution, scrambled transitions → strictly worse
+    assert out[99] > out[0] * 1.5
+
+
+def test_bigram_skips_short_docs_and_partition_invariant(spark):
+    from autoextract.functions.text import bigram_cross_entropy
+
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, ""), (2, "two tokens here")],
+        "doc_id long, text string",
+    )
+    out = bigram_cross_entropy(df).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    big = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i * 3) % 7} w{i % 5} common tail") for i in range(60)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, bigram_cross_entropy(big.repartition(1)).collect()))
+    b = sorted(map(tuple, bigram_cross_entropy(big.repartition(8)).collect()))
+    assert a == b
