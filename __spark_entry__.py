@@ -572,6 +572,26 @@ def _q_bigram_quality(spark, sf):
     return bigram_cross_entropy(_t(spark, sf, "documents"))
 
 
+def _q_bpe_train(spark, sf):
+    """Distributed BPE tokenizer training (r5): 8 merge rounds over a
+    planted corpus whose merge sequence is analytically fixed (the
+    Sennrich worked-example shape: low/lower/newest/widest/newer/wider at
+    engineered frequencies). Each round is one pair-count aggregate over
+    the unique-word vocabulary (corpus touched once, up front) + a 1-row
+    argmax + a pure-JVM aggregate-HOF merge apply. The oracle is the
+    hand-derivable merge table — steps, pairs, and weighted pair counts
+    all gate, including the count-10 tie at step 2 broken
+    lexicographically ('e','we') < ('n','e')."""
+    from autoextract.operators.tokenizer import bpe_merges_df
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "newer": 4, "wider": 1}
+    corpus = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(sorted(wc.items()))],
+        "doc_id long, text string",
+    )
+    return bpe_merges_df(corpus, 8)
+
+
 def _q_quality_classifier(spark, sf):
     """Model-based quality filter (r5): logistic score over the rounded
     rule-based features in ONE codegen'd projection — the DCLM/fastText
@@ -1480,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_sample": _q_temperature_mixture_sample,
         "unigram_quality": _q_unigram_quality,
         "bigram_quality": _q_bigram_quality,
+        "bpe_train": _q_bpe_train,
         "bm25_topk": _q_bm25_topk,
         "url_domain_filter": _q_url_domain_filter,
         "corpus_stats": _q_corpus_stats,
@@ -1961,6 +1982,21 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN c USING (source), t
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp-v1'), 1, 8)) AS UBIGINT)
                   < LEAST(1.0, 300.0 * pow(c.n_src, 0.5) / t.sum_pow / c.n_src) * 4294967296.0
+        """,
+        # the analytically-fixed merge table for the planted corpus —
+        # every step's pair and weighted count, incl. the lexicographic
+        # tie-break at step 2
+        "bpe_train": """
+            SELECT * FROM (VALUES
+                (1, 'w', 'e', 'we', 12),
+                (2, 'e', 'we', 'ewe', 10),
+                (3, 'n', 'ewe', 'newe', 10),
+                (4, 's', 't', 'st', 9),
+                (5, 'l', 'o', 'lo', 7),
+                (6, 'newe', 'st', 'newest', 6),
+                (7, 'lo', 'w', 'low', 5),
+                (8, 'd', 'e', 'de', 4)
+            ) AS t(step, "left", "right", merged, pair_count)
         """,
         # identical interpolation chain: λ·cnt2/ctx + (1-λ)·cnt1/total,
         # contexts derived from the bigram table itself
