@@ -572,6 +572,39 @@ def _q_bigram_quality(spark, sf):
     return bigram_cross_entropy(_t(spark, sf, "documents"))
 
 
+def _q_dedup_incremental(spark, sf):
+    """Cross-snapshot dedup (r5): a continuously-crawled corpus admits a
+    new batch only where the sha256 is absent from the running fingerprint
+    table AND not claimed earlier in the batch. Fixture: seen = docs
+    0..199; batch = docs 100..399 (100..199 must bounce off the
+    fingerprint table) + clones of 300..319 at doc_id+10000 (must lose the
+    in-batch keeper window to their originals) + clones of 400..419 at
+    doc_id+20000 (original absent everywhere → the clone itself is
+    admitted). The oracle derives the admitted set purely arithmetically."""
+    from autoextract.operators.dedup import incremental_dedup
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    seen = d.where(F.col("doc_id") < 200).select(
+        F.sha2(F.col("text"), 256).alias("text_hash")
+    )
+    batch = (
+        d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 400))
+        .unionByName(
+            d.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 320)).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 420)).select(
+                (F.col("doc_id") + 20000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_dedup(batch, seen).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+
 def _q_bpe_train(spark, sf):
     """Distributed BPE tokenizer training (r5): 8 merge rounds over a
     planted corpus whose merge sequence is analytically fixed (the
@@ -1501,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_quality": _q_unigram_quality,
         "bigram_quality": _q_bigram_quality,
         "bpe_train": _q_bpe_train,
+        "dedup_incremental": _q_dedup_incremental,
         "bm25_topk": _q_bm25_topk,
         "url_domain_filter": _q_url_domain_filter,
         "corpus_stats": _q_corpus_stats,
@@ -1982,6 +2016,15 @@ def oracle_sql() -> dict[str, str]:
             FROM d JOIN c USING (source), t
             WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp-v1'), 1, 8)) AS UBIGINT)
                   < LEAST(1.0, 300.0 * pow(c.n_src, 0.5) / t.sum_pow / c.n_src) * 4294967296.0
+        """,
+        # admitted set derived arithmetically: batch minus fingerprint
+        # hits minus in-batch clone losers, plus the orphan clones
+        "dedup_incremental": """
+            SELECT doc_id, text FROM documents
+            WHERE doc_id >= 200 AND doc_id < 400
+            UNION ALL
+            SELECT doc_id + 20000 AS doc_id, text FROM documents
+            WHERE doc_id >= 400 AND doc_id < 420
         """,
         # the analytically-fixed merge table for the planted corpus —
         # every step's pair and weighted count, incl. the lexicographic

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -793,4 +793,39 @@ def exact_substring_dedup(
                 F.filter("toks", lambda x, i: ~covered(i)), " "
             ).alias("clean_text"),
         )
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    hash_col: str = "text_hash",
+) -> DataFrame:
+    """Cross-snapshot dedup: admit only the new-batch rows whose content
+    hash appears neither in the ALREADY-INGESTED corpus (``seen_hashes``,
+    one sha256 per prior document — the running fingerprint table a
+    continuously-crawled corpus maintains) nor earlier in the batch itself
+    (min-doc_id keeper within the batch).
+
+    Scale shape: one shuffle of the (small) new batch on its hash for the
+    in-batch keeper window, then a LEFT ANTI join against the fingerprint
+    table on the same 32-byte key — the prior corpus contributes only
+    hashes, never text, and at 100 TB the anti-join shuffles hash rows,
+    not documents. Output is the admitted rows plus the updated
+    fingerprint delta (``union`` the result's hashes back into
+    ``seen_hashes`` for the next batch — append-only, idempotent on
+    replay because the hash is content-derived).
+    """
+    hashed = new_docs.withColumn(hash_col, F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy(hash_col).orderBy(F.col("doc_id").asc())
+    in_batch_first = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return in_batch_first.join(
+        seen_hashes.select(F.col(seen_hashes.columns[0]).alias(hash_col)),
+        hash_col,
+        "left_anti",
     )

@@ -113,6 +113,9 @@ HEADLINE = [
     "temperature_mixture_sample",
     "unigram_quality",
     "bigram_quality",
+    # cross-snapshot dedup: in-batch keeper window + anti-join against
+    # the running fingerprint table
+    "dedup_incremental",
     "bm25_topk",
     "url_domain_filter",
     "corpus_stats",

@@ -547,3 +547,45 @@ def test_semantic_dedup_verdict_all_true(spark):
     out = semantic_dedup_verdict(e, n_plants=4, n_cells=4).collect()
     assert [r["query_id"] for r in out] == [0, 1, 2, 3]
     assert all(r["semdedup_ok"] for r in out)
+
+
+def test_incremental_dedup_three_ways(spark):
+    from pyspark.sql import functions as F
+
+    from autoextract.operators.dedup import incremental_dedup
+
+    seen_docs = spark.createDataFrame(
+        [(i, f"seen text {i}") for i in range(5)], "doc_id long, text string"
+    )
+    seen = seen_docs.select(F.sha2("text", 256).alias("text_hash"))
+    batch = spark.createDataFrame(
+        [(10, "seen text 2")]             # bounces off the fingerprint table
+        + [(11, "fresh a"), (12, "fresh a")]  # in-batch dup -> keeper 11
+        + [(13, "fresh b")],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in incremental_dedup(batch, seen).collect())
+    assert got == [11, 13]
+
+
+def test_incremental_dedup_partition_invariant_and_replay_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from autoextract.operators.dedup import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(i, f"t{i % 7}") for i in range(30)], "doc_id long, text string"
+    )
+    seen = spark.createDataFrame([("t0",), ("t3",)], "text string").select(
+        F.sha2("text", 256).alias("text_hash")
+    )
+    a = sorted(map(tuple, incremental_dedup(batch.repartition(2), seen).collect()))
+    b = sorted(map(tuple, incremental_dedup(batch.repartition(9), seen).collect()))
+    assert a == b
+    admitted = incremental_dedup(batch, seen)
+    # replay: union the admitted hashes into seen -> the same batch now
+    # admits nothing (append-only fingerprint table is idempotent)
+    seen2 = seen.unionByName(
+        admitted.select(F.sha2("text", 256).alias("text_hash"))
+    )
+    assert incremental_dedup(batch, seen2).count() == 0
