@@ -995,6 +995,26 @@ def _q_html_link_graph(spark, sf):
     )
 
 
+def _q_anchor_text_agg(spark, sf):
+    """Anchor-text corpus (r5): per-target-URL aggregation of incoming
+    anchors over the extracted link graph — inlink counts, distinct source
+    docs, and the sorted distinct anchor set. The oracle regenerates the
+    same 5-links-per-page table arithmetically and aggregates it with
+    identical semantics, so the whole extract→resolve→aggregate chain
+    gates."""
+    from autoextract.operators.html import extract_links
+    from autoextract.operators.retrieval import anchor_text_agg
+    from autoextract.sources.warc import render_docs_to_html
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 250)
+    links = extract_links(
+        render_docs_to_html(
+            docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        )
+    )
+    return anchor_text_agg(links)
+
+
 def _q_pdf_ingest_spans(spark, sf):
     """P1 end-to-end: documents → typeset into REAL multi-page PDF payloads
     → text-layer parse back to word boxes → the ordinary layout/span
@@ -1559,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": _q_warc_ingest,
         "warc_html_ingest": _q_warc_html_ingest,
         "html_link_graph": _q_html_link_graph,
+        "anchor_text_agg": _q_anchor_text_agg,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
@@ -2391,6 +2412,31 @@ def oracle_sql() -> dict[str, str]:
                    '../' || CAST((doc_id * 11 + 9) % 500 AS VARCHAR),
                    'related two',
                    'https://example.org/' || CAST((doc_id * 11 + 9) % 500 AS VARCHAR) FROM d
+        """,
+        # regenerate the 5-links-per-page table arithmetically, then
+        # aggregate per target URL with identical semantics
+        "anchor_text_agg": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 250),
+            links AS MATERIALIZED (
+                SELECT doc_id, 'https://example.org/home' AS url,
+                       'home nav link' AS anchor FROM d
+                UNION ALL
+                SELECT doc_id, 'https://example.org/about', 'about nav link' FROM d
+                UNION ALL
+                SELECT doc_id, 'https://example.org/contact', 'contact nav link' FROM d
+                UNION ALL
+                SELECT doc_id,
+                       'https://example.org/' || CAST((doc_id * 7 + 1) % 500 AS VARCHAR),
+                       'related one' FROM d
+                UNION ALL
+                SELECT doc_id,
+                       'https://example.org/' || CAST((doc_id * 11 + 9) % 500 AS VARCHAR),
+                       'related two' FROM d)
+            SELECT url,
+                   CAST(COUNT(*) AS BIGINT) AS n_inlinks,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_source_docs,
+                   array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchors
+            FROM links GROUP BY url
         """,
         # HTML boilerplate strip gated end-to-end: the density vote keeps
         # exactly the two article paragraphs (leakage or loss mismatches),

@@ -118,3 +118,31 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def anchor_text_agg(links, url_col: str = "url", anchor_col: str = "anchor"):
+    """Aggregate incoming anchor text per target URL — the classic
+    weak-supervision signal (anchor→document pairs approximate
+    query→document relevance; an "anchor corpus" is a standard retrieval
+    training set distilled from a crawl).
+
+    Input is :func:`autoextract.operators.html.extract_links` output (or
+    any ``(doc_id, url, anchor)`` edge list). One partial-agg shuffle on
+    the target-URL key; anchors collapse map-side via ``collect_set``
+    semantics, and the output is one row per target with the distinct
+    anchors pipe-joined in sorted order (engine-portable — no array-hash
+    ambiguity at the oracle boundary).
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        links.where(F.col(url_col).isNotNull())
+        .groupBy(F.col(url_col).alias("url"))
+        .agg(
+            F.count("*").cast("long").alias("n_inlinks"),
+            F.countDistinct("doc_id").cast("long").alias("n_source_docs"),
+            F.array_join(
+                F.sort_array(F.collect_set(F.col(anchor_col))), "|"
+            ).alias("anchors"),
+        )
+    )

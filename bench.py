@@ -127,6 +127,7 @@ HEADLINE = [
     "warc_ingest",
     "warc_html_ingest",
     "html_link_graph",
+    "anchor_text_agg",
     # exact per-host cap through the skew-safe two-phase window plan
     "host_cap_topk",
 ]

@@ -59,3 +59,23 @@ def test_bm25_k_cutoff_and_partition_invariance(spark):
     # rank ties on equal scores resolve by doc_id: all docs share tf=1 for
     # 'common' and dl=2, so the top-3 are exactly doc_ids 0,1,2
     assert [t[1] for t in sorted(a, key=lambda t: t[3])] == [0, 1, 2]
+
+
+def test_anchor_text_agg_semantics(spark):
+    from autoextract.operators.retrieval import anchor_text_agg
+
+    links = spark.createDataFrame(
+        [
+            ("d1", "https://t/a", "click here"),
+            ("d1", "https://t/a", "click here"),   # same doc, same anchor
+            ("d2", "https://t/a", "best page"),
+            ("d3", "https://t/b", "other"),
+            ("d4", None, "dropped"),               # unresolved -> excluded
+        ],
+        "doc_id string, url string, anchor string",
+    )
+    got = {r["url"]: r for r in anchor_text_agg(links).collect()}
+    assert set(got) == {"https://t/a", "https://t/b"}
+    a = got["https://t/a"]
+    assert a["n_inlinks"] == 3 and a["n_source_docs"] == 2
+    assert a["anchors"] == "best page|click here"  # sorted distinct
