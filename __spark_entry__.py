@@ -1015,6 +1015,54 @@ def _q_anchor_text_agg(spark, sf):
     return anchor_text_agg(links)
 
 
+def _q_robots_filter(spark, sf):
+    """RFC 9309 crawl-permission verdicts (r5): synthesize a robots.txt
+    per host (group structure, comments, blank lines, multi-UA groups,
+    wildcards, ``$`` anchors, empty no-op rules all exercised by host-id
+    arithmetic), parse it with the pure-JVM window chain, and verdict one
+    URL per document under agent ``trainbot``. The DuckDB oracle replays
+    the ENTIRE chain — line split, group recovery, pattern→regex
+    compilation, longest-match/allow-tie precedence — from the same
+    synthesized text, so parser and matcher both gate."""
+    from autoextract.sources.robots import parse_robots, robots_filter
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    s = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
+    hosts = docs.select(
+        F.concat(F.col("source"), F.lit(".com")).alias("host"), s.alias("s")
+    ).distinct()
+    txt = F.concat(
+        F.lit("# corpus policy\n"),
+        F.when(
+            F.col("s") % 2 == 0,
+            F.lit("User-agent: trainbot\nDisallow: /private/\nAllow: /private/ok\n"),
+        ).otherwise(F.lit("")),
+        F.lit("\nUser-agent: *\nDisallow: /tmp/*\nAllow: /tmp/keep*\nDisallow:\n"),
+        F.when(F.col("s") % 3 == 0, F.lit("Disallow: /exact$\n")).otherwise(F.lit("")),
+        F.when(
+            F.col("s") % 5 == 0,
+            F.lit("\nUser-agent: otherbot\nUser-agent: trainbot\nDisallow: /multi\n"),
+        ).otherwise(F.lit("")),
+    )
+    rules = parse_robots(hosts.select("host", txt.alias("robots_txt")))
+    sid = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("/private/x"), sid))
+        .when(F.col("doc_id") % 7 == 1, F.concat(F.lit("/private/ok"), sid))
+        .when(F.col("doc_id") % 7 == 2, F.concat(F.lit("/tmp/junk"), sid))
+        .when(F.col("doc_id") % 7 == 3, F.concat(F.lit("/tmp/keep"), sid))
+        .when(F.col("doc_id") % 7 == 4, F.lit("/exact"))
+        .when(F.col("doc_id") % 7 == 5, F.concat(F.lit("/exact"), sid))
+        .otherwise(F.concat(F.lit("/multi/"), sid))
+    )
+    urls = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.col("source"), F.lit(".com")).alias("host"),
+        path.alias("path"),
+    )
+    return robots_filter(urls, rules, "TrainBot")
+
+
 def _q_pdf_ingest_spans(spark, sf):
     """P1 end-to-end: documents → typeset into REAL multi-page PDF payloads
     → text-layer parse back to word boxes → the ordinary layout/span
@@ -1580,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_html_ingest": _q_warc_html_ingest,
         "html_link_graph": _q_html_link_graph,
         "anchor_text_agg": _q_anchor_text_agg,
+        "robots_filter": _q_robots_filter,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
@@ -2437,6 +2486,115 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_source_docs,
                    array_to_string(list_sort(list_distinct(list(anchor))), '|') AS anchors
             FROM links GROUP BY url
+        """,
+        # full RFC 9309 replay: rebuild the same robots.txt per host, split
+        # lines, recover groups with the LAG window, compile patterns to
+        # RE2 ('*' wildcard, '$' anchor, specials escaped), select the
+        # agent's groups (exact suppresses '*', matching groups combine),
+        # then longest-match / allow-tie / lexicographic-tie argmax per URL
+        "robots_filter": """
+            WITH hosts AS (
+              SELECT DISTINCT source || '.com' AS host,
+                     CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS s
+              FROM documents),
+            rb AS (
+              SELECT host,
+                '# corpus policy' || chr(10) ||
+                CASE WHEN s % 2 = 0 THEN
+                  'User-agent: trainbot' || chr(10) ||
+                  'Disallow: /private/' || chr(10) ||
+                  'Allow: /private/ok' || chr(10) ELSE '' END ||
+                chr(10) || 'User-agent: *' || chr(10) ||
+                'Disallow: /tmp/*' || chr(10) ||
+                'Allow: /tmp/keep*' || chr(10) || 'Disallow:' || chr(10) ||
+                CASE WHEN s % 3 = 0 THEN 'Disallow: /exact$' || chr(10)
+                     ELSE '' END ||
+                CASE WHEN s % 5 = 0 THEN
+                  chr(10) || 'User-agent: otherbot' || chr(10) ||
+                  'User-agent: trainbot' || chr(10) ||
+                  'Disallow: /multi' || chr(10) ELSE '' END AS txt
+              FROM hosts),
+            lines AS (
+              SELECT host, ls, unnest(range(1, len(ls) + 1)) AS pos
+              FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rb)),
+            ln0 AS (
+              SELECT host, pos,
+                     trim(regexp_replace(ls[pos], '#.*$', '')) AS line
+              FROM lines),
+            cls AS (
+              SELECT host, pos,
+                     lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS field,
+                     trim(regexp_extract(line, '^[A-Za-z-]+\\s*:\\s*(\\S*)', 1)) AS value
+              FROM ln0
+              WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+                    IN ('user-agent', 'allow', 'disallow')),
+            st AS (
+              SELECT host, pos, field, value,
+                     CASE WHEN field = 'user-agent'
+                          AND COALESCE(LAG(field) OVER
+                                (PARTITION BY host ORDER BY pos), '')
+                              <> 'user-agent'
+                     THEN 1 ELSE 0 END AS is_start
+              FROM cls),
+            grp AS (
+              SELECT host, pos, field, value,
+                     SUM(is_start) OVER (PARTITION BY host ORDER BY pos
+                                         ROWS UNBOUNDED PRECEDING) AS grp
+              FROM st),
+            agents AS (
+              SELECT DISTINCT host, grp, lower(value) AS agent
+              FROM grp WHERE field = 'user-agent'),
+            rules AS (
+              SELECT host, grp, field = 'allow' AS allow, value AS pattern
+              FROM grp WHERE field <> 'user-agent' AND value <> ''),
+            rr AS (
+              SELECT r.host, a.agent, r.allow, r.pattern,
+                     length(r.pattern) AS pat_len,
+                     '^' || replace(
+                       regexp_replace(
+                         CASE WHEN r.pattern LIKE '%$'
+                              THEN substr(r.pattern, 1, length(r.pattern) - 1)
+                              ELSE r.pattern END,
+                         '([.^$+?(){}\\[\\]|\\\\])', '\\\\\\0', 'g'),
+                       '*', '.*')
+                     || CASE WHEN r.pattern LIKE '%$' THEN '$' ELSE '' END
+                       AS pat_regex
+              FROM rules r JOIN agents a USING (host, grp)),
+            sel AS (
+              SELECT host, allow, pattern, pat_len, pat_regex
+              FROM (SELECT rr.*,
+                           MAX(agent = 'trainbot') OVER (PARTITION BY host)
+                             AS has_exact
+                    FROM rr WHERE agent IN ('trainbot', '*'))
+              WHERE agent = 'trainbot' OR NOT has_exact),
+            urls AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     source || '.com' AS host,
+                     CASE doc_id % 7
+                       WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN '/private/ok' || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN '/tmp/junk' || CAST(doc_id AS VARCHAR)
+                       WHEN 3 THEN '/tmp/keep' || CAST(doc_id AS VARCHAR)
+                       WHEN 4 THEN '/exact'
+                       WHEN 5 THEN '/exact' || CAST(doc_id AS VARCHAR)
+                       ELSE '/multi/' || CAST(doc_id AS VARCHAR)
+                     END AS path
+              FROM documents),
+            m AS (
+              SELECT u.doc_id, u.host, u.path, s.allow, s.pattern, s.pat_len
+              FROM urls u LEFT JOIN sel s
+                ON u.host = s.host AND regexp_matches(u.path, s.pat_regex)),
+            w AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY pat_len DESC NULLS LAST,
+                                allow DESC NULLS LAST,
+                                pattern DESC NULLS LAST) AS rn
+              FROM m)
+            SELECT doc_id, host, path,
+                   COALESCE(allow, TRUE) AS allowed,
+                   COALESCE(pattern, '') AS matched_rule
+            FROM w WHERE rn = 1
         """,
         # HTML boilerplate strip gated end-to-end: the density vote keeps
         # exactly the two article paragraphs (leakage or loss mismatches),

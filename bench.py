@@ -130,6 +130,9 @@ HEADLINE = [
     "anchor_text_agg",
     # exact per-host cap through the skew-safe two-phase window plan
     "host_cap_topk",
+    # RFC 9309 crawl-permission verdicts: parse windows + host-join +
+    # longest-match argmax — the politeness front door of a crawl run
+    "robots_filter",
 ]
 
 
