@@ -1063,6 +1063,48 @@ def _q_robots_filter(spark, sf):
     return robots_filter(urls, rules, "TrainBot")
 
 
+def _q_sitemap_ingest(spark, sf):
+    """Sitemap XML parse (r5): synthesize a sitemaps.org payload per host
+    (leaf urlsets with optional lastmod/priority, sitemapindex pointer
+    files, whitespace-padded <loc>) and parse to per-entry rows with the
+    pure-JVM regexp chain. The DuckDB oracle replays extraction from the
+    same XML, so block split, order, kind detection, and optional-field
+    NULLs all gate."""
+    from autoextract.sources.sitemap import parse_sitemaps
+
+    docs = _t(spark, sf, "documents").select("source")
+    s = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
+    hosts = docs.select(
+        F.concat(F.col("source"), F.lit(".com")).alias("host"), s.alias("s")
+    ).distinct()
+    h, sc = F.col("host"), F.col("s")
+    day = (sc % 9 + 1).cast("string")
+    index_xml = F.concat(
+        F.lit('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.lit("<sitemap><loc>https://"), h, F.lit("/sitemap1.xml</loc><lastmod>2026-01-0"),
+        day, F.lit("</lastmod></sitemap>"),
+        F.lit("<sitemap><loc>https://"), h, F.lit("/sitemap2.xml</loc></sitemap>"),
+        F.lit("</sitemapindex>"),
+    )
+    urlset_xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.lit("<url><loc> https://"), h, F.lit("/p1 </loc>"),
+        F.when(
+            sc % 2 == 1,
+            F.concat(F.lit("<lastmod>2026-01-0"), day, F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            sc % 3 == 0,
+            F.concat(F.lit("<priority>0."), (sc % 10).cast("string"), F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url><url><loc>https://"), h, F.lit("/p2</loc></url>"),
+        F.lit("<url><loc>https://"), h, F.lit("/p3</loc><priority>0.5</priority></url>"),
+        F.lit("</urlset>"),
+    )
+    xml = F.when(sc % 4 == 0, index_xml).otherwise(urlset_xml)
+    return parse_sitemaps(hosts.select("host", xml.alias("sitemap_xml")))
+
+
 def _q_pdf_ingest_spans(spark, sf):
     """P1 end-to-end: documents → typeset into REAL multi-page PDF payloads
     → text-layer parse back to word boxes → the ordinary layout/span
@@ -1629,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_link_graph": _q_html_link_graph,
         "anchor_text_agg": _q_anchor_text_agg,
         "robots_filter": _q_robots_filter,
+        "sitemap_ingest": _q_sitemap_ingest,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
@@ -2595,6 +2638,59 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(allow, TRUE) AS allowed,
                    COALESCE(pattern, '') AS matched_rule
             FROM w WHERE rn = 1
+        """,
+        # sitemap replay: rebuild the same XML per host, split blocks with
+        # the identical dotall regex, preserve in-file order, read the
+        # optional child elements
+        "sitemap_ingest": """
+            WITH hosts AS (
+              SELECT DISTINCT source || '.com' AS host,
+                     CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS s
+              FROM documents),
+            x AS (
+              SELECT host,
+                CASE WHEN s % 4 = 0 THEN
+                  '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                  || '<sitemap><loc>https://' || host
+                  || '/sitemap1.xml</loc><lastmod>2026-01-0'
+                  || CAST(s % 9 + 1 AS VARCHAR) || '</lastmod></sitemap>'
+                  || '<sitemap><loc>https://' || host
+                  || '/sitemap2.xml</loc></sitemap></sitemapindex>'
+                ELSE
+                  '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                  || '<url><loc> https://' || host || '/p1 </loc>'
+                  || CASE WHEN s % 2 = 1 THEN '<lastmod>2026-01-0'
+                       || CAST(s % 9 + 1 AS VARCHAR) || '</lastmod>' ELSE '' END
+                  || CASE WHEN s % 3 = 0 THEN '<priority>0.'
+                       || CAST(s % 10 AS VARCHAR) || '</priority>' ELSE '' END
+                  || '</url><url><loc>https://' || host || '/p2</loc></url>'
+                  || '<url><loc>https://' || host
+                  || '/p3</loc><priority>0.5</priority></url></urlset>'
+                END AS xml
+              FROM hosts),
+            b AS (
+              SELECT host,
+                     CASE WHEN xml LIKE '<sitemapindex%' THEN 'sitemapindex'
+                          ELSE 'urlset' END AS kind,
+                     regexp_extract_all(xml,
+                       '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1) AS bl
+              FROM x),
+            e AS (
+              SELECT host, kind, bl, unnest(range(1, len(bl) + 1)) AS pos
+              FROM b),
+            p AS (
+              SELECT host, kind, CAST(pos - 1 AS INT) AS ord, bl[pos] AS blk
+              FROM e)
+            SELECT host, kind, ord,
+                   trim(regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1))
+                     AS url,
+                   NULLIF(regexp_extract(blk,
+                     '<lastmod>\\s*([^<\\s]+)\\s*</lastmod>', 1), '') AS lastmod,
+                   CAST(NULLIF(regexp_extract(blk,
+                     '<priority>\\s*([^<\\s]+)\\s*</priority>', 1), '') AS DOUBLE)
+                     AS priority
+            FROM p
+            WHERE trim(regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)) <> ''
         """,
         # HTML boilerplate strip gated end-to-end: the density vote keeps
         # exactly the two article paragraphs (leakage or loss mismatches),

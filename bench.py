@@ -133,6 +133,8 @@ HEADLINE = [
     # RFC 9309 crawl-permission verdicts: parse windows + host-join +
     # longest-match argmax — the politeness front door of a crawl run
     "robots_filter",
+    # sitemaps.org parse: zero-shuffle regexp chain, the crawl seed list
+    "sitemap_ingest",
 ]
 
 
