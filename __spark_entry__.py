@@ -1105,6 +1105,27 @@ def _q_sitemap_ingest(spark, sf):
     return parse_sitemaps(hosts.select("host", xml.alias("sitemap_xml")))
 
 
+def _q_dsir_sample(spark, sf):
+    """DSIR importance resampling (r5): hashed-bigram importance weights
+    of every document against the English-subset target distribution,
+    then the derandomized Gumbel-top-k draw. The oracle replays the whole
+    chain — bucket hashing, Laplace-smoothed log-ratios, per-doc sums,
+    Gumbel keys, global top-k with the 6-dp/doc_id ordering rule — in
+    DuckDB."""
+    from autoextract.operators.sampling import dsir_resample
+
+    raw = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
+    )
+    target = raw.where(F.col("lang") == "en")
+    return dsir_resample(
+        raw.select("doc_id", "text"),
+        target.select("doc_id", "text"),
+        k=200,
+        n_buckets=256,
+    )
+
+
 def _q_pdf_ingest_spans(spark, sf):
     """P1 end-to-end: documents → typeset into REAL multi-page PDF payloads
     → text-layer parse back to word boxes → the ordinary layout/span
@@ -1672,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": _q_anchor_text_agg,
         "robots_filter": _q_robots_filter,
         "sitemap_ingest": _q_sitemap_ingest,
+        "dsir_sample": _q_dsir_sample,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
@@ -2638,6 +2660,52 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(allow, TRUE) AS allowed,
                    COALESCE(pattern, '') AS matched_rule
             FROM w WHERE rn = 1
+        """,
+        # DSIR replay: hashed-bigram buckets (md5-prefix mod 256), Laplace
+        # log-ratio table, per-doc weight sums, derandomized Gumbel keys,
+        # global top-200 under the rounded-key/doc_id ordering rule
+        "dsir_sample": """
+            WITH tl AS MATERIALIZED (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents),
+            bk AS MATERIALIZED (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(z[1] || ' ' || z[2] || 'dsir-v1'),
+                                          1, 8)) AS UBIGINT) % 256 AS bucket
+              FROM (SELECT doc_id, lang,
+                           unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+                    FROM tl WHERE len(l) >= 2)),
+            rc AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS rc
+                   FROM bk GROUP BY bucket),
+            tc AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS tc
+                   FROM bk WHERE lang = 'en' GROUP BY bucket),
+            rt AS (SELECT COALESCE(SUM(rc), 0) AS rt FROM rc),
+            tt AS (SELECT COALESCE(SUM(tc), 0) AS tt FROM tc),
+            ratio AS (
+              SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+                     ln((COALESCE(tc, 0) + 1) / (tt + 256))
+                     - ln((COALESCE(rc, 0) + 1) / (rt + 256)) AS lam
+              FROM rc FULL JOIN tc ON rc.bucket = tc.bucket, rt, tt),
+            pd AS (
+              SELECT bk.doc_id, SUM(lam) AS lw
+              FROM bk JOIN ratio USING (bucket) GROUP BY bk.doc_id),
+            w AS (
+              SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                     round(COALESCE(lw, 0.0), 6) AS log_w
+              FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id),
+            g AS (
+              SELECT doc_id, log_w,
+                     round(log_w - ln(-ln(
+                       (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || 'dsir-v1/g'), 1, 8)) AS UBIGINT) + 0.5)
+                       / 4294967296.0)), 6) AS key
+              FROM w)
+            SELECT doc_id, log_w, key,
+                   CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC)
+                        AS INT) AS rank
+            FROM g ORDER BY key DESC, doc_id ASC LIMIT 200
         """,
         # sitemap replay: rebuild the same XML per host, split blocks with
         # the identical dotall regex, preserve in-file order, read the

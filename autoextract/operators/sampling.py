@@ -230,3 +230,135 @@ def host_cap_topk(
         .where(F.col("rank") <= cap)
         .select(id_col, key_col, F.col("rank").cast("int").alias("rank"))
     )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score each raw document
+    by how much more likely its hashed-bigram features are under the
+    TARGET domain's distribution than under the raw corpus's own:
+
+      log w(d) = Σ_features  count_d(b) · [ ln p_target(b) − ln p_raw(b) ]
+
+    with Laplace-smoothed categorical distributions over ``n_buckets``
+    hashed-bigram buckets (bucket = md5-prefix hash of the adjacent word
+    pair, the repo's engine-portable family; production swaps xxhash64).
+
+    Scale shape: two bucket-count aggregates partial-combine on a SHORT
+    int key with bounded cardinality (``n_buckets``) — the log-ratio
+    table is ≤``n_buckets`` rows and broadcasts; the per-doc pass is
+    explode → broadcast join → one groupBy(``id_col``) sum.  Raw text
+    never shuffles; a doc with <2 tokens carries weight 0.  Output:
+    ``(id_col, n_features, log_w)`` for EVERY raw row, ``log_w`` rounded
+    to 6 dp (float-sum-order guard, house convention).
+    """
+    from ..functions.text import tokens
+
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+
+    def bucket_rows(df):
+        toks = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+        n = F.size(toks)
+        pairs = F.arrays_zip(
+            F.slice(toks, F.lit(1), n - 1).alias("prev"),
+            F.slice(toks, F.lit(2), n - 1).alias("cur"),
+        )
+        return (
+            df.where(n >= 2)
+            .select(F.col(id_col), F.explode(pairs).alias("z"))
+            .select(
+                id_col,
+                F.pmod(
+                    _hash32(
+                        F.concat(F.col("z.prev"), F.lit(" "), F.col("z.cur")), salt
+                    ),
+                    F.lit(n_buckets),
+                ).alias("bucket"),
+            )
+        )
+
+    raw_b = bucket_rows(raw)
+    tgt_b = bucket_rows(target)
+    raw_cnt = raw_b.groupBy("bucket").agg(F.count("*").cast("double").alias("rc"))
+    tgt_cnt = tgt_b.groupBy("bucket").agg(F.count("*").cast("double").alias("tc"))
+    # totals derived from the (≤n_buckets-row) count tables, not a second
+    # pass over the exploded bigrams — stays lazy, one aggregate per corpus
+    raw_tot = raw_cnt.agg(F.coalesce(F.sum("rc"), F.lit(0.0)).alias("rt"))
+    tgt_tot = tgt_cnt.agg(F.coalesce(F.sum("tc"), F.lit(0.0)).alias("tt"))
+    nb = float(n_buckets)
+    ratio = (
+        raw_cnt.join(tgt_cnt, "bucket", "full")
+        .join(F.broadcast(raw_tot))
+        .join(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("tc", F.lit(0.0)) + 1.0) / (F.col("tt") + nb))
+                - F.log((F.coalesce("rc", F.lit(0.0)) + 1.0) / (F.col("rt") + nb))
+            ).alias("lam"),
+        )
+    )
+    perdoc = (
+        raw_b.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.sum("lam").alias("__lw"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(perdoc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_features", F.lit(0).cast("long")).alias("n_features"),
+            F.round(F.coalesce("__lw", F.lit(0.0)), 6).alias("log_w"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k importance resampling WITHOUT
+    replacement over :func:`dsir_importance_weights` — the paper's
+    sampling rule, derandomized with the engine-portable hash so every
+    engine/cluster draws the identical sample:
+
+      key(d) = log w(d) + Gumbel(d),
+      Gumbel(d) = −ln(−ln( (hash32(id ‖ salt/g) + 0.5) / 2^32 ))
+
+    and the sample is the global top-``k`` by key.  Top-k is a sort-limit
+    (Spark's distributed TakeOrdered — no single-partition window); the
+    rank is re-derived on the ≤k survivors only.  Ranking uses the
+    6-dp-rounded key with an ``id_col`` tie-break, so the oracle's
+    ordering is bit-identical.  Output: ``(id_col, log_w, key, rank)``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = dsir_importance_weights(
+        raw, target, n_buckets=n_buckets, id_col=id_col, text_col=text_col, salt=salt
+    )
+    u = (_hash32(F.col(id_col), salt + "/g") + 0.5) / F.lit(_HASH_SPACE)
+    keyed = w.select(
+        id_col,
+        "log_w",
+        F.round(F.col("log_w") - F.log(-F.log(u)), 6).alias("key"),
+    )
+    topk = keyed.orderBy(F.col("key").desc(), F.col(id_col).asc()).limit(k)
+    wr = Window.orderBy(F.col("key").desc(), F.col(id_col).asc())
+    return topk.withColumn("rank", F.row_number().over(wr).cast("int"))

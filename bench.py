@@ -135,6 +135,9 @@ HEADLINE = [
     "robots_filter",
     # sitemaps.org parse: zero-shuffle regexp chain, the crawl seed list
     "sitemap_ingest",
+    # DSIR: bounded-cardinality bucket aggregates + broadcast log-ratio
+    # join + distributed sort-limit top-k — domain-matching data selection
+    "dsir_sample",
 ]
 
 

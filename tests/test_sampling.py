@@ -203,3 +203,120 @@ def test_host_cap_rejects_bad_cap(spark):
 
     with pytest.raises(ValueError):
         host_cap_topk(_skewed_docs(spark), cap=0)
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def _dsir_corpus(spark):
+    """Two vocabularies: 'alpha beta …' docs (target-like) vs 'zig zag …'
+    docs; target = the alpha-vocabulary half with doc_id < 6."""
+    rows = []
+    for i in range(24):
+        if i % 2 == 0:
+            text = "alpha beta gamma delta alpha beta " * 3
+        else:
+            text = "zig zag zip zap zig zag " * 3
+        rows.append((i, text.strip()))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dsir_weights_prefer_target_vocabulary(spark):
+    from autoextract.operators.sampling import dsir_importance_weights
+
+    raw = _dsir_corpus(spark)
+    target = raw.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 6))
+    w = {r.doc_id: r.log_w for r in dsir_importance_weights(raw, target).collect()}
+    assert len(w) == 24  # every raw row keeps a weight
+    alpha = [w[i] for i in range(24) if i % 2 == 0]
+    other = [w[i] for i in range(24) if i % 2 == 1]
+    assert min(alpha) > max(other)
+
+
+def test_dsir_weights_python_reference(spark):
+    import math
+
+    from autoextract.operators.sampling import dsir_importance_weights
+
+    raw = _dsir_corpus(spark)
+    target = raw.where(F.col("doc_id") < 6)
+    nb = 16
+
+    def buckets(text):
+        toks = [t for t in text.split() if t]
+        return [
+            _h32(f"{a} {b}", "dsir-v1") % nb for a, b in zip(toks, toks[1:])
+        ]
+
+    rows = raw.collect()
+    tgt_ids = {r.doc_id for r in rows if r.doc_id < 6}
+    rc, tc = {}, {}
+    for r in rows:
+        for b in buckets(r.text):
+            rc[b] = rc.get(b, 0) + 1
+            if r.doc_id in tgt_ids:
+                tc[b] = tc.get(b, 0) + 1
+    rt, tt = sum(rc.values()), sum(tc.values())
+    lam = {
+        b: math.log((tc.get(b, 0) + 1) / (tt + nb))
+        - math.log((rc.get(b, 0) + 1) / (rt + nb))
+        for b in rc
+    }
+    expected = {
+        r.doc_id: round(sum(lam[b] for b in buckets(r.text)), 6) for r in rows
+    }
+    got = {
+        r.doc_id: r.log_w
+        for r in dsir_importance_weights(raw, target, n_buckets=nb).collect()
+    }
+    for i, e in expected.items():
+        assert abs(got[i] - e) < 1e-6, (i, got[i], e)
+
+
+def test_dsir_short_docs_weight_zero(spark):
+    from autoextract.operators.sampling import dsir_importance_weights
+
+    raw = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "two words here")],
+        "doc_id long, text string",
+    )
+    target = raw.where(F.col("doc_id") == 3)
+    w = {r.doc_id: (r.n_features, r.log_w) for r in
+         dsir_importance_weights(raw, target).collect()}
+    assert w[1] == (0, 0.0) and w[2] == (0, 0.0)
+    assert w[3][0] == 2
+
+
+def test_dsir_resample_topk_and_partition_invariance(spark):
+    from autoextract.operators.sampling import dsir_resample
+
+    raw = _dsir_corpus(spark)
+    target = raw.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 6))
+    one = dsir_resample(raw.coalesce(1), target, k=8).collect()
+    many = dsir_resample(raw.repartition(7), target, k=8).collect()
+    assert len(one) == 8
+    assert sorted((r.doc_id, r.rank) for r in one) == sorted(
+        (r.doc_id, r.rank) for r in many
+    )
+    # ranks are dense 1..k and ordered by key desc
+    by_rank = sorted(one, key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == list(range(1, 9))
+    keys = [r.key for r in by_rank]
+    assert keys == sorted(keys, reverse=True)
+    # Gumbel noise means the sample is importance-BIASED toward the target
+    # vocabulary, not a pure argmax — but with this weight gap every pick
+    # must be an alpha-vocabulary doc
+    assert all(r.doc_id % 2 == 0 for r in one)
+
+
+def test_dsir_rejects_bad_args(spark):
+    from autoextract.operators.sampling import (
+        dsir_importance_weights,
+        dsir_resample,
+    )
+
+    raw = _dsir_corpus(spark)
+    with pytest.raises(ValueError):
+        dsir_importance_weights(raw, raw, n_buckets=0)
+    with pytest.raises(ValueError):
+        dsir_resample(raw, raw, k=0)
