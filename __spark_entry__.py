@@ -1105,6 +1105,82 @@ def _q_sitemap_ingest(spark, sf):
     return parse_sitemaps(hosts.select("host", xml.alias("sitemap_xml")))
 
 
+def _q_image_neardup(spark, sf):
+    """Perceptual image near-dup (r5) as a driver-checked verdict: 40
+    deterministic random-field PNGs each planted with a near-duplicate
+    (uniform +4 brightness — dHash-invariant — plus a 4×4 patch confined
+    to one grid cell, ≤2 comparison bits), hashed with the REAL
+    PNG-decode dHash kernel and blocked through the SAME Manku pigeonhole
+    operator the text SimHash path uses. Every planted pair must be
+    recovered at hamming ≤ 6 with ZERO extra pairs across all 3,160
+    candidate pairings — iid random fields sit ~32 bits apart, so any
+    blocking or hashing defect surfaces. Oracle = the all-true table."""
+    from autoextract.operators.dedup import hamming_near_dup_pairs
+    from autoextract.operators.multimodal import image_dhash
+
+    plant = 10_000_000
+
+    def doc_image(seed: int) -> bytes:
+        from autoextract.operators.png_codec import encode_png
+
+        rng = np.random.RandomState(seed % plant)
+        base = rng.randint(0, 200, size=(64, 64, 3)).astype(np.uint8)
+        if seed < plant:
+            return encode_png(base)
+        near = np.clip(base.astype(np.int16) + 4, 0, 255).astype(np.uint8)
+        near[:4, :4] = 255
+        return encode_png(near)
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 40).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    ids = docs.select("doc_id").union(
+        docs.select((F.col("doc_id") + plant).alias("doc_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = [
+                {"media_ref": str(int(i)), "payload": doc_image(int(i))}
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_ref", "payload"])
+
+    media = ids.mapInPandas(build, schema="media_ref string, payload binary")
+    sk = image_dhash(media).where("valid").select(
+        F.col("media_ref").cast("long").alias("doc_id"),
+        F.col("dhash").alias("sk"),
+    )
+    pairs = hamming_near_dup_pairs(sk, max_hamming=10)
+    is_planted = (F.col("doc_a") + plant) == F.col("doc_b")
+    rec = pairs.where(is_planted).select(
+        F.col("doc_a").alias("doc_id"),
+        F.lit(True).alias("recovered"),
+        (F.col("hamming") <= 6).alias("hamming_ok"),
+    )
+    to_base = lambda c: F.when(c >= plant, c - plant).otherwise(c)
+    extra = (
+        pairs.where(~is_planted)
+        .select(
+            F.explode(
+                F.array(to_base(F.col("doc_a")), to_base(F.col("doc_b")))
+            ).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        docs.join(rec, "doc_id", "left")
+        .join(extra, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("recovered", F.lit(False)).alias("recovered"),
+            F.coalesce("hamming_ok", F.lit(False)).alias("hamming_ok"),
+            F.coalesce("__n", F.lit(0).cast("long")).alias("n_extra"),
+        )
+    )
+
+
 def _q_dsir_sample(spark, sf):
     """DSIR importance resampling (r5): hashed-bigram importance weights
     of every document against the English-subset target distribution,
@@ -1694,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "sitemap_ingest": _q_sitemap_ingest,
         "dsir_sample": _q_dsir_sample,
+        "image_neardup": _q_image_neardup,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
@@ -2660,6 +2737,15 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(allow, TRUE) AS allowed,
                    COALESCE(pattern, '') AS matched_rule
             FROM w WHERE rn = 1
+        """,
+        # perceptual near-dup verdict: every planted brightness+patch twin
+        # recovered at hamming <= 6, zero extra pairs among the iid fields
+        "image_neardup": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   TRUE AS recovered,
+                   TRUE AS hamming_ok,
+                   CAST(0 AS BIGINT) AS n_extra
+            FROM documents WHERE doc_id < 40
         """,
         # DSIR replay: hashed-bigram buckets (md5-prefix mod 256), Laplace
         # log-ratio table, per-doc weight sums, derandomized Gumbel keys,

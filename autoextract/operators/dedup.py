@@ -289,21 +289,27 @@ def simhash64(text: pd.Series) -> pd.Series:
     return pd.Series(out.view(np.int64))
 
 
-def simhash_near_dup_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+def hamming_near_dup_pairs(
+    sketches: DataFrame,
+    hash_col: str = "sk",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash with GUARANTEED recall for
-    ``hamming ≤ max_hamming``: split the 64-bit sketch into
-    ``max_hamming + 1`` segments — by pigeonhole, any pair within the
-    distance bound agrees exactly on at least one segment. Block on
-    (segment index, segment value), then verify the true Hamming distance
-    with ``bit_count(a XOR b)`` and dedup pairs found via multiple segments.
-    The standard Manku/Jain/Sarma construction; the explode factor is the
-    constant segment count, so candidate generation stays linear.
-    """
+    """Near-dup pairs over ANY 64-bit sketch column with GUARANTEED
+    recall for ``hamming ≤ max_hamming``: split the word into
+    ``max_hamming + 1`` disjoint segments — by pigeonhole, any pair
+    within the distance bound agrees exactly on at least one segment
+    (leftover bits when 64 isn't divisible only strengthen the bound).
+    Block on (segment index, segment value), verify the true Hamming
+    distance with ``bit_count(a XOR b)``, dedup pairs found via multiple
+    segments. The standard Manku/Jain/Sarma construction; the explode
+    factor is the constant segment count, so candidate generation stays
+    linear. Shared by the text SimHash path and the image dHash path
+    (``multimodal.image_dhash``) — one blocking engine for both
+    modalities."""
     n_segments = max_hamming + 1
     seg_bits = 64 // n_segments
-    s = docs.select("doc_id", simhash64(F.col(text_col)).alias("sk"))
+    s = sketches.select(F.col(id_col).alias("doc_id"), F.col(hash_col).alias("sk"))
     segs = F.array(
         *[
             F.concat_ws(
@@ -329,6 +335,15 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: sketch, then the generic pigeonhole
+    blocking (:func:`hamming_near_dup_pairs` — construction notes there)."""
+    s = docs.select("doc_id", simhash64(F.col(text_col)).alias("sk"))
+    return hamming_near_dup_pairs(s, max_hamming=max_hamming)
 
 
 #: planted ids live far above any real doc id so the two never collide

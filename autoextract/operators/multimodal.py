@@ -396,3 +396,94 @@ def embed_media(media: DataFrame, dim: int = 16, payload_col: str = "payload") -
 
 #: backwards-compat name from round 1 (PNG featurization is no longer a stub)
 embed_media_stub = embed_media
+
+
+# ---------------------------------------------------------------- dHash
+
+#: dHash grid: 8 rows × 9 columns of cell means → 8×8 comparison bits
+_DHASH_ROWS, _DHASH_COLS = 8, 9
+
+
+def dhash64_bytes(data: bytes) -> int | None:
+    """64-bit difference hash (dHash) of an encoded image, or None.
+
+    The standard perceptual fingerprint for image near-dup detection:
+    decode (real codecs), grayscale (ITU-R BT.601 luma), area-average
+    down to an 8×9 grid of cell means (integral image — exact, no
+    resampling kernel to disagree about), then bit ``8·r + c`` is set iff
+    ``cell[r, c] > cell[r, c+1]``. Invariant to uniform brightness shifts
+    and to any monotone tone mapping that preserves the order of cell
+    means — which is exactly why near-identical crawled images (same
+    picture, re-encoded / brightness-tweaked) collide. Images smaller
+    than the grid (or undecodable) return None."""
+    fmt = sniff_format(data if data is not None else b"")
+    try:
+        if fmt == "png":
+            from .png_codec import decode_png
+
+            arr = decode_png(data)
+        elif fmt == "jpeg":
+            from .jpeg_codec import decode_jpeg
+
+            arr = decode_jpeg(data)
+        elif fmt == "webp":
+            from .webp_codec import decode_webp
+
+            arr = decode_webp(data)
+        elif fmt == "gif":
+            from .gif_codec import decode_gif_indexed
+
+            idx, pal = decode_gif_indexed(data)
+            arr = pal[idx]
+        else:
+            return None
+    except Exception:  # O6 containment: undecodable → no hash, not a crash
+        return None
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        gray = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    else:
+        gray = a
+    h, w = gray.shape
+    if h < _DHASH_ROWS or w < _DHASH_COLS:
+        return None
+    ys = (np.arange(_DHASH_ROWS + 1) * h) // _DHASH_ROWS
+    xs = (np.arange(_DHASH_COLS + 1) * w) // _DHASH_COLS
+    integral = np.zeros((h + 1, w + 1), dtype=np.float64)
+    integral[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+    sums = (
+        integral[ys[1:, None], xs[None, 1:]]
+        - integral[ys[:-1, None], xs[None, 1:]]
+        - integral[ys[1:, None], xs[None, :-1]]
+        + integral[ys[:-1, None], xs[None, :-1]]
+    )
+    areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    cells = sums / areas
+    bits = (cells[:, :-1] > cells[:, 1:]).ravel()
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            val |= np.uint64(1) << np.uint64(i)
+    return int(val.astype(np.int64))
+
+
+def image_dhash(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """``(media_ref, payload)`` → ``(media_ref, dhash long, valid)``.
+
+    Arrow-batched narrow stage (same seam as the other media kernels);
+    the hash lands in a plain LongType so the downstream near-dup
+    blocking is the SAME pigeonhole operator the text SimHash path uses
+    (``dedup.hamming_near_dup_pairs``) — one engine for both modalities."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                hv = dhash64_bytes(b)
+                rows.append(
+                    {"media_ref": ref, "dhash": hv, "valid": hv is not None}
+                )
+            yield pd.DataFrame(rows, columns=["media_ref", "dhash", "valid"])
+
+    return media.mapInPandas(kernel, schema="media_ref string, dhash long, valid boolean")

@@ -138,6 +138,8 @@ HEADLINE = [
     # DSIR: bounded-cardinality bucket aggregates + broadcast log-ratio
     # join + distributed sort-limit top-k — domain-matching data selection
     "dsir_sample",
+    # perceptual dHash + the shared pigeonhole blocking over real PNG decode
+    "image_neardup",
 ]
 
 

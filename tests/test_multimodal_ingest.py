@@ -259,3 +259,82 @@ def test_webp_dims_all_flavors():
     assert MM._webp_dims(_make_webp("vp8", 320, 240)) == (320, 240)
     assert MM.sniff_format(_make_webp("vp8x", 2, 2)) == "webp"
     assert MM._webp_dims(b"RIFF\x00\x00\x00\x00WEBPnope") is None
+
+
+# ---------------------------------------------------------------- dHash
+
+
+def _rand_rgb(seed, h=64, w=64):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 200, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_dhash_brightness_invariant_and_patch_local():
+    import numpy as np
+
+    from autoextract.operators.multimodal import dhash64_bytes
+    from autoextract.operators.png_codec import encode_png
+
+    base = _rand_rgb(7)
+    h0 = dhash64_bytes(encode_png(base))
+    # uniform brightness shift: hash identical (cell-mean order preserved)
+    bright = np.clip(base.astype(np.int16) + 4, 0, 255).astype(np.uint8)
+    assert dhash64_bytes(encode_png(bright)) == h0
+    # a 4x4 patch inside one grid cell flips at most 2 comparison bits
+    patched = base.copy()
+    patched[:4, :4] = 255
+    hp = dhash64_bytes(encode_png(patched))
+    assert bin((h0 ^ hp) & (2**64 - 1)).count("1") <= 2
+    # an unrelated random image is far
+    other = dhash64_bytes(encode_png(_rand_rgb(8)))
+    assert bin((h0 ^ other) & (2**64 - 1)).count("1") > 10
+
+
+def test_dhash_format_agnostic():
+    from autoextract.operators.jpeg_codec import decode_jpeg, encode_jpeg
+    from autoextract.operators.multimodal import dhash64_bytes
+    from autoextract.operators.png_codec import encode_png
+
+    base = _rand_rgb(3)
+    jpeg = encode_jpeg(base, quality=90)
+    # hash the JPEG as decoded (lossy) vs the decoded pixels re-encoded
+    # losslessly: identical pixels -> identical hash across formats
+    assert dhash64_bytes(jpeg) == dhash64_bytes(encode_png(decode_jpeg(jpeg)))
+
+
+def test_dhash_containment_and_too_small():
+    from autoextract.operators.multimodal import dhash64_bytes
+    from autoextract.operators.png_codec import encode_png
+
+    assert dhash64_bytes(b"") is None
+    assert dhash64_bytes(b"garbage not an image") is None
+    assert dhash64_bytes(encode_png(_rand_rgb(1, h=4, w=4))) is None
+
+
+def test_image_dhash_neardup_end_to_end(spark):
+    import numpy as np
+
+    from autoextract.operators.dedup import hamming_near_dup_pairs
+    from autoextract.operators.multimodal import image_dhash
+    from autoextract.operators.png_codec import encode_png
+
+    rows = []
+    for i in range(10):
+        base = _rand_rgb(100 + i)
+        near = np.clip(base.astype(np.int16) + 4, 0, 255).astype(np.uint8)
+        near[:4, :4] = 255
+        rows.append((i, bytearray(encode_png(base))))
+        rows.append((1000 + i, bytearray(encode_png(near))))
+    media = spark.createDataFrame(
+        [(str(i), bytes(p)) for i, p in rows], "media_ref string, payload binary"
+    )
+    hashes = image_dhash(media).where("valid")
+    sk = hashes.select(
+        F.col("media_ref").cast("long").alias("doc_id"), F.col("dhash").alias("sk")
+    )
+    pairs = {
+        (r.doc_a, r.doc_b) for r in hamming_near_dup_pairs(sk, max_hamming=6).collect()
+    }
+    assert pairs == {(i, 1000 + i) for i in range(10)}
