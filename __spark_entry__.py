@@ -1105,6 +1105,39 @@ def _q_sitemap_ingest(spark, sf):
     return parse_sitemaps(hosts.select("host", xml.alias("sitemap_xml")))
 
 
+def _q_mojibake_repair(spark, sf):
+    """Mojibake repair (r5): deterministically accent the corpus (replace
+    e→é or a→ä by doc_id arithmetic), UTF-8→Latin-1 double-read half the
+    docs inside the kernel (the classic wild corruption), and require
+    ``repair_mojibake`` to restore every corrupted document EXACTLY while
+    leaving clean docs (including clean non-ASCII ones) untouched. The
+    oracle rebuilds the expected clean text and repair flags from the
+    documents table with the same replace() arithmetic."""
+    from autoextract.functions.encoding import repair_mojibake
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    clean = (
+        F.when(F.col("doc_id") % 3 == 0, F.regexp_replace("text", "e", "é"))
+        .when(F.col("doc_id") % 3 == 1, F.regexp_replace("text", "a", "ä"))
+        .otherwise(F.col("text"))
+    )
+    staged = docs.select("doc_id", clean.alias("text"))
+
+    def corrupt(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out["text"] = [
+                s.encode("utf-8").decode("latin-1") if i % 2 == 0 else s
+                for i, s in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield out
+
+    corrupted = staged.mapInPandas(corrupt, schema="doc_id long, text string")
+    return repair_mojibake(corrupted)
+
+
 def _q_image_neardup(spark, sf):
     """Perceptual image near-dup (r5) as a driver-checked verdict: 40
     deterministic random-field PNGs each planted with a near-duplicate
@@ -1771,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": _q_sitemap_ingest,
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
+        "mojibake_repair": _q_mojibake_repair,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
@@ -2737,6 +2771,20 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(allow, TRUE) AS allowed,
                    COALESCE(pattern, '') AS matched_rule
             FROM w WHERE rn = 1
+        """,
+        # mojibake replay: the repaired text must equal the accented clean
+        # text for every doc; repaired flags exactly where a corrupted doc
+        # actually contained non-ASCII (pure-ASCII corruption is a no-op)
+        "mojibake_repair": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'é')
+                        WHEN doc_id % 3 = 1 THEN replace(text, 'a', 'ä')
+                        ELSE text END AS text,
+                   (doc_id % 2 = 0 AND (
+                      (doc_id % 3 = 0 AND text LIKE '%e%')
+                      OR (doc_id % 3 = 1 AND text LIKE '%a%')
+                   )) AS repaired
+            FROM documents
         """,
         # perceptual near-dup verdict: every planted brightness+patch twin
         # recovered at hamming <= 6, zero extra pairs among the iid fields

@@ -140,6 +140,8 @@ HEADLINE = [
     "dsir_sample",
     # perceptual dHash + the shared pigeonhole blocking over real PNG decode
     "image_neardup",
+    # ftfy-style encoding repair: narrow Arrow stage, zero shuffles
+    "mojibake_repair",
 ]
 
 

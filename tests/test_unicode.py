@@ -69,3 +69,52 @@ def test_extraction_values_not_normalized(spark):
     )
     rows2 = extract_fields(order_words(df), schema2).collect()
     assert rows2[0]["value"] == ""
+
+
+# ---------------------------------------------------------- mojibake
+
+
+def test_fix_mojibake_single_and_double():
+    from autoextract.functions.encoding import fix_mojibake_str
+
+    clean = "café déjà-vu — naïve"
+    once = clean.encode("utf-8").decode("latin-1")
+    twice = once.encode("utf-8").decode("latin-1")
+    assert fix_mojibake_str(once) == (clean, True)
+    assert fix_mojibake_str(twice) == (clean, True)
+
+
+def test_fix_mojibake_cp1252_punctuation():
+    from autoextract.functions.encoding import fix_mojibake_str
+
+    clean = "it’s “fine — really"  # no ”: 0x9D is a cp1252 hole, so a
+    # strict cp1252 corrupter can never have produced it
+    bad = clean.encode("utf-8").decode("cp1252")
+    assert fix_mojibake_str(bad) == (clean, True)
+    # a SLOPPY-cp1252 corrupter (holes fall back to C1 controls) does
+    # produce it; the latin-1 fallback in the repair handles that shape
+    sloppy = "”".encode("utf-8").decode("latin-1")
+    assert fix_mojibake_str(sloppy) == ("”", True)
+
+
+def test_fix_mojibake_leaves_clean_text_alone():
+    from autoextract.functions.encoding import fix_mojibake_str
+
+    for s in ["plain ascii", "清酒 un vrai café", "ωβγ", ""]:
+        assert fix_mojibake_str(s) == (s, False)
+
+
+def test_repair_mojibake_dataframe(spark):
+    from autoextract.functions.encoding import repair_mojibake
+
+    clean = "résumé with café"
+    bad = clean.encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame(
+        [(1, bad, "x"), (2, "ascii only", "y"), (3, "tokyo 東京", "z")],
+        "doc_id long, text string, extra string",
+    )
+    rows = {r.doc_id: (r.text, r.repaired, r.extra)
+            for r in repair_mojibake(df).collect()}
+    assert rows[1] == (clean, True, "x")
+    assert rows[2] == ("ascii only", False, "y")
+    assert rows[3] == ("tokyo 東京", False, "z")
