@@ -1105,6 +1105,96 @@ def _q_sitemap_ingest(spark, sf):
     return parse_sitemaps(hosts.select("host", xml.alias("sitemap_xml")))
 
 
+def _q_cdc_chunks(spark, sf):
+    """Content-defined chunking (r5) as a driver-checked verdict: 60 blobs
+    (32 KiB deterministic random bytes each) plus a 137-byte-prefixed twin
+    of every one, chunked with the gear CDC kernel. Per doc: the chunk
+    spans must partition the blob exactly (offset 0, contiguous, total
+    32768) with every non-final chunk inside [min,max] — and ≥70% of the
+    original's chunk hashes must reappear in the shifted twin, the
+    boundary-realignment property that is the whole point of CDC (a
+    fixed-size chunker scores ~0%). Oracle = the all-true table."""
+    from autoextract.operators.cdc import blob_chunks
+
+    n_bytes, kw = 32768, dict(avg_bits=10, min_size=256, max_size=4096)
+
+    def payload(kind: str, seed: int) -> bytes:
+        body = np.random.RandomState(seed).bytes(n_bytes)
+        if kind == "b":
+            return np.random.RandomState(100000 + seed).bytes(137) + body
+        return body
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    pairs = docs.select(
+        "doc_id", F.explode(F.array(F.lit("a"), F.lit("b"))).alias("side")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            rows = [
+                {
+                    "blob_id": f"{side}{int(i)}",
+                    "payload": payload(side, int(i)),
+                }
+                for i, side in zip(pdf["doc_id"], pdf["side"])
+            ]
+            yield pd.DataFrame(rows, columns=["blob_id", "payload"])
+
+    blobs = pairs.mapInPandas(build, schema="blob_id string, payload binary")
+    chunks = blob_chunks(blobs, **kw).select(
+        F.substring("blob_id", 1, 1).alias("side"),
+        F.expr("substring(blob_id, 2)").cast("long").alias("doc_id"),
+        "ord",
+        "offset",
+        "length",
+        "chunk_sha",
+    )
+    a = chunks.where(F.col("side") == "a")
+    total_a = F.lit(n_bytes)
+    part = a.groupBy("doc_id").agg(
+        (
+            (F.min("offset") == 0)
+            & (F.sum("length") == total_a)
+            & (F.max(F.col("offset") + F.col("length")) == total_a)
+        ).alias("partition_ok"),
+        (
+            (F.max("length") <= kw["max_size"])
+            & (
+                F.coalesce(
+                    F.min(
+                        F.when(
+                            F.col("offset") + F.col("length") < total_a,
+                            F.col("length"),
+                        )
+                    ),
+                    F.lit(kw["min_size"]),
+                )
+                >= kw["min_size"]
+            )
+        ).alias("bounds_ok"),
+    )
+    a_sha = a.select("doc_id", "chunk_sha").distinct()
+    b_sha = chunks.where(F.col("side") == "b").select("doc_id", "chunk_sha").distinct()
+    na = a_sha.groupBy("doc_id").agg(F.count("*").alias("__na"))
+    shared = a_sha.join(b_sha, ["doc_id", "chunk_sha"]).groupBy("doc_id").agg(
+        F.count("*").alias("__ns")
+    )
+    return (
+        part.join(na, "doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "partition_ok",
+            "bounds_ok",
+            (F.coalesce("__ns", F.lit(0)) >= 0.7 * F.col("__na")).alias(
+                "realign_ok"
+            ),
+        )
+    )
+
+
 def _q_mojibake_repair(spark, sf):
     """Mojibake repair (r5): deterministically accent the corpus (replace
     e→é or a→ä by doc_id arithmetic), UTF-8→Latin-1 double-read half the
@@ -1805,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
         "mojibake_repair": _q_mojibake_repair,
+        "cdc_chunks": _q_cdc_chunks,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
@@ -2771,6 +2862,15 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(allow, TRUE) AS allowed,
                    COALESCE(pattern, '') AS matched_rule
             FROM w WHERE rn = 1
+        """,
+        # CDC verdict: spans partition each blob within size bounds, and
+        # the prefixed twin re-shares >=70% of chunk hashes (realignment)
+        "cdc_chunks": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   TRUE AS partition_ok,
+                   TRUE AS bounds_ok,
+                   TRUE AS realign_ok
+            FROM documents WHERE doc_id < 60
         """,
         # mojibake replay: the repaired text must equal the accented clean
         # text for every doc; repaired flags exactly where a corrupted doc

@@ -142,6 +142,8 @@ HEADLINE = [
     "image_neardup",
     # ftfy-style encoding repair: narrow Arrow stage, zero shuffles
     "mojibake_repair",
+    # gear CDC: vectorized rolling hash, narrow chunk stage + sha groupBys
+    "cdc_chunks",
 ]
 
 
