@@ -1325,6 +1325,140 @@ def _q_dsir_sample(spark, sf):
     )
 
 
+def _furniture_lines_fixture(spark, sf):
+    """Shared multi-page fixture for the furniture queries: 300 documents,
+    2–5 pages each (doc_id arithmetic), every page carrying a running
+    header, a page-number footer, two per-page body lines, and a body line
+    repeated verbatim on every page (the band-constraint trap); page 1
+    additionally carries a one-off header-band stamp (the frequency trap).
+    Returned as word boxes in the engine's ocr_words shape so the query
+    exercises the REAL chain: boxes → order_words → lines_table."""
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 300)
+    )
+    n_pages = (F.col("doc_id") % 4 + 2).cast("int")
+    pages = docs.select(
+        "doc_id",
+        n_pages.alias("n_pages"),
+        F.explode(F.sequence(F.lit(1), n_pages)).alias("page"),
+    )
+    did = F.col("doc_id").cast("string")
+    pg = F.col("page").cast("string")
+    npg = F.col("n_pages").cast("string")
+
+    def line(ln, y0, text):
+        return F.struct(
+            F.lit(ln).alias("ln"), F.lit(float(y0)).alias("ly0"), text.alias("lt")
+        )
+
+    base_lines = F.array(
+        line(0, 20.0, F.lit("Acme Quarterly Report")),
+        line(2, 300.0, F.concat(F.lit("Body content block "), did, F.lit(" alpha "), pg)),
+        line(3, 340.0, F.concat(F.lit("Body section "), did, F.lit(" beta "), pg)),
+        line(4, 420.0, F.lit("Confidential material enclosed herein")),
+        line(5, 760.0, F.concat(F.lit("Page "), pg, F.lit(" of "), npg)),
+    )
+    stamp = F.when(
+        F.col("page") == 1,
+        F.array(line(1, 60.0, F.concat(F.lit("Draft stamp "), did))),
+    ).otherwise(F.array().cast("array<struct<ln:int,ly0:double,lt:string>>"))
+    lines = pages.select(
+        "doc_id",
+        "page",
+        F.explode(F.concat(base_lines, stamp)).alias("l"),
+    ).select("doc_id", "page", "l.ln", "l.ly0", "l.lt")
+    words = lines.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "page",
+        "ln",
+        "ly0",
+        F.posexplode(F.split("lt", " ")).alias("wpos", "content"),
+    )
+    x0 = F.lit(40.0) + F.col("wpos") * 90.0
+    return words.select(
+        "doc_id",
+        "page",
+        (F.col("ln") * 16 + F.col("wpos")).cast("int").alias("word_seq"),
+        F.lit("text").alias("kind"),
+        "content",
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(1.0).alias("rec_score"),
+        x0.alias("x0"),
+        F.col("ly0").alias("y0"),
+        (x0 + 80.0).alias("x1"),
+        (F.col("ly0") + 16.0).alias("y1"),
+    )
+
+
+def _q_page_furniture(spark, sf):
+    """Page-furniture removal (r5): running headers / page-number footers
+    recur across pages and must be flagged; a page-1-only header-band
+    stamp (frequency trap) and a body line repeated verbatim on every
+    page (band trap) must NOT be. The fixture travels the REAL chain —
+    word boxes → ``order_words`` (XY-cut + line clustering) →
+    ``lines_table`` → ``mark_furniture`` — so line reassembly, digit-fold
+    normalization, band geometry, and both repetition thresholds all gate
+    against the DuckDB replay, which regenerates the lines arithmetically
+    and applies the same census. Replaces nothing in the reference (its
+    OCR emits furniture into the text verbatim); this is the cleanup every
+    training pipeline runs before PDF text is usable."""
+    from autoextract.operators.furniture import lines_table, mark_furniture
+    from autoextract.operators.layout import order_words
+
+    boxes = _furniture_lines_fixture(spark, sf)
+    marked = mark_furniture(lines_table(order_words(boxes)), page_height=800.0)
+    return marked.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "page",
+        F.col("y0").cast("int").alias("y0"),
+        "text",
+        "band",
+        "is_furniture",
+    )
+
+
+def _q_hyphenation_repair(spark, sf):
+    """End-of-line hyphenation repair (r5): the other classic extraction
+    artifact. Per document, a 6-line page exercises every branch of the
+    conservative merge rule — a plain split (``exam-`` + ``ple…``), a
+    capitalized continuation that must NOT merge (``docu-`` + ``Ment…``),
+    a mid-compound split that merges into the hyphenated compound
+    (``state-of-the-`` + ``art…``), a no-hyphen line, and a digit tail
+    that must not count as a letter fragment. The oracle replays the
+    lag/lead window and the exact regex chain in DuckDB."""
+    from autoextract.operators.furniture import repair_hyphenation
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 400)
+    )
+    did = F.col("doc_id").cast("string")
+
+    def line(ln, text):
+        return F.struct(F.lit(ln).alias("seq0"), text.alias("text"))
+
+    lines = docs.select(
+        "doc_id",
+        F.lit(1).alias("page"),
+        F.explode(
+            F.array(
+                line(0, F.concat(F.lit("Document "), did, F.lit(" covers an exam-"))),
+                line(1, F.lit("ple of broken words across lines in docu-")),
+                line(2, F.lit("Ment scans where capitals block the merge")),
+                line(3, F.lit("while state-of-the-")),
+                line(4, F.concat(F.lit("art systems rejoin compounds cleanly 19"), did, F.lit("-"))),
+                line(5, F.lit("digit tails never merge into the next line")),
+            )
+        ).alias("l"),
+    ).select("doc_id", "page", "l.seq0", "l.text")
+    return repair_hyphenation(lines).select(
+        "doc_id", F.col("seq0").alias("line_no"), "text", "text_raw"
+    )
+
+
 def _q_pdf_ingest_spans(spark, sf):
     """P1 end-to-end: documents → typeset into REAL multi-page PDF payloads
     → text-layer parse back to word boxes → the ordinary layout/span
@@ -1896,6 +2030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": _q_image_neardup,
         "mojibake_repair": _q_mojibake_repair,
         "cdc_chunks": _q_cdc_chunks,
+        "page_furniture": _q_page_furniture,
+        "hyphenation_repair": _q_hyphenation_repair,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
         "pdf_encrypted_ingest": _q_pdf_encrypted_ingest,
@@ -2885,6 +3021,105 @@ def oracle_sql() -> dict[str, str]:
                       OR (doc_id % 3 = 1 AND text LIKE '%a%')
                    )) AS repaired
             FROM documents
+        """,
+        # page-furniture replay: regenerate the multi-page line fixture
+        # arithmetically, classify bands from the same geometry (y1 <=
+        # 0.2*800 header, y0 >= 0.8*800 footer), fold digits to '#', and
+        # apply the identical repetition census (>=2 pages AND >= ceil(half
+        # the doc's pages), same band only)
+        "page_furniture": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 4 + 2 AS n_pages
+              FROM documents WHERE doc_id < 300),
+            pg AS (
+              SELECT doc_id, n_pages, unnest(range(1, n_pages + 1)) AS page
+              FROM docs),
+            l AS (
+              SELECT doc_id, page, n_pages, 20 AS y0,
+                     'Acme Quarterly Report' AS text FROM pg
+              UNION ALL SELECT doc_id, page, n_pages, 60,
+                     'Draft stamp ' || doc_id FROM pg WHERE page = 1
+              UNION ALL SELECT doc_id, page, n_pages, 300,
+                     'Body content block ' || doc_id || ' alpha ' || page FROM pg
+              UNION ALL SELECT doc_id, page, n_pages, 340,
+                     'Body section ' || doc_id || ' beta ' || page FROM pg
+              UNION ALL SELECT doc_id, page, n_pages, 420,
+                     'Confidential material enclosed herein' FROM pg
+              UNION ALL SELECT doc_id, page, n_pages, 760,
+                     'Page ' || page || ' of ' || n_pages FROM pg),
+            b AS (
+              SELECT doc_id, page, n_pages, y0, text,
+                     CASE WHEN y0 + 16 <= 160 THEN 'header'
+                          WHEN y0 >= 640 THEN 'footer'
+                          ELSE 'body' END AS band,
+                     regexp_replace(regexp_replace(lower(trim(text)),
+                       '[0-9]+', '#', 'g'), '\\s+', ' ', 'g') AS norm
+              FROM l),
+            reps AS (
+              SELECT doc_id, band, norm, COUNT(DISTINCT page) AS rep
+              FROM b WHERE band <> 'body' GROUP BY doc_id, band, norm)
+            SELECT b.doc_id, CAST(b.page AS INT) AS page,
+                   CAST(b.y0 AS INT) AS y0, b.text, b.band,
+                   (COALESCE(r.rep, 0) >= 2
+                    AND COALESCE(r.rep, 0) >= CEIL(b.n_pages * 0.5))
+                     AS is_furniture
+            FROM b LEFT JOIN reps r
+              ON b.doc_id = r.doc_id AND b.band = r.band AND b.norm = r.norm
+        """,
+        # hyphenation replay: the same lag/lead window and regex chain —
+        # fragment = trailing <letters>{2}-, merge iff next line starts
+        # lowercase, compounds keep their hyphen, consumed first words drop
+        "hyphenation_repair": """
+            WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+            l AS (
+              SELECT doc_id, 0 AS line_no,
+                     'Document ' || doc_id || ' covers an exam-' AS text FROM docs
+              UNION ALL SELECT doc_id, 1,
+                     'ple of broken words across lines in docu-' FROM docs
+              UNION ALL SELECT doc_id, 2,
+                     'Ment scans where capitals block the merge' FROM docs
+              UNION ALL SELECT doc_id, 3, 'while state-of-the-' FROM docs
+              UNION ALL SELECT doc_id, 4,
+                     'art systems rejoin compounds cleanly 19' || doc_id || '-' FROM docs
+              UNION ALL SELECT doc_id, 5,
+                     'digit tails never merge into the next line' FROM docs),
+            w AS (
+              SELECT doc_id, line_no, text,
+                     COALESCE(lead(text) OVER
+                       (PARTITION BY doc_id ORDER BY line_no), '') AS nxt,
+                     COALESCE(lag(text) OVER
+                       (PARTITION BY doc_id ORDER BY line_no), '') AS prv
+              FROM l),
+            c AS (
+              SELECT *,
+                     regexp_extract(text, '(\\S*\\p{L}{2})-$', 0) AS frag,
+                     regexp_extract(nxt, '^(\\S+)', 1) AS next_first,
+                     regexp_extract(prv, '(\\S*\\p{L}{2})-$', 0) AS prev_frag,
+                     regexp_extract(text, '^(\\S+)', 1) AS first_w
+              FROM w),
+            m AS (
+              SELECT *,
+                     (frag <> '' AND regexp_matches(next_first, '^\\p{Ll}'))
+                       AS merge_ok,
+                     (prev_frag <> '' AND regexp_matches(first_w, '^\\p{Ll}'))
+                       AS consumed
+              FROM c),
+            b AS (
+              SELECT *,
+                     CASE WHEN consumed
+                          THEN ltrim(regexp_replace(text, '^\\S+\\s*', ''))
+                          ELSE text END AS base,
+                     CASE WHEN regexp_replace(frag, '-$', '') LIKE '%-%'
+                          THEN frag
+                          ELSE regexp_replace(frag, '-$', '') END
+                       || next_first AS merged_word
+              FROM m)
+            SELECT doc_id, line_no,
+                   CASE WHEN merge_ok
+                        THEN regexp_replace(base, '\\S+-$', '') || merged_word
+                        ELSE base END AS text,
+                   b.text AS text_raw
+            FROM b
         """,
         # perceptual near-dup verdict: every planted brightness+patch twin
         # recovered at hamming <= 6, zero extra pairs among the iid fields

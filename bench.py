@@ -144,6 +144,11 @@ HEADLINE = [
     "mojibake_repair",
     # gear CDC: vectorized rolling hash, narrow chunk stage + sha groupBys
     "cdc_chunks",
+    # cross-page header/footer census: two short-key partial-agg shuffles
+    # over the full boxes → order_words → lines_table chain
+    "page_furniture",
+    # end-of-line hyphen merge: one window pass, pure JVM regex
+    "hyphenation_repair",
 ]
 
 
