@@ -605,6 +605,39 @@ def _q_dedup_incremental(spark, sf):
     )
 
 
+def _q_dedup_incremental_bloom(spark, sf):
+    """The Bloom-prefiltered twin of ``dedup_incremental`` (r5): same
+    fixture, same oracle SQL, but the fingerprint table is pruned map-side
+    through a broadcast Bloom filter of the batch's hashes before the
+    exact anti-join — the restructuring a 10^12-row fingerprint table
+    needs (the big table never shuffles). The driver hash enforces
+    bit-identical output with the plain variant's oracle, which is the
+    operator's whole contract: false positives add candidates the exact
+    join ignores; false negatives cannot exist."""
+    from autoextract.operators.dedup import incremental_dedup_bloom
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    seen = d.where(F.col("doc_id") < 200).select(
+        F.sha2(F.col("text"), 256).alias("text_hash")
+    )
+    batch = (
+        d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 400))
+        .unionByName(
+            d.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 320)).select(
+                (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.where((F.col("doc_id") >= 400) & (F.col("doc_id") < 420)).select(
+                (F.col("doc_id") + 20000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_dedup_bloom(batch, seen).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+
 def _q_bpe_train(spark, sf):
     """Distributed BPE tokenizer training (r5): 8 merge rounds over a
     planted corpus whose merge sequence is analytically fixed (the
@@ -1999,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_quality": _q_bigram_quality,
         "bpe_train": _q_bpe_train,
         "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_bloom": _q_dedup_incremental_bloom,
         "bm25_topk": _q_bm25_topk,
         "url_domain_filter": _q_url_domain_filter,
         "corpus_stats": _q_corpus_stats,
@@ -2493,6 +2527,15 @@ def oracle_sql() -> dict[str, str]:
         # admitted set derived arithmetically: batch minus fingerprint
         # hits minus in-batch clone losers, plus the orphan clones
         "dedup_incremental": """
+            SELECT doc_id, text FROM documents
+            WHERE doc_id >= 200 AND doc_id < 400
+            UNION ALL
+            SELECT doc_id + 20000 AS doc_id, text FROM documents
+            WHERE doc_id >= 400 AND doc_id < 420
+        """,
+        # the Bloom variant's contract IS output-equality with the plain
+        # incremental dedup — identical oracle by construction
+        "dedup_incremental_bloom": """
             SELECT doc_id, text FROM documents
             WHERE doc_id >= 200 AND doc_id < 400
             UNION ALL

@@ -844,3 +844,133 @@ def incremental_dedup(
         hash_col,
         "left_anti",
     )
+
+
+# ----------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup — the 10^12-row scale path
+# ----------------------------------------------------------------------
+
+def bloom_bits(
+    keys: DataFrame, key_col: str, *, m_bits: int = 1 << 20, k: int = 4
+) -> DataFrame:
+    """Sparse Bloom filter over ``keys[key_col]`` as a ``(word_idx, bits)``
+    table: bit positions are ``xxhash64(seed_i, key) mod m_bits`` packed
+    into 64-bit words via ``bit_or`` aggregation.
+
+    Pure JVM: one explode (×``k``, a constant) + one partial-agg shuffle on
+    the 8-byte ``word_idx``.  At most ``min(k·|keys|, m_bits/64)`` rows —
+    for the defaults, ≤16,384 rows ≈ 128 KiB dense, always broadcastable.
+    """
+    pos = [
+        F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(m_bits))
+        for i in range(k)
+    ]
+    return (
+        keys.select(F.explode(F.array(*pos)).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Add ``might_contain`` to ``df``: true iff every one of the key's
+    ``k`` Bloom positions is set in ``bloom`` (same ``m_bits``/``k`` as
+    ``bloom_bits`` — the pair is a unit).
+
+    Scale shape: ``k`` BROADCAST hash joins on the 8-byte word index —
+    ``df`` (the 10^12-row side) never shuffles, never sorts; the probe is
+    a map-side pipeline.  False positives are possible (that is the
+    contract — callers re-verify exactly), false negatives are not.
+    """
+    out = df
+    probes = []
+    for i in range(k):
+        pos = F.pmod(F.xxhash64(F.lit(i), F.col(key_col)), F.lit(m_bits))
+        out = (
+            out.withColumn(f"__pos{i}", pos)
+            .withColumn(f"__wi{i}", (F.col(f"__pos{i}") / 64).cast("long"))
+            .withColumn(
+                f"__bm{i}",
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(__pos{i} % 64 AS INT))"
+                ),
+            )
+        )
+        side = bloom.select(
+            F.col("word_idx").alias(f"__wi{i}"),
+            F.col("bits").alias(f"__bits{i}"),
+        )
+        out = out.join(F.broadcast(side), f"__wi{i}", "left")
+        probes.append(
+            F.col(f"__bits{i}").isNotNull()
+            & (F.col(f"__bits{i}").bitwiseAND(F.col(f"__bm{i}")) != 0)
+        )
+    hit = probes[0]
+    for p in probes[1:]:
+        hit = hit & p
+    drop = [
+        c
+        for i in range(k)
+        for c in (f"__pos{i}", f"__wi{i}", f"__bm{i}", f"__bits{i}")
+    ]
+    return out.withColumn("might_contain", hit).drop(*drop)
+
+
+def incremental_dedup_bloom(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    hash_col: str = "text_hash",
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """``incremental_dedup`` with EXACTLY the same output, restructured for
+    the regime where the running fingerprint table is enormous (10^12 rows)
+    and the new batch is comparatively small — the shape a continuous crawl
+    actually has.
+
+    The plain variant anti-joins the batch against ``seen_hashes``, which
+    shuffles the fingerprint table on the 32-byte hash every batch.  Here
+    the batch's hashes become a broadcast Bloom filter; the fingerprint
+    table is pruned map-side (zero shuffle of the big table) to the rows
+    that MIGHT collide (≈|batch| + m·ln2-governed false positives), and
+    only that sliver enters the exact anti-join.  Bloom false positives
+    cannot change the result — they only add candidates that the exact
+    join then ignores; false negatives do not exist.  Output is
+    bit-identical to ``incremental_dedup`` (pytest-pinned and
+    driver-oracle-checked against the same SQL).
+    """
+    hashed = new_docs.withColumn(hash_col, F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy(hash_col).orderBy(F.col("doc_id").asc())
+    in_batch_first = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    fp = seen_hashes.select(F.col(seen_hashes.columns[0]).alias(hash_col))
+    # materialize the (tiny) bloom word table once: the k broadcast probes
+    # each embed it, and without this the batch would be re-scanned and
+    # re-aggregated k times (the per-probe aliases defeat ReusedExchange)
+    bloom = bloom_bits(
+        in_batch_first.select(hash_col), hash_col, m_bits=m_bits, k=k
+    ).localCheckpoint()
+    candidates = (
+        bloom_might_contain(fp, hash_col, bloom, m_bits=m_bits, k=k)
+        .where(F.col("might_contain"))
+        .select(hash_col)
+    )
+    return in_batch_first.join(candidates, hash_col, "left_anti")

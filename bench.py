@@ -116,6 +116,9 @@ HEADLINE = [
     # cross-snapshot dedup: in-batch keeper window + anti-join against
     # the running fingerprint table
     "dedup_incremental",
+    # the Bloom-prefiltered twin: broadcast-bloom prune of the fingerprint
+    # table, the big side never shuffles
+    "dedup_incremental_bloom",
     "bm25_topk",
     "url_domain_filter",
     "corpus_stats",
