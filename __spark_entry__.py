@@ -1048,6 +1048,68 @@ def _q_anchor_text_agg(spark, sf):
     return anchor_text_agg(links)
 
 
+def _q_html_metadata(spark, sf):
+    """Head-metadata extraction (r5): per-page title / og:title /
+    description / canonical / lang / published_time / robots-noindex via
+    the pure-JVM regexp projection. The fixture rotates presence, both
+    meta attribute orders (property-first and content-first), a
+    whitespace-padded entity-bearing title, and an uppercase NOINDEX; the
+    oracle derives every expected value arithmetically, so the regex
+    chain, entity unescape, and NULL contracts all gate."""
+    from autoextract.operators.html import extract_metadata
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 500)
+    )
+    d, did = F.col("doc_id"), F.col("doc_id").cast("string")
+    lang_attr = (
+        F.when(d % 5 == 0, F.lit(""))
+        .when(d % 2 == 0, F.lit(" lang='en'"))
+        .otherwise(F.lit(' lang="de-DE"'))
+    )
+    og = (
+        F.when(
+            d % 6 == 3,
+            F.concat(F.lit('<meta content="OG '), did, F.lit('" property="og:title">')),
+        )
+        .when(
+            d % 3 == 0,
+            F.concat(F.lit('<meta property="og:title" content="OG '), did, F.lit('">')),
+        )
+        .otherwise(F.lit(""))
+    )
+    desc = F.when(
+        d % 3 != 1,
+        F.concat(F.lit('<meta name="description" content="Summary of document '), did, F.lit('">')),
+    ).otherwise(F.lit(""))
+    canon = F.when(
+        d % 4 == 0,
+        F.concat(F.lit('<link rel="canonical" href="https://example.org/canon/'), did, F.lit('">')),
+    ).otherwise(F.lit(""))
+    pub = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit('<meta property="article:published_time" content="2026-01-0'),
+            (d % 9 + 1).cast("string"),
+            F.lit('T00:00:00Z">'),
+        ),
+    ).otherwise(F.lit(""))
+    robots = F.when(
+        d % 11 == 0, F.lit('<meta name="robots" content="NOINDEX, nofollow">')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html"), lang_attr, F.lit("><head><title>  Doc "), did,
+        F.lit(" &amp; Friends  </title>"), og, desc, canon, pub, robots,
+        F.lit("</head><body><p>body</p></body></html>"),
+    )
+    return extract_metadata(docs.select("doc_id", html.alias("html"))).select(
+        "doc_id", "title", "og_title", "meta_description", "canonical_url",
+        "html_lang", "published_time", "noindex",
+    )
+
+
 def _q_robots_filter(spark, sf):
     """RFC 9309 crawl-permission verdicts (r5): synthesize a robots.txt
     per host (group structure, comments, blank lines, multi-UA groups,
@@ -2059,6 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_link_graph": _q_html_link_graph,
         "anchor_text_agg": _q_anchor_text_agg,
         "robots_filter": _q_robots_filter,
+        "html_metadata": _q_html_metadata,
         "sitemap_ingest": _q_sitemap_ingest,
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
@@ -3064,6 +3127,28 @@ def oracle_sql() -> dict[str, str]:
                       OR (doc_id % 3 = 1 AND text LIKE '%a%')
                    )) AS repaired
             FROM documents
+        """,
+        # head-metadata replay: every field derived arithmetically — the
+        # Spark side must land on these exact values through the real
+        # regex/entity chain over the generated HTML
+        "html_metadata": """
+            SELECT doc_id,
+                   'Doc ' || doc_id || ' & Friends' AS title,
+                   CASE WHEN doc_id % 3 = 0 THEN 'OG ' || doc_id END AS og_title,
+                   CASE WHEN doc_id % 3 <> 1
+                        THEN 'Summary of document ' || doc_id END
+                     AS meta_description,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'https://example.org/canon/' || doc_id END
+                     AS canonical_url,
+                   CASE WHEN doc_id % 5 = 0 THEN NULL
+                        WHEN doc_id % 2 = 0 THEN 'en'
+                        ELSE 'de-DE' END AS html_lang,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN '2026-01-0' || (doc_id % 9 + 1) || 'T00:00:00Z' END
+                     AS published_time,
+                   doc_id % 11 = 0 AS noindex
+            FROM documents WHERE doc_id < 500
         """,
         # page-furniture replay: regenerate the multi-page line fixture
         # arithmetically, classify bands from the same geometry (y1 <=

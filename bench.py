@@ -130,6 +130,8 @@ HEADLINE = [
     "warc_ingest",
     "warc_html_ingest",
     "html_link_graph",
+    # head-metadata regexp projection: one codegen'd stage, zero shuffles
+    "html_metadata",
     "anchor_text_agg",
     # exact per-host cap through the skew-safe two-phase window plan
     "host_cap_topk",

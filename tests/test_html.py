@@ -87,3 +87,57 @@ def test_parser_failure_emits_error_span(spark):
     # None html parses as empty (no rows), good doc yields text, no crashes
     assert "bad" not in by_doc or all(r["kind"] != "error" for r in by_doc["bad"])
     assert any(r["kind"] == "text" and "fine text here" in r["text"] for r in by_doc["good"])
+
+
+# ----------------------------------------------------------------------
+# head metadata extraction
+# ----------------------------------------------------------------------
+
+def test_extract_metadata_fields_and_nulls(spark):
+    from autoextract.operators.html import extract_metadata
+
+    pages = spark.createDataFrame(
+        [
+            ("a",
+             "<html lang='en'><head><title>  A &amp; B\n  C  </title>"
+             "<meta property=\"og:title\" content=\"OG A\">"
+             "<meta name=\"description\" content=\"desc A\">"
+             "<link rel=\"canonical\" href=\"https://x/a\">"
+             "<meta property=\"article:published_time\" content=\"2026-01-02\">"
+             "<meta name=\"robots\" content=\"NOINDEX\"></head><body></body></html>"),
+            # content-first attribute order + no optional fields
+            ("b",
+             "<html><head><title>B</title>"
+             "<meta content=\"OG B\" property=\"og:title\"></head></html>"),
+            # nothing at all
+            ("c", "<html><head></head><body>plain</body></html>"),
+        ],
+        "doc_id string, html string",
+    )
+    got = {r["doc_id"]: r for r in extract_metadata(pages).collect()}
+    a = got["a"]
+    assert a["title"] == "A & B C"          # ws-collapse + entity unescape
+    assert a["og_title"] == "OG A"
+    assert a["meta_description"] == "desc A"
+    assert a["canonical_url"] == "https://x/a"
+    assert a["html_lang"] == "en"
+    assert a["published_time"] == "2026-01-02"
+    assert a["noindex"] is True             # case-insensitive
+    b = got["b"]
+    assert b["og_title"] == "OG B"          # reversed attribute order
+    assert b["html_lang"] is None and b["canonical_url"] is None
+    assert b["noindex"] is False
+    c = got["c"]
+    assert c["title"] is None and c["og_title"] is None
+    assert c["noindex"] is False
+
+
+def test_extract_metadata_amp_unescape_order(spark):
+    from autoextract.operators.html import extract_metadata
+
+    pages = spark.createDataFrame(
+        [("d", "<html><head><title>&amp;lt;literal&amp;gt;</title></head></html>")],
+        "doc_id string, html string",
+    )
+    # &amp;lt; is the LITERAL text "&lt;" — must not double-unescape to "<"
+    assert extract_metadata(pages).collect()[0]["title"] == "&lt;literal&gt;"
