@@ -1048,6 +1048,61 @@ def _q_anchor_text_agg(spark, sf):
     return anchor_text_agg(links)
 
 
+def _q_table_structure(spark, sf):
+    """Table-structure reconstruction (r5): 300 planted R×C grids (R,C by
+    doc_id arithmetic) with 4-word cells, deterministic ±2px y-jitter, and
+    shuffled word_seq-independent geometry; ``reconstruct_tables`` must
+    recover every (row, col) cell with its words in left-to-right order
+    through the projection-clustering kernel. The oracle regenerates the
+    expected grid arithmetically — any row/column mis-clustering or cell
+    mis-assembly changes the value hash."""
+    from autoextract.operators.tables import reconstruct_tables
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 300)
+    )
+    d = F.col("doc_id")
+    g = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (d % 3 + 2).cast("int"))).alias("r"),
+    )
+    g = g.select(
+        "doc_id", "r",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 2 + 1).cast("int"))
+        ).alias("c"),
+    )
+    did = F.col("doc_id").cast("string")
+    words = g.select(
+        "doc_id", "r", "c",
+        F.posexplode(
+            F.array(
+                F.lit("cell"), did,
+                F.col("r").cast("string"), F.col("c").cast("string"),
+            )
+        ).alias("i", "content"),
+    )
+    jitter = ((F.col("doc_id") + F.col("r") + F.col("c")) % 5 - 2).cast("double")
+    x0 = F.lit(40.0) + F.col("c") * 380.0 + F.col("i") * 85.0
+    y0 = F.lit(100.0) + F.col("r") * 30.0 + jitter
+    tw = words.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(1).alias("page"),
+        F.lit(0).alias("table_id"),
+        (F.col("r") * 1000 + F.col("c") * 10 + F.col("i")).cast("int").alias("word_seq"),
+        "content",
+        x0.alias("x0"),
+        y0.alias("y0"),
+        (x0 + 80.0).alias("x1"),
+        (y0 + 16.0).alias("y1"),
+    )
+    return reconstruct_tables(tw).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "row", "col", "text"
+    )
+
+
 def _q_html_metadata(spark, sf):
     """Head-metadata extraction (r5): per-page title / og:title /
     description / canonical / lang / published_time / robots-noindex via
@@ -2122,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": _q_anchor_text_agg,
         "robots_filter": _q_robots_filter,
         "html_metadata": _q_html_metadata,
+        "table_structure": _q_table_structure,
         "sitemap_ingest": _q_sitemap_ingest,
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
@@ -3149,6 +3205,18 @@ def oracle_sql() -> dict[str, str]:
                      AS published_time,
                    doc_id % 11 = 0 AS noindex
             FROM documents WHERE doc_id < 500
+        """,
+        # table-grid replay: every (row, col) cell regenerated
+        # arithmetically with its words in left-to-right order
+        "table_structure": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 3 + 3 AS nr, doc_id % 2 + 2 AS nc
+              FROM documents WHERE doc_id < 300),
+            r AS (SELECT doc_id, nc, unnest(range(0, nr)) AS row FROM docs),
+            c AS (SELECT doc_id, row, unnest(range(0, nc)) AS col FROM r)
+            SELECT doc_id, CAST(row AS INT) AS row, CAST(col AS INT) AS col,
+                   'cell ' || doc_id || ' ' || row || ' ' || col AS text
+            FROM c
         """,
         # page-furniture replay: regenerate the multi-page line fixture
         # arithmetically, classify bands from the same geometry (y1 <=

@@ -154,6 +154,8 @@ HEADLINE = [
     "page_furniture",
     # end-of-line hyphen merge: one window pass, pure JVM regex
     "hyphenation_repair",
+    # table grid recovery: one grouping exchange + per-table NumPy kernel
+    "table_structure",
 ]
 
 
