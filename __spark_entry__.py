@@ -1048,6 +1048,50 @@ def _q_anchor_text_agg(spark, sf):
     return anchor_text_agg(links)
 
 
+def _q_document_outline(spark, sf):
+    """Heading detection (r5): per document, one 2×-height title, three
+    1.5×-height section headings, and eight body lines; the box-height
+    outline heuristic must emit exactly the title at level 1 and the
+    sections at level 2, normalized by each document's own median line
+    height (the body majority pins the median). Oracle regenerates the
+    expected outline arithmetically."""
+    from autoextract.operators.furniture import document_outline
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 400)
+    )
+    did = F.col("doc_id").cast("string")
+
+    def line(seq, y, h, text):
+        return F.struct(
+            F.lit(seq).alias("seq0"), F.lit(float(y)).alias("y0"),
+            F.lit(float(y + h)).alias("y1"), text.alias("text"),
+        )
+
+    arr = [line(0, 20, 32, F.concat(F.lit("Document "), did, F.lit(" Title")))]
+    for s in range(3):
+        arr.append(
+            line(10 * (s + 1), 100 + 200 * s, 24,
+                 F.concat(F.lit(f"Section {s} of document "), did))
+        )
+        for b in range(2):
+            arr.append(
+                line(10 * (s + 1) + b + 1, 130 + 200 * s + 30 * b, 16,
+                     F.concat(F.lit(f"body line {s} {b} in "), did))
+            )
+    for b in range(2):
+        arr.append(line(90 + b, 700 + 30 * b, 16,
+                        F.concat(F.lit(f"closing body {b} of "), did)))
+    lines = docs.select(
+        "doc_id", F.lit(1).alias("page"), F.explode(F.array(*arr)).alias("l")
+    ).select("doc_id", "page", "l.seq0", "l.y0", "l.y1", "l.text")
+    return document_outline(lines).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "seq0", "level", "text"
+    )
+
+
 def _q_table_structure(spark, sf):
     """Table-structure reconstruction (r5): 300 planted R×C grids (R,C by
     doc_id arithmetic) with 4-word cells, deterministic ±2px y-jitter, and
@@ -2178,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "html_metadata": _q_html_metadata,
         "table_structure": _q_table_structure,
+        "document_outline": _q_document_outline,
         "sitemap_ingest": _q_sitemap_ingest,
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
@@ -3205,6 +3250,19 @@ def oracle_sql() -> dict[str, str]:
                      AS published_time,
                    doc_id % 11 = 0 AS noindex
             FROM documents WHERE doc_id < 500
+        """,
+        # outline replay: exactly the title (level 1) + three section
+        # headings (level 2) per document, in reading order
+        "document_outline": """
+            WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 400)
+            SELECT doc_id, CAST(0 AS INT) AS seq0, CAST(1 AS INT) AS level,
+                   'Document ' || doc_id || ' Title' AS text
+            FROM docs
+            UNION ALL
+            SELECT doc_id, CAST(10 * (s + 1) AS INT) AS seq0,
+                   CAST(2 AS INT) AS level,
+                   'Section ' || s || ' of document ' || doc_id AS text
+            FROM docs, (SELECT unnest(range(0, 3)) AS s)
         """,
         # table-grid replay: every (row, col) cell regenerated
         # arithmetically with its words in left-to-right order

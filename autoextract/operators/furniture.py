@@ -40,6 +40,8 @@ __all__ = [
     "mark_furniture",
     "strip_furniture",
     "repair_hyphenation",
+    "detect_headings",
+    "document_outline",
 ]
 
 
@@ -211,4 +213,41 @@ def repair_hyphenation(lines: DataFrame) -> DataFrame:
         .withColumn("__consumed", consumed)
         .withColumn("text", repaired)
         .drop("__merge_ok", "__consumed")
+    )
+
+
+def detect_headings(
+    lines: DataFrame, *, h1_factor: float = 1.7, h2_factor: float = 1.3
+) -> DataFrame:
+    """Classify heading lines by relative text height — the standard
+    PDF-outline heuristic (no font table survives OCR; box height is the
+    font-size proxy).
+
+    A line whose height is ≥ ``h1_factor`` × the DOCUMENT's median line
+    height is a level-1 heading, ≥ ``h2_factor`` × a level-2; everything
+    else gets ``level`` NULL.  Medians are per-document (one exact
+    ``percentile`` aggregate on the short doc_id key) and broadcast back —
+    a scanned book and a dense form each normalize to their own body size.
+    """
+    med = lines.groupBy("doc_id").agg(
+        F.expr("percentile(y1 - y0, 0.5)").alias("__med_h")
+    )
+    joined = lines.join(F.broadcast(med), "doc_id")
+    ratio = (F.col("y1") - F.col("y0")) / F.col("__med_h")
+    level = (
+        F.when(ratio >= h1_factor, F.lit(1))
+        .when(ratio >= h2_factor, F.lit(2))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    return joined.withColumn("level", level).drop("__med_h")
+
+
+def document_outline(lines: DataFrame, **kwargs) -> DataFrame:
+    """The document's heading tree in reading order: ``(doc_id, page,
+    seq0, level, text)`` for heading lines only — the table-of-contents a
+    training pipeline attaches as structure metadata."""
+    return (
+        detect_headings(lines, **kwargs)
+        .where(F.col("level").isNotNull())
+        .select("doc_id", "page", "seq0", "level", "text")
     )

@@ -156,6 +156,8 @@ HEADLINE = [
     "hyphenation_repair",
     # table grid recovery: one grouping exchange + per-table NumPy kernel
     "table_structure",
+    # box-height outline heuristic: per-doc median agg + broadcast back
+    "document_outline",
 ]
 
 

@@ -154,3 +154,41 @@ def test_hyphenation_partition_invariance(spark):
     df = _lines_df(spark, [("d", 1, i, 100 + 40 * i, t) for i, t in enumerate(lines)])
     b = [r["text"] for r in repair_hyphenation(df.repartition(7)).orderBy("seq0").collect()]
     assert a == b
+
+
+# ----------------------------------------------------------------------
+# heading detection / outline
+# ----------------------------------------------------------------------
+
+def _hlines(spark, rows):
+    """rows: (doc_id, seq0, y0, h, text)."""
+    return spark.createDataFrame(
+        [(d, 1, s, float(y), float(y) + float(h), t) for d, s, y, h, t in rows],
+        "doc_id string, page int, seq0 int, y0 double, y1 double, text string",
+    )
+
+
+def test_headings_levels_by_relative_height(spark):
+    from autoextract.operators.furniture import document_outline
+
+    rows = [("d", 0, 20, 32, "Title")]
+    rows += [("d", 10 * s, 100 + 100 * s, 24, f"Section {s}") for s in range(2)]
+    rows += [("d", 50 + b, 400 + 30 * b, 16, f"body {b}") for b in range(5)]
+    out = {r["text"]: r["level"] for r in document_outline(_hlines(spark, rows)).collect()}
+    assert out == {"Title": 1, "Section 0": 2, "Section 1": 2}
+
+
+def test_headings_median_is_per_document(spark):
+    from autoextract.operators.furniture import detect_headings
+
+    # doc "big" has 32px body: its 48px line is only 1.5x -> level 2, and
+    # a 32px line is body there while the same height is a TITLE in "small"
+    rows = [("big", i, 100 + 40 * i, 32, f"b{i}") for i in range(5)]
+    rows += [("big", 9, 400, 48, "BigSection")]
+    rows += [("small", i, 100 + 20 * i, 16, f"s{i}") for i in range(5)]
+    rows += [("small", 9, 300, 32, "SmallTitle")]
+    got = {(r["doc_id"], r["text"]): r["level"]
+           for r in detect_headings(_hlines(spark, rows)).collect()}
+    assert got[("big", "BigSection")] == 2
+    assert got[("small", "SmallTitle")] == 1
+    assert got[("big", "b0")] is None
