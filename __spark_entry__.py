@@ -1299,6 +1299,70 @@ def _q_sitemap_ingest(spark, sf):
     return parse_sitemaps(hosts.select("host", xml.alias("sitemap_xml")))
 
 
+def _q_feed_ingest(spark, sf):
+    """RSS/Atom feed parse (r5): synthesize per host an RSS 2.0 channel
+    (element-text links, one CDATA title, rotating pubDate/guid presence)
+    or an Atom feed (href-attribute links, rotating <updated>), and parse
+    with the pure-JVM regexp chain. The oracle derives every field
+    arithmetically, so block split, order, the RSS-vs-Atom link trap,
+    CDATA stripping, and the NULL contracts all gate."""
+    from autoextract.sources.feeds import parse_feeds
+
+    docs = _t(spark, sf, "documents").select("source")
+    s = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
+    hosts = docs.select(
+        F.concat(F.col("source"), F.lit(".com")).alias("host"), s.alias("s")
+    ).distinct()
+    h, sc = F.col("host"), F.col("s")
+
+    def rss_item(i):
+        title = (
+            F.concat(F.lit("<title><![CDATA[Post 1 on "), h, F.lit("]]></title>"))
+            if i == 1
+            else F.concat(F.lit(f"<title>Post {i} on "), h, F.lit("</title>"))
+        )
+        parts = [
+            F.lit("<item>"), title,
+            F.lit(f"<link> https://"), h, F.lit(f"/post-{i} </link>"),
+        ]
+        if i < 2:
+            parts.append(F.lit(f"<pubDate>Mon, 0{i + 1} Jan 2026 00:00:00 GMT</pubDate>"))
+        if i != 2:
+            parts += [F.lit('<guid isPermaLink="false">tag:'), h, F.lit(f":{i}</guid>")]
+        parts.append(F.lit("</item>"))
+        return F.concat(*parts)
+
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>chan</title>'),
+        rss_item(0), rss_item(1), rss_item(2),
+        F.lit("</channel></rss>"),
+    )
+
+    def atom_entry(i):
+        parts = [
+            F.lit("<entry>"),
+            F.concat(F.lit(f"<title>Entry {i} of "), h, F.lit("</title>")),
+            F.lit(f'<link rel="alternate" href="https://'), h, F.lit(f'/e{i}"/>'),
+        ]
+        if i % 2 == 0:
+            parts.append(
+                F.concat(
+                    F.lit("<updated>2026-01-0"), (sc % 9 + 1).cast("string"),
+                    F.lit("T00:00:00Z</updated>"),
+                )
+            )
+        parts += [F.lit("<id>urn:"), h, F.lit(f":{i}</id>"), F.lit("</entry>")]
+        return F.concat(*parts)
+
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>f</title>'),
+        atom_entry(0), atom_entry(1), atom_entry(2),
+        F.lit("</feed>"),
+    )
+    xml = F.when(sc % 2 == 0, rss).otherwise(atom)
+    return parse_feeds(hosts.select("host", xml.alias("feed_xml")))
+
+
 def _q_cdc_chunks(spark, sf):
     """Content-defined chunking (r5) as a driver-checked verdict: 60 blobs
     (32 KiB deterministic random bytes each) plus a 137-byte-prefixed twin
@@ -2224,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_structure": _q_table_structure,
         "document_outline": _q_document_outline,
         "sitemap_ingest": _q_sitemap_ingest,
+        "feed_ingest": _q_feed_ingest,
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
         "mojibake_repair": _q_mojibake_repair,
@@ -3482,6 +3547,33 @@ def oracle_sql() -> dict[str, str]:
                      AS priority
             FROM p
             WHERE trim(regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)) <> ''
+        """,
+        # feed replay: every field derived arithmetically per (host, ord)
+        "feed_ingest": """
+            WITH hosts AS (
+              SELECT DISTINCT source || '.com' AS host,
+                     CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS s
+              FROM documents),
+            i AS (SELECT host, s, unnest(range(0, 3)) AS ord FROM hosts)
+            SELECT host,
+                   CASE WHEN s % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+                   CAST(ord AS INT) AS ord,
+                   CASE WHEN s % 2 = 0 THEN 'Post ' || ord || ' on ' || host
+                        ELSE 'Entry ' || ord || ' of ' || host END AS title,
+                   CASE WHEN s % 2 = 0
+                        THEN 'https://' || host || '/post-' || ord
+                        ELSE 'https://' || host || '/e' || ord END AS url,
+                   CASE WHEN s % 2 = 0 AND ord < 2
+                        THEN 'Mon, 0' || (ord + 1) || ' Jan 2026 00:00:00 GMT'
+                        WHEN s % 2 = 1 AND ord % 2 = 0
+                        THEN '2026-01-0' || (s % 9 + 1) || 'T00:00:00Z'
+                   END AS published,
+                   CASE WHEN s % 2 = 0 AND ord <> 2
+                        THEN 'tag:' || host || ':' || ord
+                        WHEN s % 2 = 1
+                        THEN 'urn:' || host || ':' || ord
+                   END AS entry_id
+            FROM i
         """,
         # HTML boilerplate strip gated end-to-end: the density vote keeps
         # exactly the two article paragraphs (leakage or loss mismatches),

@@ -140,6 +140,8 @@ HEADLINE = [
     "robots_filter",
     # sitemaps.org parse: zero-shuffle regexp chain, the crawl seed list
     "sitemap_ingest",
+    # RSS/Atom parse: the freshness channel, same zero-shuffle chain
+    "feed_ingest",
     # DSIR: bounded-cardinality bucket aggregates + broadcast log-ratio
     # join + distributed sort-limit top-k — domain-matching data selection
     "dsir_sample",

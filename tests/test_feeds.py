@@ -1,0 +1,54 @@
+"""RSS/Atom feed ingestion (sources/feeds.py)."""
+
+from __future__ import annotations
+
+from autoextract.sources.feeds import parse_feeds
+
+
+def _parse(spark, xml, host="h.com"):
+    df = spark.createDataFrame([(host, xml)], "host string, feed_xml string")
+    return [r.asDict() for r in parse_feeds(df).orderBy("ord").collect()]
+
+
+RSS = (
+    '<rss version="2.0"><channel><title>chan title ignored</title>'
+    "<item><title>First</title><link> https://h/a </link>"
+    "<pubDate>Mon, 01 Jan 2026 00:00:00 GMT</pubDate>"
+    '<guid isPermaLink="false">g1</guid></item>'
+    "<item><title><![CDATA[Two  &amp; more]]></title><link>https://h/b</link></item>"
+    "<item><title>NoLink</title></item>"
+    "</channel></rss>"
+)
+
+ATOM = (
+    '<feed xmlns="http://www.w3.org/2005/Atom"><title>feed title</title>'
+    '<entry><title>E0</title><link rel="alternate" href="https://h/e0"/>'
+    "<updated>2026-01-02T00:00:00Z</updated><id>urn:0</id></entry>"
+    '<entry><title>E1</title><link href="https://h/e1"/><id>urn:1</id></entry>'
+    "</feed>"
+)
+
+
+def test_rss_items(spark):
+    rows = _parse(spark, RSS)
+    # the linkless third item is dropped; channel title never leaks
+    assert [r["title"] for r in rows] == ["First", "Two &amp; more"]
+    assert rows[0]["kind"] == "rss"
+    assert rows[0]["url"] == "https://h/a"          # whitespace trimmed
+    assert rows[0]["published"] == "Mon, 01 Jan 2026 00:00:00 GMT"
+    assert rows[0]["entry_id"] == "g1"
+    assert rows[1]["published"] is None and rows[1]["entry_id"] is None
+
+
+def test_atom_entries(spark):
+    rows = _parse(spark, ATOM)
+    assert [r["url"] for r in rows] == ["https://h/e0", "https://h/e1"]
+    assert rows[0]["kind"] == "atom"
+    assert rows[0]["published"] == "2026-01-02T00:00:00Z"
+    assert rows[1]["published"] is None
+    assert rows[1]["entry_id"] == "urn:1"
+
+
+def test_malformed_feed_yields_no_rows(spark):
+    assert _parse(spark, "not xml at all") == []
+    assert _parse(spark, "<rss><channel><item><title>x</title>") == []
