@@ -1486,6 +1486,30 @@ def _q_mojibake_repair(spark, sf):
     return repair_mojibake(corrupted)
 
 
+def _q_unicode_nfc(spark, sf):
+    """Unicode NFC normalization (r5): decompose the corpus
+    deterministically JVM-side (e→e+U+0301 or a→a+U+0308 by doc_id
+    arithmetic), then ``normalize_unicode`` must recompose to the
+    precomposed forms. The oracle runs DuckDB's independent ICU
+    ``nfc_normalize`` over the SAME decomposed construction — a genuine
+    cross-engine equivalence check, not a replay of our own code."""
+    from autoextract.functions.encoding import normalize_unicode
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    staged = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.regexp_replace("text", "e", "e\u0301"))
+        .when(F.col("doc_id") % 3 == 1,
+              F.regexp_replace("text", "a", "a\u0308"))
+        .otherwise(F.col("text"))
+    )
+    return normalize_unicode(
+        docs.select("doc_id", staged.alias("text"))
+    ).select("doc_id", "text", "normalized")
+
+
 def _q_image_neardup(spark, sf):
     """Perceptual image near-dup (r5) as a driver-checked verdict: 40
     deterministic random-field PNGs each planted with a near-duplicate
@@ -2292,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
         "mojibake_repair": _q_mojibake_repair,
+        "unicode_nfc": _q_unicode_nfc,
         "cdc_chunks": _q_cdc_chunks,
         "page_furniture": _q_page_furniture,
         "hyphenation_repair": _q_hyphenation_repair,
@@ -3439,6 +3464,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE base END AS text,
                    b.text AS text_raw
             FROM b
+        """,
+        # NFC cross-engine: DuckDB's ICU normalizer over the same
+        # decomposed construction must equal our unicodedata kernel
+        "unicode_nfc": """
+            WITH staged AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN replace(text, 'e', 'e' || chr(769))
+                          WHEN doc_id % 3 = 1
+                          THEN replace(text, 'a', 'a' || chr(776))
+                          ELSE text END AS t
+              FROM documents)
+            SELECT doc_id, nfc_normalize(t) AS text,
+                   nfc_normalize(t) <> t AS normalized
+            FROM staged
         """,
         # perceptual near-dup verdict: every planted brightness+patch twin
         # recovered at hamming <= 6, zero extra pairs among the iid fields

@@ -76,3 +76,48 @@ def repair_mojibake(
             yield pdf
 
     return docs.mapInPandas(kernel, schema=schema)
+
+
+def normalize_unicode(
+    docs: DataFrame, text_col: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """Replace ``text_col`` with its Unicode-normalized form (NFC by
+    default — the canonical composition every dedup/hash stage should see:
+    ``é`` as U+00E9 and as ``e``+U+0301 are the SAME text and must hash the
+    same) and append ``normalized`` (whether the string changed).
+
+    Arrow-batched ``mapInPandas`` over ``unicodedata.normalize`` with a
+    per-string ``isascii`` early-exit (ASCII is normalization-invariant in
+    every form, and a real corpus is mostly ASCII).  NFKC is available for
+    the aggressive compatibility fold (ligatures, full-width forms) that
+    some tokenizer pipelines want; the default stays canonical-only so
+    visually distinct characters are never conflated silently.
+
+    Driver-gated against DuckDB's independent ICU implementation
+    (``nfc_normalize``) — a genuine cross-engine equivalence, not a replay.
+    """
+    import unicodedata
+
+    cols = docs.columns
+    out_fields = ", ".join(
+        f"`{c}` {docs.schema[c].dataType.simpleString()}" for c in cols
+    )
+    schema = f"{out_fields}, normalized boolean"
+
+    def kernel(batches):
+        for pdf in batches:
+            fixed, flags = [], []
+            for s in pdf[text_col]:
+                if s is None or s.isascii():
+                    fixed.append(s)
+                    flags.append(False)
+                    continue
+                n = unicodedata.normalize(form, s)
+                fixed.append(n)
+                flags.append(n != s)
+            pdf = pdf.copy()
+            pdf[text_col] = fixed
+            pdf["normalized"] = pd.Series(flags, index=pdf.index, dtype=bool)
+            yield pdf
+
+    return docs.mapInPandas(kernel, schema=schema)

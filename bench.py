@@ -149,6 +149,8 @@ HEADLINE = [
     "image_neardup",
     # ftfy-style encoding repair: narrow Arrow stage, zero shuffles
     "mojibake_repair",
+    # NFC recomposition: narrow Arrow stage, ascii early-exit
+    "unicode_nfc",
     # gear CDC: vectorized rolling hash, narrow chunk stage + sha groupBys
     "cdc_chunks",
     # cross-page header/footer census: two short-key partial-agg shuffles

@@ -118,3 +118,38 @@ def test_repair_mojibake_dataframe(spark):
     assert rows[1] == (clean, True, "x")
     assert rows[2] == ("ascii only", False, "y")
     assert rows[3] == ("tokyo 東京", False, "z")
+
+
+# ----------------------------------------------------------------------
+# NFC normalization
+# ----------------------------------------------------------------------
+
+def test_nfc_recomposes_and_flags(spark):
+    from autoextract.functions.encoding import normalize_unicode
+
+    df = spark.createDataFrame(
+        [(1, "caf" + "e\u0301"),     # decomposed -> recomposes
+         (2, "caf\u00e9"),           # already NFC -> untouched, flag false
+         (3, "plain ascii"),            # ascii early-exit
+         (4, None)],                    # null passthrough
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text"], r["normalized"])
+           for r in normalize_unicode(df).collect()}
+    assert got[1] == ("caf\u00e9", True)
+    assert got[2] == ("caf\u00e9", False)
+    assert got[3] == ("plain ascii", False)
+    assert got[4] == (None, False)
+
+
+def test_nfkc_compatibility_fold(spark):
+    from autoextract.functions.encoding import normalize_unicode
+
+    df = spark.createDataFrame(
+        [(1, "\ufb01le \uff21")],   # fi ligature + full-width A
+        "doc_id long, text string",
+    )
+    nfc = normalize_unicode(df).collect()[0]["text"]
+    nfkc = normalize_unicode(df, form="NFKC").collect()[0]["text"]
+    assert nfc == "\ufb01le \uff21" # canonical form conflates neither
+    assert nfkc == "file A"             # compatibility form folds both
