@@ -1486,6 +1486,53 @@ def _q_mojibake_repair(spark, sf):
     return repair_mojibake(corrupted)
 
 
+def _q_sentence_split(spark, sf):
+    """Sentence segmentation (r5): each doc's fixture paragraph exercises
+    abbreviation protection (Dr., St., e.g.), all three terminators, a
+    digit-opener boundary, and a lowercase continuation that must NOT
+    split. Oracle regenerates the four expected sentences arithmetically."""
+    from autoextract.functions.text import split_sentences
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    did = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    text = F.concat(
+        F.lit("Dr. Smith measured "), did,
+        F.lit(" units at St. Mary. The result e.g. was fine! Was it batch "),
+        k, F.lit("? Yes."),
+    )
+    return split_sentences(docs.select("doc_id", text.alias("text")))
+
+
+def _q_script_profile(spark, sf):
+    """Unicode-script census (r5): per doc a deterministic mix of Latin /
+    Cyrillic / Han / Greek runs (doc_id arithmetic; every 210th doc has no
+    letters at all → the 'none' branch); the census must produce exact
+    letter counts, 6-dp fractions, and the fixed-order dominance
+    tie-break. Oracle derives everything arithmetically."""
+    from autoextract.functions.text import script_profile
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    d = F.col("doc_id")
+    text = F.concat(
+        F.repeat(F.lit("ab "), (d % 7).cast("int")),
+        F.repeat(F.lit("пр "), (d % 5).cast("int")),
+        F.repeat(F.lit("你 "), (d % 3).cast("int")),
+        F.repeat(F.lit("α "), (d % 2).cast("int")),
+    )
+    prof = script_profile(docs.select("doc_id", text.alias("text")))
+    return prof.select(
+        "doc_id", "n_letters", "frac_latin", "frac_cyrillic", "frac_han",
+        "frac_greek", "dominant_script",
+    )
+
+
 def _q_unicode_nfc(spark, sf):
     """Unicode NFC normalization (r5): decompose the corpus
     deterministically JVM-side (e→e+U+0301 or a→a+U+0308 by doc_id
@@ -2317,6 +2364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_neardup": _q_image_neardup,
         "mojibake_repair": _q_mojibake_repair,
         "unicode_nfc": _q_unicode_nfc,
+        "script_profile": _q_script_profile,
+        "sentence_split": _q_sentence_split,
         "cdc_chunks": _q_cdc_chunks,
         "page_furniture": _q_page_furniture,
         "hyphenation_repair": _q_hyphenation_repair,
@@ -3464,6 +3513,38 @@ def oracle_sql() -> dict[str, str]:
                         ELSE base END AS text,
                    b.text AS text_raw
             FROM b
+        """,
+        # sentence replay: the four expected sentences per doc, in order
+        "sentence_split": """
+            WITH docs AS (SELECT doc_id FROM documents)
+            SELECT doc_id, CAST(0 AS INT) AS sent_id,
+                   'Dr. Smith measured ' || doc_id || ' units at St. Mary.'
+                     AS sentence FROM docs
+            UNION ALL SELECT doc_id, 1, 'The result e.g. was fine!' FROM docs
+            UNION ALL SELECT doc_id, 2,
+                   'Was it batch ' || doc_id % 7 || '?' FROM docs
+            UNION ALL SELECT doc_id, 3, 'Yes.' FROM docs
+        """,
+        # script-census replay: counts/fractions/dominance derived
+        # arithmetically from the planted run lengths
+        "script_profile": """
+            WITH d AS (
+              SELECT doc_id,
+                     2 * (doc_id % 7) AS lat, 2 * (doc_id % 5) AS cyr,
+                     doc_id % 3 AS han, doc_id % 2 AS grk
+              FROM documents),
+            t AS (SELECT *, lat + cyr + han + grk AS total FROM d)
+            SELECT doc_id, CAST(total AS INT) AS n_letters,
+                   ROUND(CASE WHEN total > 0 THEN lat / CAST(total AS DOUBLE) ELSE 0 END, 6) AS frac_latin,
+                   ROUND(CASE WHEN total > 0 THEN cyr / CAST(total AS DOUBLE) ELSE 0 END, 6) AS frac_cyrillic,
+                   ROUND(CASE WHEN total > 0 THEN han / CAST(total AS DOUBLE) ELSE 0 END, 6) AS frac_han,
+                   ROUND(CASE WHEN total > 0 THEN grk / CAST(total AS DOUBLE) ELSE 0 END, 6) AS frac_greek,
+                   CASE WHEN total = 0 THEN 'none'
+                        WHEN lat >= cyr AND lat >= han AND lat >= grk THEN 'latin'
+                        WHEN cyr >= han AND cyr >= grk THEN 'cyrillic'
+                        WHEN grk >= han THEN 'greek'
+                        ELSE 'han' END AS dominant_script
+            FROM t
         """,
         # NFC cross-engine: DuckDB's ICU normalizer over the same
         # decomposed construction must equal our unicodedata kernel

@@ -560,3 +560,94 @@ def train_val_split(
         bucket.cast("long").alias("bucket"),
         F.when(bucket < val_pct, F.lit("val")).otherwise(F.lit("train")).alias("split"),
     )
+
+
+#: script detection classes, in deterministic dominance-tiebreak order.
+#: Java (Spark) spells the property \p{IsXxx}; RE2 (DuckDB) \p{Xxx} —
+#: the oracle uses the RE2 spelling of the SAME Unicode script property.
+SCRIPT_CLASSES = ["Latin", "Cyrillic", "Greek", "Arabic", "Hebrew", "Han",
+                  "Hangul", "Hiragana", "Katakana", "Devanagari"]
+
+
+def script_profile(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Unicode-script census per document: letter counts and fractions for
+    the ten major scripts plus a deterministic ``dominant_script`` — the
+    routing signal a multilingual pipeline keys on BEFORE language ID
+    (script is cheap and unambiguous; language needs models).
+
+    One codegen'd projection: ``regexp_count`` per script class over the
+    text, zero shuffles, zero Python.  Fractions are of the total counted
+    letters (not string length, so digits/punct don't dilute), rounded to
+    6 dp for engine-portable hashing; documents with no letters in any
+    class get fraction 0 and dominant ``none``.  Ties break by the fixed
+    ``SCRIPT_CLASSES`` order (Latin first) — deterministic across runs and
+    engines.
+    """
+    t = F.col(text_col)
+    counts = {
+        sc: F.regexp_count(t, F.lit("\\p{Is" + sc + "}")) for sc in SCRIPT_CLASSES
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    total_c = F.greatest(total, F.lit(0))
+    maxc = F.greatest(*counts.values())
+    dominant = F.lit("none")
+    # build the when-chain in REVERSE so the first class in
+    # SCRIPT_CLASSES wins ties (outermost when)
+    for sc in reversed(SCRIPT_CLASSES):
+        dominant = F.when(
+            (maxc > 0) & (counts[sc] == maxc), F.lit(sc.lower())
+        ).otherwise(dominant)
+    cols = [F.col(id_col), total_c.alias("n_letters")]
+    for sc in SCRIPT_CLASSES:
+        cols.append(
+            F.round(
+                F.when(total_c > 0, counts[sc] / total_c).otherwise(F.lit(0.0)), 6
+            ).alias(f"frac_{sc.lower()}")
+        )
+    cols.append(dominant.alias("dominant_script"))
+    return docs.select(*cols)
+
+
+#: abbreviations whose trailing period never ends a sentence
+ABBREVIATIONS = ["Mr.", "Mrs.", "Dr.", "Prof.", "St.", "vs.",
+                 "e.g.", "i.e.", "etc.", "Jr.", "Sr.", "No."]
+
+#: private-use sentinels for the protect/split/restore chain
+_DOT_SENTINEL = "\x01"
+_SENT_SEP = "\x1e"
+
+
+def split_sentences(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Rule-based sentence segmentation — the chunking granularity below
+    ``chunk_documents``: many curation stages (dedup shingling, quality
+    windows, citation alignment) want sentences, not fixed token windows.
+
+    The classic deterministic recipe, lookaround-free so it stays inside
+    both Java regex AND RE2 (the engines the driver compares):
+
+      1. protect known abbreviations (``Dr.`` → ``Dr<SENTINEL>``),
+      2. mark a boundary where ``[.!?]+`` + whitespace is followed by a
+         plausible sentence opener (``[A-Z0-9"'(]``) — capture groups, not
+         lookahead, so ``vs. the`` (lowercase continuation) never splits,
+      3. restore the sentinels, split on the boundary marker, posexplode
+         (order by position, no sort), trim, drop empties.
+
+    One codegen'd projection + explode: zero shuffles, zero Python.
+    Output: ``(id_col, sent_id, sentence)``.
+    """
+    t = F.col(text_col)
+    for abbr in ABBREVIATIONS:
+        t = F.replace(
+            t, F.lit(abbr), F.lit(abbr[:-1].replace(".", _DOT_SENTINEL) + _DOT_SENTINEL)
+        )
+    t = F.regexp_replace(t, r"([.!?]+)\s+([A-Z0-9\"'(])", "$1" + _SENT_SEP + "$2")
+    t = F.replace(t, F.lit(_DOT_SENTINEL), F.lit("."))
+    out = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(t, _SENT_SEP)).alias("sent_id", "sentence"),
+    )
+    return out.select(
+        id_col, "sent_id", F.trim("sentence").alias("sentence")
+    ).where(F.col("sentence") != "")

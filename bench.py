@@ -151,6 +151,9 @@ HEADLINE = [
     "mojibake_repair",
     # NFC recomposition: narrow Arrow stage, ascii early-exit
     "unicode_nfc",
+    # script census + sentence split: codegen'd projections, zero shuffles
+    "script_profile",
+    "sentence_split",
     # gear CDC: vectorized rolling hash, narrow chunk stage + sha groupBys
     "cdc_chunks",
     # cross-page header/footer census: two short-key partial-agg shuffles

@@ -331,3 +331,55 @@ def test_bigram_skips_short_docs_and_partition_invariant(spark):
     a = sorted(map(tuple, bigram_cross_entropy(big.repartition(1)).collect()))
     b = sorted(map(tuple, bigram_cross_entropy(big.repartition(8)).collect()))
     assert a == b
+
+
+# ----------------------------------------------------------------------
+# script census + sentence segmentation
+# ----------------------------------------------------------------------
+
+def test_script_profile_counts_and_dominance(spark):
+    from autoextract.functions.text import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "abc привет"),   # 3 latin, 6 cyrillic
+         (2, "你好世界"),                      # 4 han
+         (3, "12345 !!!"),                                      # no letters
+         (4, "ab пр")],                               # 2 vs 2 tie -> latin
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert got[1]["n_letters"] == 9 and got[1]["dominant_script"] == "cyrillic"
+    assert abs(got[1]["frac_cyrillic"] - round(6 / 9, 6)) < 1e-9
+    assert got[2]["dominant_script"] == "han" and got[2]["frac_han"] == 1.0
+    assert got[3]["n_letters"] == 0 and got[3]["dominant_script"] == "none"
+    assert got[4]["dominant_script"] == "latin"   # fixed-order tie-break
+
+
+def test_split_sentences_rules(spark):
+    from autoextract.functions.text import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, 'Dr. Who left. "Quoted start" follows! No. 7 was vs. the rest. 42 is next? Done.')],
+        "doc_id long, text string",
+    )
+    got = [r["sentence"] for r in
+           split_sentences(df).orderBy("sent_id").collect()]
+    assert got == [
+        "Dr. Who left.",
+        '"Quoted start" follows!',
+        "No. 7 was vs. the rest.",   # No. and vs. protected
+        "42 is next?",               # digit opener splits
+        "Done.",
+    ]
+
+
+def test_split_sentences_lowercase_never_splits(spark):
+    from autoextract.functions.text import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "the co. went on. and on it went")],
+        "doc_id long, text string",
+    )
+    got = [r["sentence"] for r in split_sentences(df).collect()]
+    # both periods are followed by lowercase -> single sentence
+    assert got == ["the co. went on. and on it went"]
