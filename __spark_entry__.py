@@ -1486,6 +1486,43 @@ def _q_mojibake_repair(spark, sf):
     return repair_mojibake(corrupted)
 
 
+def _q_compression_signal(spark, sf):
+    """Compression-ratio quality signal (r5) as a driver verdict: per doc
+    a highly repetitive payload must compress below 0.25 and an md5-chain
+    pseudo-random payload must stay above 0.35, with both ratios in
+    (0, 1.1]. Not SQL-expressible (DuckDB has no zlib scalar), so the
+    oracle is the expected all-true table — the thresholds themselves are
+    the invariant."""
+    from autoextract.functions.text import compression_ratio
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 200)
+    )
+    did = F.col("doc_id").cast("string")
+    rep = F.repeat(F.concat(F.lit("spam ham "), did, F.lit(" ")), 50)
+    rnd = F.concat(*[
+        F.md5(F.concat(did, F.lit(f"salt{i}"))) for i in range(8)
+    ])
+    low = compression_ratio(docs.select("doc_id", rep.alias("text"))).select(
+        "doc_id", F.col("comp_ratio").alias("r_low")
+    )
+    high = compression_ratio(docs.select("doc_id", rnd.alias("text"))).select(
+        "doc_id", F.col("comp_ratio").alias("r_high")
+    )
+    j = low.join(high, "doc_id")
+    return j.select(
+        "doc_id",
+        (F.col("r_low") < 0.25).alias("repetitive_low"),
+        (F.col("r_high") > 0.35).alias("random_high"),
+        (
+            (F.col("r_low") > 0) & (F.col("r_low") <= 1.1)
+            & (F.col("r_high") > 0) & (F.col("r_high") <= 1.1)
+        ).alias("bounds_ok"),
+    )
+
+
 def _q_sentence_split(spark, sf):
     """Sentence segmentation (r5): each doc's fixture paragraph exercises
     abbreviation protection (Dr., St., e.g.), all three terminators, a
@@ -2366,6 +2403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": _q_unicode_nfc,
         "script_profile": _q_script_profile,
         "sentence_split": _q_sentence_split,
+        "compression_signal": _q_compression_signal,
         "cdc_chunks": _q_cdc_chunks,
         "page_furniture": _q_page_furniture,
         "hyphenation_repair": _q_hyphenation_repair,
@@ -3513,6 +3551,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE base END AS text,
                    b.text AS text_raw
             FROM b
+        """,
+        # compression verdict: planted repetitive vs pseudo-random docs
+        # must land on the expected sides of the ratio thresholds
+        "compression_signal": """
+            SELECT doc_id, TRUE AS repetitive_low, TRUE AS random_high,
+                   TRUE AS bounds_ok
+            FROM documents WHERE doc_id < 200
         """,
         # sentence replay: the four expected sentences per doc, in order
         "sentence_split": """

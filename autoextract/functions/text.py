@@ -651,3 +651,41 @@ def split_sentences(docs, id_col: str = "doc_id", text_col: str = "text"):
     return out.select(
         id_col, "sent_id", F.trim("sentence").alias("sentence")
     ).where(F.col("sentence") != "")
+
+
+def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text",
+                      level: int = 6):
+    """DEFLATE compression ratio per document — the classic cheap entropy
+    signal web-corpus curation uses alongside the repetition metrics:
+    boilerplate/spam/keyword-stuffed pages compress far better than prose,
+    and the ratio needs no language model at all.
+
+    Adds ``comp_ratio`` = compressed_bytes / utf8_bytes (empty text → 1.0).
+    Arrow-batched ``mapInPandas`` over ``zlib`` (a C codec per batch — the
+    per-row Python is one call into zlib, not per-byte work); zero
+    shuffles.  Not SQL-expressible, so the driver gate is a verdict query
+    (planted repetitive vs pseudo-random docs must land on the expected
+    sides of the thresholds) rather than a value replay.
+    """
+    import zlib
+
+    cols = docs.columns
+    out_fields = ", ".join(
+        f"`{c}` {docs.schema[c].dataType.simpleString()}" for c in cols
+    )
+    schema = f"{out_fields}, comp_ratio double"
+
+    def kernel(batches):
+        for pdf in batches:
+            ratios = []
+            for s in pdf[text_col]:
+                if not s:
+                    ratios.append(1.0)
+                    continue
+                raw = s.encode("utf-8")
+                ratios.append(len(zlib.compress(raw, level)) / len(raw))
+            out = pdf.copy()
+            out["comp_ratio"] = ratios
+            yield out
+
+    return docs.mapInPandas(kernel, schema=schema)

@@ -154,6 +154,8 @@ HEADLINE = [
     # script census + sentence split: codegen'd projections, zero shuffles
     "script_profile",
     "sentence_split",
+    # zlib entropy signal: narrow Arrow stage, C codec per batch
+    "compression_signal",
     # gear CDC: vectorized rolling hash, narrow chunk stage + sha groupBys
     "cdc_chunks",
     # cross-page header/footer census: two short-key partial-agg shuffles

@@ -383,3 +383,18 @@ def test_split_sentences_lowercase_never_splits(spark):
     got = [r["sentence"] for r in split_sentences(df).collect()]
     # both periods are followed by lowercase -> single sentence
     assert got == ["the co. went on. and on it went"]
+
+
+def test_compression_ratio_orders_entropy(spark):
+    from autoextract.functions.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [(1, "ha " * 300),
+         (2, "the quick brown fox jumps over the lazy dog while prose "
+             "continues with varied vocabulary and structure herein"),
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["comp_ratio"] for r in compression_ratio(df).collect()}
+    assert got[1] < 0.1 < got[2] <= 1.1
+    assert got[3] == 1.0 and got[4] == 1.0
