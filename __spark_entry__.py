@@ -1147,6 +1147,48 @@ def _q_table_structure(spark, sf):
     )
 
 
+def _q_crawl_frontier(spark, sf):
+    """Frontier assembly (r5): the crawl family composed end-to-end —
+    per-host robots rules (Disallow: /private/ under the * group), a
+    PageRank-style host prior, sitemap priorities with NULL fallback, and
+    the skew-safe per-host cap — through ``build_frontier``. The oracle
+    replays the whole chain arithmetically: allowed set, score product,
+    9-dp rounding, and the cap's md5 tie-break ordering."""
+    from autoextract.operators.frontier import build_frontier
+    from autoextract.sources.robots import parse_robots
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    s = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
+    hosts = docs.select(
+        F.concat(F.col("source"), F.lit(".com")).alias("host"), s.alias("s")
+    ).distinct()
+    d = F.col("doc_id")
+    did = d.cast("string")
+    host = F.concat(F.col("source"), F.lit(".com"))
+    path = F.when(
+        d % 5 == 0, F.concat(F.lit("/private/p"), did)
+    ).otherwise(F.concat(F.lit("/page/"), did))
+    priority = F.when(d % 3 == 0, F.lit(None).cast("double")).otherwise(
+        (d % 10) / 10.0
+    )
+    candidates = docs.select(
+        host.alias("host"),
+        path.alias("path"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        priority.alias("priority"),
+    )
+    rules = parse_robots(
+        hosts.select(
+            "host",
+            F.lit("# policy\nUser-agent: *\nDisallow: /private/\n").alias(
+                "robots_txt"
+            ),
+        )
+    )
+    ranks = hosts.select("host", ((F.col("s") % 7 + 1) / 10.0).alias("rank"))
+    return build_frontier(candidates, rules, ranks, "trainbot", per_host_cap=3)
+
+
 def _q_html_metadata(spark, sf):
     """Head-metadata extraction (r5): per-page title / og:title /
     description / canonical / lang / published_time / robots-noindex via
@@ -2393,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_agg": _q_anchor_text_agg,
         "robots_filter": _q_robots_filter,
         "html_metadata": _q_html_metadata,
+        "crawl_frontier": _q_crawl_frontier,
         "table_structure": _q_table_structure,
         "document_outline": _q_document_outline,
         "sitemap_ingest": _q_sitemap_ingest,
@@ -3405,6 +3448,36 @@ def oracle_sql() -> dict[str, str]:
                       OR (doc_id % 3 = 1 AND text LIKE '%a%')
                    )) AS repaired
             FROM documents
+        """,
+        # frontier replay: allowed set (robots), score product with NULL
+        # fallbacks, 9-dp rounding, md5 tie-break, per-host top-3
+        "crawl_frontier": """
+            WITH hosts AS (
+              SELECT DISTINCT source || '.com' AS host,
+                     CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS s
+              FROM documents),
+            c AS (
+              SELECT d.doc_id, h.host, h.s
+              FROM documents d JOIN hosts h ON d.source || '.com' = h.host
+              WHERE d.doc_id % 5 <> 0),
+            sc AS (
+              SELECT host,
+                     'https://' || host || '/page/' || doc_id AS url,
+                     ROUND((s % 7 + 1) / 10.0
+                       * (CASE WHEN doc_id % 3 = 0 THEN 0.5
+                               ELSE (doc_id % 10) / 10.0 END), 9) AS score
+              FROM c),
+            r AS (
+              SELECT host, url, score,
+                     row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY score DESC,
+                         CAST(('0x' || substr(md5(url || 'hostcap-v1'), 1, 8))
+                              AS UBIGINT) ASC,
+                         url ASC) AS rn
+              FROM sc)
+            SELECT host, url, score, CAST(rn AS INT) AS fetch_rank
+            FROM r WHERE rn <= 3
         """,
         # head-metadata replay: every field derived arithmetically — the
         # Spark side must land on these exact values through the real

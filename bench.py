@@ -135,6 +135,8 @@ HEADLINE = [
     "anchor_text_agg",
     # exact per-host cap through the skew-safe two-phase window plan
     "host_cap_topk",
+    # frontier composition: robots join + rank join + skew-safe cap
+    "crawl_frontier",
     # RFC 9309 crawl-permission verdicts: parse windows + host-join +
     # longest-match argmax — the politeness front door of a crawl run
     "robots_filter",
