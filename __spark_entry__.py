@@ -1528,6 +1528,29 @@ def _q_mojibake_repair(spark, sf):
     return repair_mojibake(corrupted)
 
 
+def _q_text_scrub(spark, sf):
+    """C4-style scrub (r5): per doc a payload with control chars,
+    zero-width space, tab runs, double spaces, a 4-newline run and
+    trailing whitespace must clean to the exact canonical form (every
+    10th doc is already clean and must come back untouched with
+    scrubbed=false). Oracle derives the expected text arithmetically."""
+    from autoextract.functions.text import scrub_text
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    d = F.col("doc_id")
+    did = d.cast("string")
+    dirty = F.concat(
+        F.lit("Alpha "),
+        F.when(d % 2 == 0, F.lit("\x07")).otherwise(F.lit("\x08")),
+        F.lit(" beta  "), did, F.lit("\u200b"),
+        F.lit("\n\n\n\nGamma\t\tdelta. "),
+    )
+    text = F.when(d % 10 == 9, F.concat(F.lit("clean "), did)).otherwise(dirty)
+    return scrub_text(docs.select("doc_id", text.alias("text")))
+
+
 def _q_compression_signal(spark, sf):
     """Compression-ratio quality signal (r5) as a driver verdict: per doc
     a highly repetitive payload must compress below 0.25 and an md5-chain
@@ -2447,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _q_script_profile,
         "sentence_split": _q_sentence_split,
         "compression_signal": _q_compression_signal,
+        "text_scrub": _q_text_scrub,
         "cdc_chunks": _q_cdc_chunks,
         "page_furniture": _q_page_furniture,
         "hyphenation_repair": _q_hyphenation_repair,
@@ -3624,6 +3648,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE base END AS text,
                    b.text AS text_raw
             FROM b
+        """,
+        # scrub replay: the canonical cleaned form derived arithmetically
+        "text_scrub": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 9 THEN 'clean ' || doc_id
+                        ELSE 'Alpha beta ' || doc_id || chr(10) || chr(10)
+                             || 'Gamma delta.' END AS text,
+                   doc_id % 10 <> 9 AS scrubbed
+            FROM documents
         """,
         # compression verdict: planted repetitive vs pseudo-random docs
         # must land on the expected sides of the ratio thresholds

@@ -689,3 +689,34 @@ def compression_ratio(docs, id_col: str = "doc_id", text_col: str = "text",
             yield out
 
     return docs.mapInPandas(kernel, schema=schema)
+
+
+def scrub_text(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """C4-style text scrub — the first cleaning pass after extraction:
+
+      1. strip control characters (keeping ``\\n`` and ``\\t`` for now),
+         the U+FFFD replacement char, and zero-width characters
+         (ZWSP/ZWNJ/ZWJ/BOM — invisible but they break tokenizers and
+         dedup hashes),
+      2. collapse horizontal whitespace runs to one space,
+      3. trim spaces around newlines,
+      4. collapse 3+ consecutive newlines to a paragraph break (2),
+      5. trim the ends.
+
+    One codegen'd regexp chain, zero shuffles, zero Python; every pattern
+    is in the Java∩RE2 subset so the driver oracle replays it verbatim.
+    Adds ``scrubbed`` (whether anything changed).
+    """
+    t = F.col(text_col)
+    out = F.regexp_replace(
+        t, "[\\x00-\\x08\\x0B-\\x1F\\x7F\\x{FFFD}\\x{200B}-\\x{200D}\\x{FEFF}]", ""
+    )
+    out = F.regexp_replace(out, "[ \\t]+", " ")
+    out = F.regexp_replace(out, " ?\\n ?", "\n")
+    out = F.regexp_replace(out, "\\n{3,}", "\n\n")
+    out = F.trim(out)
+    return docs.select(
+        F.col(id_col),
+        out.alias(text_col),
+        (~out.eqNullSafe(t)).alias("scrubbed"),
+    )

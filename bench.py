@@ -158,6 +158,8 @@ HEADLINE = [
     "sentence_split",
     # zlib entropy signal: narrow Arrow stage, C codec per batch
     "compression_signal",
+    # C4-style scrub: one codegen'd regexp chain, zero shuffles
+    "text_scrub",
     # gear CDC: vectorized rolling hash, narrow chunk stage + sha groupBys
     "cdc_chunks",
     # cross-page header/footer census: two short-key partial-agg shuffles

@@ -398,3 +398,17 @@ def test_compression_ratio_orders_entropy(spark):
     got = {r["doc_id"]: r["comp_ratio"] for r in compression_ratio(df).collect()}
     assert got[1] < 0.1 < got[2] <= 1.1
     assert got[3] == 1.0 and got[4] == 1.0
+
+
+def test_scrub_text_rules(spark):
+    from autoextract.functions.text import scrub_text
+
+    df = spark.createDataFrame(
+        [(1, "A \x07 b​‍�c  d\t\te \n \n\n\nf "),
+         (2, "already clean"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text"], r["scrubbed"]) for r in scrub_text(df).collect()}
+    assert got[1] == ("A bc d e\n\nf", True)
+    assert got[2] == ("already clean", False)
+    assert got[3] == (None, False)
