@@ -92,6 +92,26 @@ AUDITED = {
     "host_cap_topk": "two-phase skew-safe top-K: WindowGroupLimit "
     "map-side partial top-K before BOTH window exchanges, so at most "
     "cap rows per (host, salt) per mapper ever shuffle; no python stages",
+    "page_furniture": "lines partial-agg on (doc,page,block,line) + census "
+    "aggregates on 8-byte xxhash64 keys joined back (n_pages broadcast); "
+    "raw line text never a shuffle key",
+    "hyphenation_repair": "one window exchange on (doc_id, page) feeding "
+    "lag/lead — the whole merge rule is codegen'd regex, zero Python",
+    "dedup_incremental_bloom": "k BROADCAST probes of the materialized "
+    "bloom word table — the fingerprint side is pruned map-side with zero "
+    "exchanges of its own before the exact anti-join",
+    "table_structure": "one grouping exchange on (doc, page, table) into "
+    "the per-table NumPy kernel; tables parallelize on the group key",
+    "crawl_frontier": "robots rule join + rank join on the short host key, "
+    "then the skew-safe cap window; no exchange beyond the audited "
+    "component plans",
+    "script_profile": "one codegen'd regexp_count projection — zero "
+    "exchanges, zero Python",
+    "text_scrub": "one codegen'd regexp chain — zero exchanges, zero Python",
+    "html_metadata": "one codegen'd regexp projection over the page string "
+    "— zero exchanges, zero Python",
+    "sentence_split": "protect/mark/restore chain + posexplode in one "
+    "projection — zero exchanges, zero Python",
     "pagerank": "per-round: edges⋈ranks shuffle on src + partial-agg on "
     "dst, both over (long,long,double) rows; dangling mass is a 1-row "
     "broadcast; localCheckpoint truncates lineage between rounds — so "
