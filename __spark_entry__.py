@@ -1341,6 +1341,45 @@ def _q_sitemap_ingest(spark, sf):
     return parse_sitemaps(hosts.select("host", xml.alias("sitemap_xml")))
 
 
+def _q_jsonl_ingest(spark, sf):
+    """JSONL column parsing (r5): per doc a JSON object with an escaped
+    quote in the text, a nested meta struct (score absent on every third
+    doc → field NULL), and a tag array; every 10th line is garbage and
+    must surface as valid=false with NULL fields, never a task failure.
+    Oracle derives the parsed values arithmetically."""
+    from autoextract.sources.jsonl import parse_jsonl_column
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("row_id")
+    )
+    d = F.col("row_id")
+    did = d.cast("string")
+    lang = F.when(d % 2 == 0, F.lit("en")).otherwise(F.lit("de"))
+    score_part = F.when(d % 3 == 0, F.lit("")).otherwise(
+        F.concat(F.lit(', "score": 0.'), (d % 10).cast("string"))
+    )
+    good = F.concat(
+        F.lit('{"doc_id": '), did,
+        F.lit(', "text": "doc '), did, F.lit(' says \\"hi\\""'),
+        F.lit(', "meta": {"lang": "'), lang, F.lit('"'), score_part,
+        F.lit('}, "tags": ["a", "b'), did, F.lit('"]}'),
+    )
+    line = F.when(d % 10 == 7, F.concat(F.lit("not json "), did)).otherwise(good)
+    parsed = parse_jsonl_column(
+        docs.select("row_id", line.alias("line")),
+        "doc_id bigint, text string, meta struct<lang:string,score:double>, "
+        "tags array<string>",
+    )
+    return parsed.select(
+        "row_id", "doc_id", "text",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.score").alias("score"),
+        F.size("tags").alias("n_tags"),
+        F.element_at("tags", 1).alias("first_tag"),
+        "valid",
+    )
+
+
 def _q_feed_ingest(spark, sf):
     """RSS/Atom feed parse (r5): synthesize per host an RSS 2.0 channel
     (element-text links, one CDATA title, rotating pubDate/guid presence)
@@ -2463,6 +2502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_outline": _q_document_outline,
         "sitemap_ingest": _q_sitemap_ingest,
         "feed_ingest": _q_feed_ingest,
+        "jsonl_ingest": _q_jsonl_ingest,
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
         "mojibake_repair": _q_mojibake_repair,
@@ -3819,6 +3859,22 @@ def oracle_sql() -> dict[str, str]:
                      AS priority
             FROM p
             WHERE trim(regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)) <> ''
+        """,
+        # jsonl replay: parsed fields derived arithmetically; corrupt
+        # lines -> valid=false with NULL fields
+        "jsonl_ingest": """
+            SELECT doc_id AS row_id,
+                   CASE WHEN doc_id % 10 <> 7 THEN doc_id END AS doc_id,
+                   CASE WHEN doc_id % 10 <> 7
+                        THEN 'doc ' || doc_id || ' says "hi"' END AS text,
+                   CASE WHEN doc_id % 10 = 7 THEN NULL
+                        WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END AS lang,
+                   CASE WHEN doc_id % 10 <> 7 AND doc_id % 3 <> 0
+                        THEN (doc_id % 10) / 10.0 END AS score,
+                   CASE WHEN doc_id % 10 <> 7 THEN CAST(2 AS INT) END AS n_tags,
+                   CASE WHEN doc_id % 10 <> 7 THEN 'a' END AS first_tag,
+                   doc_id % 10 <> 7 AS valid
+            FROM documents
         """,
         # feed replay: every field derived arithmetically per (host, ord)
         "feed_ingest": """

@@ -144,6 +144,8 @@ HEADLINE = [
     "sitemap_ingest",
     # RSS/Atom parse: the freshness channel, same zero-shuffle chain
     "feed_ingest",
+    # from_json column parse: one codegen'd projection, O6 containment
+    "jsonl_ingest",
     # DSIR: bounded-cardinality bucket aggregates + broadcast log-ratio
     # join + distributed sort-limit top-k — domain-matching data selection
     "dsir_sample",
