@@ -1567,6 +1567,55 @@ def _q_mojibake_repair(spark, sf):
     return repair_mojibake(corrupted)
 
 
+def _q_reply_strip(spark, sf):
+    """Quoted-reply stripping (r5): per doc a mail-shaped fixture with an
+    attribution line, two quote depths, a signature delimiter and
+    post-signature content; only the four body lines may survive. Oracle
+    derives the cleaned text + drop count arithmetically."""
+    from autoextract.functions.text import strip_quoted_replies
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    did = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 5).cast("string")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Hello "), did, F.lit(" team,")),
+        F.lit(""),
+        F.concat(F.lit("On Monday, reviewer "), k, F.lit(" wrote:")),
+        F.concat(F.lit("> old quoted line "), did),
+        F.lit(" >> nested quote"),
+        F.concat(F.lit("The actual reply body "), did, F.lit(".")),
+        F.lit("Another body line."),
+        F.lit("-- "),
+        F.concat(F.lit("sig name "), did),
+        F.lit("> trailing quote"),
+    )
+    return strip_quoted_replies(docs.select("doc_id", text.alias("text")))
+
+
+def _q_code_fences(spark, sf):
+    """Code-fence extraction (r5): markdown-ish prose with an inline
+    backtick distractor, a python-tagged fence and an untagged fence; both
+    blocks must come back verbatim (multiline, trailing newline stripped)
+    with lang NULL for the untagged one. Oracle derives both blocks
+    arithmetically."""
+    from autoextract.functions.text import extract_code_fences
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    did = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("Intro prose "), did, F.lit(" with `inline` code.\n"),
+        F.lit("```python\nprint("), did, F.lit(")\nx = "), did,
+        F.lit(" % 7\n```\nmiddle text\n```\nplain block "), did,
+        F.lit("\n```\ntail"),
+    )
+    return extract_code_fences(docs.select("doc_id", text.alias("text")))
+
+
 def _q_text_scrub(spark, sf):
     """C4-style scrub (r5): per doc a payload with control chars,
     zero-width space, tab runs, double spaces, a 4-newline run and
@@ -2511,6 +2560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": _q_sentence_split,
         "compression_signal": _q_compression_signal,
         "text_scrub": _q_text_scrub,
+        "reply_strip": _q_reply_strip,
+        "code_fences": _q_code_fences,
         "cdc_chunks": _q_cdc_chunks,
         "page_furniture": _q_page_furniture,
         "hyphenation_repair": _q_hyphenation_repair,
@@ -3688,6 +3739,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE base END AS text,
                    b.text AS text_raw
             FROM b
+        """,
+        # reply-strip replay: the four surviving body lines + drop count
+        "reply_strip": """
+            SELECT doc_id,
+                   'Hello ' || doc_id || ' team,' || chr(10) || chr(10)
+                   || 'The actual reply body ' || doc_id || '.' || chr(10)
+                   || 'Another body line.' AS text,
+                   CAST(6 AS INT) AS n_dropped
+            FROM documents
+        """,
+        # fence replay: both blocks verbatim, untagged lang NULL
+        "code_fences": """
+            SELECT doc_id, CAST(0 AS INT) AS fence_id, 'python' AS lang,
+                   'print(' || doc_id || ')' || chr(10) || 'x = ' || doc_id
+                     || ' % 7' AS code
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 1, NULL, 'plain block ' || doc_id
+            FROM documents
         """,
         # scrub replay: the canonical cleaned form derived arithmetically
         "text_scrub": """

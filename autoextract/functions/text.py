@@ -720,3 +720,68 @@ def scrub_text(docs, id_col: str = "doc_id", text_col: str = "text"):
         out.alias(text_col),
         (~out.eqNullSafe(t)).alias("scrubbed"),
     )
+
+
+def strip_quoted_replies(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Email/forum reply cleanup — the mail-archive analogue of HTML
+    boilerplate stripping: drop quoted lines (``>``-prefixed at any
+    nesting), the ``On … wrote:`` attribution line, and everything from
+    the RFC 3676 signature delimiter (``-- ``) down.
+
+    Pure JVM higher-order functions over the line array (split →
+    indexed ``filter`` against the signature cut-point → rejoin); zero
+    shuffles, zero Python.  Adds ``n_dropped`` (lines removed).
+    """
+    lines = F.split(F.col(text_col), "\n")
+    sig_hits = F.filter(
+        F.transform(
+            lines, lambda l, i: F.when(l.rlike(r"^-- ?$"), i)
+        ),
+        lambda x: x.isNotNull(),
+    )
+    cut = F.coalesce(F.array_min(sig_hits), F.size(lines))
+    is_noise = (
+        lambda l: l.rlike(r"^\s*>") | l.rlike(r"^On .* wrote:\s*$")
+    )
+    kept = F.filter(lines, lambda l, i: (i < cut) & ~is_noise(l))
+    # NB: alias the cleaned text under a fresh name first — aliasing it
+    # directly as ``text_col`` would make Spark's lateral-column-alias
+    # resolution rebind the SAME select's later ``n_dropped`` expression
+    # to the cleaned text instead of the input column
+    out = docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("__clean"),
+        (F.size(lines) - F.size(kept)).alias("n_dropped"),
+    )
+    return out.select(
+        id_col, F.col("__clean").alias(text_col), "n_dropped"
+    )
+
+
+def extract_code_fences(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Pull fenced code blocks out of markdown-ish text — the separation a
+    code-aware training pipeline makes before prose and code take
+    different cleaning paths (code must NOT go through whitespace
+    collapse, PII regexes tuned for prose, or sentence splitting).
+
+    ``(id, fence_id, lang, code)`` per block, in document order; ``lang``
+    is the info string (empty → NULL).  One ``regexp_extract_all`` +
+    posexplode projection, zero shuffles.
+    """
+    t = F.col(text_col)
+    blocks = F.regexp_extract_all(t, F.lit(r"(?s)```([^\n`]*)\n(.*?)```"), 0)
+    rows = docs.select(
+        F.col(id_col),
+        F.posexplode(blocks).alias("fence_id", "block"),
+    )
+    return rows.select(
+        id_col,
+        "fence_id",
+        F.nullif(
+            F.trim(F.regexp_extract("block", r"^```([^\n`]*)\n", 1)), F.lit("")
+        ).alias("lang"),
+        F.regexp_replace(
+            F.regexp_extract("block", r"(?s)^```[^\n`]*\n(.*)```$", 1),
+            r"\n$", "",
+        ).alias("code"),
+    )

@@ -162,6 +162,9 @@ HEADLINE = [
     "compression_signal",
     # C4-style scrub: one codegen'd regexp chain, zero shuffles
     "text_scrub",
+    # reply strip + fence extraction: HOF/regexp projections, zero shuffles
+    "reply_strip",
+    "code_fences",
     # gear CDC: vectorized rolling hash, narrow chunk stage + sha groupBys
     "cdc_chunks",
     # cross-page header/footer census: two short-key partial-agg shuffles

@@ -412,3 +412,45 @@ def test_scrub_text_rules(spark):
     assert got[1] == ("A bc d e\n\nf", True)
     assert got[2] == ("already clean", False)
     assert got[3] == (None, False)
+
+
+def test_strip_quoted_replies_rules(spark):
+    from autoextract.functions.text import strip_quoted_replies
+
+    txt = ("Hi there,\n"
+           "On Tue, Alice wrote:\n"
+           "> quoted\n"
+           "  > indented quote\n"
+           "my reply\n"
+           "--\n"
+           "sig line\n")
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    r = strip_quoted_replies(df).collect()[0]
+    assert r["text"] == "Hi there,\nmy reply"
+    # dropped: attribution + 2 quotes + "--" + sig + trailing empty = 6
+    # (regression pin: a lateral-alias rebind inside the HOF once made
+    # this count drift from the kept text — see operators commit r5)
+    assert r["n_dropped"] == 6
+
+
+def test_extract_code_fences_blocks(spark):
+    from autoextract.functions.text import extract_code_fences
+
+    txt = ("prose with `tick`\n"
+           "```python\na = 1\nb = 2\n```\n"
+           "between\n"
+           "```\nuntagged\n```\n"
+           "no fence after")
+    df = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+    rows = extract_code_fences(df).orderBy("fence_id").collect()
+    assert [(r["fence_id"], r["lang"], r["code"]) for r in rows] == [
+        (0, "python", "a = 1\nb = 2"),
+        (1, None, "untagged"),
+    ]
+
+
+def test_extract_code_fences_none(spark):
+    from autoextract.functions.text import extract_code_fences
+
+    df = spark.createDataFrame([(1, "just prose")], "doc_id long, text string")
+    assert extract_code_fences(df).count() == 0
