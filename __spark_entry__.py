@@ -605,6 +605,38 @@ def _q_dedup_incremental(spark, sf):
     )
 
 
+def _q_fuzzy_title_pairs(spark, sf):
+    """Edit-distance metadata dedup (r5): 500 titles carrying md5-derived
+    12-hex tails, 60 planted one-edit typo twins (Annuel/Annual); blocking
+    on the normalized 4-char prefix + length bucket, then JVM
+    ``levenshtein`` within blocks. The oracle replays blocking AND edit
+    distance with DuckDB's independent levenshtein — cross-engine
+    edit-distance parity, including any deterministic accidental pairs
+    among the hex tails."""
+    from autoextract.operators.dedup import fuzzy_field_pairs
+
+    d500 = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 500)
+    )
+    did = F.col("doc_id").cast("string")
+    tail = F.substring(F.md5(did), 1, 12)
+    base = d500.select(
+        "doc_id", F.concat(F.lit("Annual Report "), tail).alias("title")
+    )
+    twins = (
+        d500.where(F.col("doc_id") < 60)
+        .select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.lit("Annuel Report "), tail).alias("title"),
+        )
+    )
+    return fuzzy_field_pairs(
+        base.unionByName(twins), "title", max_distance=2
+    )
+
+
 def _q_dedup_incremental_bloom(spark, sf):
     """The Bloom-prefiltered twin of ``dedup_incremental`` (r5): same
     fixture, same oracle SQL, but the fingerprint table is pruned map-side
@@ -2519,6 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_bloom": _q_dedup_incremental_bloom,
+        "fuzzy_title_pairs": _q_fuzzy_title_pairs,
         "bm25_topk": _q_bm25_topk,
         "url_domain_filter": _q_url_domain_filter,
         "corpus_stats": _q_corpus_stats,
@@ -3031,6 +3064,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id + 20000 AS doc_id, text FROM documents
             WHERE doc_id >= 400 AND doc_id < 420
+        """,
+        # fuzzy replay: same blocking + DuckDB's independent levenshtein
+        "fuzzy_title_pairs": """
+            WITH t AS (
+              SELECT doc_id AS id,
+                     'annual report '
+                       || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS f
+              FROM documents WHERE doc_id < 500
+              UNION ALL
+              SELECT doc_id + 10000,
+                     'annuel report '
+                       || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+              FROM documents WHERE doc_id < 60),
+            k AS (
+              SELECT id, f,
+                     substr(f, 1, 4) || '|'
+                       || CAST(CAST(FLOOR(length(f) / 4) AS INT) AS VARCHAR)
+                       AS block
+              FROM t)
+            SELECT a.id AS id1, b.id AS id2, a.f AS field1, b.f AS field2,
+                   CAST(levenshtein(a.f, b.f) AS INT) AS distance
+            FROM k a JOIN k b USING (block)
+            WHERE a.id < b.id AND levenshtein(a.f, b.f) <= 2
         """,
         # the Bloom variant's contract IS output-equality with the plain
         # incremental dedup — identical oracle by construction

@@ -974,3 +974,56 @@ def incremental_dedup_bloom(
         .select(hash_col)
     )
     return in_batch_first.join(candidates, hash_col, "left_anti")
+
+
+def fuzzy_field_pairs(
+    docs: DataFrame,
+    field_col: str,
+    *,
+    max_distance: int = 2,
+    block_prefix: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance near-dup pairs over a SHORT metadata field (titles,
+    author names, product labels) — the fuzzy-match companion to the
+    content-level MinHash/SimHash family: metadata typos (``Annuel`` for
+    ``Annual``) defeat token-level shingles but sit within Levenshtein 1–2.
+
+    Blocking before the quadratic step (never corpus²): candidates must
+    share BOTH the normalized ``block_prefix``-char prefix and a
+    length/4 bucket (an edit distance ≤ 2 can change length by ≤ 2, so
+    same-bucket-or-neighbor covers it; requiring the same bucket is the
+    documented recall trade — callers widen via ``block_prefix``).  The
+    self-join shuffles on the short block key; ``levenshtein`` (JVM
+    built-in, and a DuckDB built-in for the oracle — a genuine
+    cross-engine edit-distance parity) filters within blocks;
+    ``id1 < id2`` deduplicates the pair space.
+
+    Output: ``(id1, id2, field1, field2, distance)``.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(field_col))), r"\s+", " ")
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        norm.alias("f"),
+    ).withColumn(
+        "block",
+        F.concat(
+            F.substring("f", 1, block_prefix),
+            F.lit("|"),
+            (F.length("f") / 4).cast("int").cast("string"),
+        ),
+    )
+    a = keyed.select(
+        F.col("id").alias("id1"), F.col("f").alias("f1"), "block"
+    )
+    b = keyed.select(
+        F.col("id").alias("id2"), F.col("f").alias("f2"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("distance", F.levenshtein("f1", "f2"))
+        .where(F.col("distance") <= max_distance)
+        .select("id1", "id2", F.col("f1").alias("field1"),
+                F.col("f2").alias("field2"), "distance")
+    )

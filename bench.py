@@ -119,6 +119,8 @@ HEADLINE = [
     # the Bloom-prefiltered twin: broadcast-bloom prune of the fingerprint
     # table, the big side never shuffles
     "dedup_incremental_bloom",
+    # blocked levenshtein metadata dedup: one short-key self-join shuffle
+    "fuzzy_title_pairs",
     "bm25_topk",
     "url_domain_filter",
     "corpus_stats",

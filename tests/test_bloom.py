@@ -85,3 +85,25 @@ def test_bloom_variant_exact_under_heavy_false_positives(spark):
         for r in incremental_dedup_bloom(batch, seen, m_bits=64, k=2).collect()
     }
     assert tiny == plain
+
+
+# ----------------------------------------------------------------------
+# fuzzy field pairs
+# ----------------------------------------------------------------------
+
+def test_fuzzy_field_pairs(spark):
+    from autoextract.operators.dedup import fuzzy_field_pairs
+
+    df = spark.createDataFrame(
+        [(1, "Annual Report 2026"),
+         (2, "Annuel Report 2026"),        # distance 1, same block
+         (3, "ANNUAL  report 2026"),       # normalizes to distance 0
+         (4, "Annual Report 1999 extra long"),  # different length bucket
+         (5, "Budget Summary 2026")],      # different prefix
+        "doc_id long, title string",
+    )
+    pairs = {(r["id1"], r["id2"]): r["distance"]
+             for r in fuzzy_field_pairs(df, "title").collect()}
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 3)] == 0 and pairs[(2, 3)] == 1
+    assert not any(4 in p or 5 in p for p in pairs)
