@@ -710,13 +710,17 @@ def _print_result(timings, query_runs, n_docs, span_wall, scaling, soak) -> None
         "docs_per_sec": round(n_docs / span_wall, 2),
         "scaling": scaling_summary,
         "soak": soak,
-        "detail_file": "bench_detail.json",
+        # builder-local runs set SPARK_GRAFT_DETAIL_FILE to keep the
+        # driver's bench_detail.json (the artifact of record) intact
+        "detail_file": os.environ.get(
+            "SPARK_GRAFT_DETAIL_FILE", "bench_detail.json"
+        ),
     }
     detail = dict(result)
     detail["query_runs"] = query_runs
     detail["scaling"] = scaling
     try:
-        with open(os.path.join(REPO, "bench_detail.json"), "w") as f:
+        with open(os.path.join(REPO, result["detail_file"]), "w") as f:
             json.dump(detail, f, indent=1)
     except OSError as exc:
         result["detail_file"] = f"unwritable: {exc}"[:120]
