@@ -1671,6 +1671,30 @@ def _q_text_scrub(spark, sf):
     return scrub_text(docs.select("doc_id", text.alias("text")))
 
 
+def _q_sentence_chunking(spark, sf):
+    """Sentence-boundary chunking (r5): the sentence_split fixture (token
+    counts 8/5/4/1 per doc) packed greedily at max_tokens=12 must yield
+    exactly chunk 0 = the 8-token sentence (adding the next would
+    overflow) and chunk 1 = the remaining three (10 tokens). Oracle
+    derives both chunks arithmetically — the greedy boundary itself is
+    under the driver hash."""
+    from autoextract.functions.text import sentence_chunks, split_sentences
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+    did = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    text = F.concat(
+        F.lit("Dr. Smith measured "), did,
+        F.lit(" units at St. Mary. The result e.g. was fine! Was it batch "),
+        k, F.lit("? Yes."),
+    )
+    sents = split_sentences(docs.select("doc_id", text.alias("text")))
+    return sentence_chunks(sents, max_tokens=12)
+
+
 def _q_compression_signal(spark, sf):
     """Compression-ratio quality signal (r5) as a driver verdict: per doc
     a highly repetitive payload must compress below 0.25 and an md5-chain
@@ -2591,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc": _q_unicode_nfc,
         "script_profile": _q_script_profile,
         "sentence_split": _q_sentence_split,
+        "sentence_chunking": _q_sentence_chunking,
         "compression_signal": _q_compression_signal,
         "text_scrub": _q_text_scrub,
         "reply_strip": _q_reply_strip,
@@ -3823,6 +3848,22 @@ def oracle_sql() -> dict[str, str]:
                              || 'Gamma delta.' END AS text,
                    doc_id % 10 <> 9 AS scrubbed
             FROM documents
+        """,
+        # chunk replay: the greedy boundary at max_tokens=12 over the
+        # known 8/5/4/1 token counts
+        "sentence_chunking": """
+            WITH docs AS (SELECT doc_id FROM documents)
+            SELECT doc_id, CAST(0 AS INT) AS chunk_id,
+                   'Dr. Smith measured ' || doc_id
+                     || ' units at St. Mary.' AS text,
+                   CAST(1 AS INT) AS n_sentences, CAST(8 AS INT) AS n_tokens
+            FROM docs
+            UNION ALL
+            SELECT doc_id, 1,
+                   'The result e.g. was fine! Was it batch ' || doc_id % 7
+                     || '? Yes.',
+                   3, 10
+            FROM docs
         """,
         # compression verdict: planted repetitive vs pseudo-random docs
         # must land on the expected sides of the ratio thresholds

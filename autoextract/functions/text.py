@@ -785,3 +785,80 @@ def extract_code_fences(docs, id_col: str = "doc_id", text_col: str = "text"):
             r"\n$", "",
         ).alias("code"),
     )
+
+
+def sentence_chunks(
+    sents, max_tokens: int = 128, id_col: str = "doc_id"
+):
+    """Greedy sentence-boundary chunking — what RAG and pretraining
+    pipelines actually want below ``chunk_documents``'s fixed token
+    windows: chunks that never split a sentence, filled greedily up to
+    ``max_tokens`` whitespace tokens (an oversized single sentence gets
+    its own chunk rather than being dropped).
+
+    Input is ``split_sentences`` output (``id, sent_id, sentence``).
+    Plan: ONE partial-agg shuffle collects each document's sentences in
+    order; the greedy scan is a pure-JVM ``aggregate`` HOF assigning a
+    chunk id per sentence; explode + a map-side re-group emits
+    ``(id, chunk_id, text, n_sentences, n_tokens)``.
+    """
+    per_doc = sents.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("sent_id"), F.col("sentence")))
+        ).alias("ss")
+    )
+    ntok = lambda s: F.size(F.split(F.trim(s), r"\s+"))
+    assigned = F.aggregate(
+        F.col("ss"),
+        F.struct(
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("used"),
+            F.array().cast("array<int>").alias("ids"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                (acc["used"] > 0) & (acc["used"] + ntok(x["sentence"]) > max_tokens),
+                acc["cur"] + 1,
+            ).otherwise(acc["cur"]).alias("cur"),
+            F.when(
+                (acc["used"] > 0) & (acc["used"] + ntok(x["sentence"]) > max_tokens),
+                ntok(x["sentence"]),
+            ).otherwise(acc["used"] + ntok(x["sentence"])).alias("used"),
+            F.concat(
+                acc["ids"],
+                F.array(
+                    F.when(
+                        (acc["used"] > 0)
+                        & (acc["used"] + ntok(x["sentence"]) > max_tokens),
+                        acc["cur"] + 1,
+                    ).otherwise(acc["cur"])
+                ),
+            ).alias("ids"),
+        ),
+        lambda acc: acc["ids"],
+    )
+    exploded = per_doc.select(
+        id_col,
+        F.posexplode(F.arrays_zip(F.col("ss"), assigned.alias("cid"))).alias(
+            "pos", "z"
+        ),
+    ).select(
+        id_col,
+        "pos",
+        F.col("z.cid").alias("chunk_id"),
+        F.col("z.ss.sentence").alias("sentence"),
+    )
+    # collect_list order is partition-arbitrary: sort by the document
+    # position before joining so chunk text is in reading order
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("sentence")))),
+            lambda s: s["sentence"],
+        ),
+        " ",
+    )
+    return exploded.groupBy(id_col, "chunk_id").agg(
+        joined.alias("text"),
+        F.count("*").cast("int").alias("n_sentences"),
+        F.size(F.split(F.trim(joined), r"\s+")).alias("n_tokens"),
+    )

@@ -160,6 +160,8 @@ HEADLINE = [
     # script census + sentence split: codegen'd projections, zero shuffles
     "script_profile",
     "sentence_split",
+    # greedy sentence packing: one per-doc agg + JVM aggregate HOF
+    "sentence_chunking",
     # zlib entropy signal: narrow Arrow stage, C codec per batch
     "compression_signal",
     # C4-style scrub: one codegen'd regexp chain, zero shuffles

@@ -454,3 +454,35 @@ def test_extract_code_fences_none(spark):
 
     df = spark.createDataFrame([(1, "just prose")], "doc_id long, text string")
     assert extract_code_fences(df).count() == 0
+
+
+def test_sentence_chunks_greedy_and_oversize(spark):
+    from autoextract.functions.text import sentence_chunks
+
+    sents = spark.createDataFrame(
+        [("d", 0, "one two three"),            # 3 tokens
+         ("d", 1, "four five"),                 # fits (5 <= 5)
+         ("d", 2, "six seven eight nine ten eleven"),  # 6 > 5 -> own chunk
+         ("d", 3, "tail")],
+        "doc_id string, sent_id int, sentence string",
+    )
+    rows = {r["chunk_id"]: r for r in
+            sentence_chunks(sents, max_tokens=5).collect()}
+    assert rows[0]["text"] == "one two three four five"
+    assert rows[0]["n_sentences"] == 2 and rows[0]["n_tokens"] == 5
+    # the oversized sentence is kept whole in its own chunk
+    assert rows[1]["text"].startswith("six") and rows[1]["n_tokens"] == 6
+    assert rows[2]["text"] == "tail"
+
+
+def test_sentence_chunks_partition_invariance(spark):
+    from autoextract.functions.text import sentence_chunks
+
+    sents = spark.createDataFrame(
+        [("d", i, f"word{i} " * (i % 3 + 1)) for i in range(20)],
+        "doc_id string, sent_id int, sentence string",
+    )
+    a = sorted(map(tuple, sentence_chunks(sents, max_tokens=4).collect()))
+    b = sorted(map(tuple, sentence_chunks(
+        sents.repartition(7), max_tokens=4).collect()))
+    assert a == b
