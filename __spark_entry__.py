@@ -1967,6 +1967,91 @@ def _furniture_lines_fixture(spark, sf):
     )
 
 
+def _q_clean_extraction(spark, sf):
+    """The cleanup-integrated extraction capstone (r5): word boxes →
+    ``order_words`` (XY-cut reading order) → ``lines_table`` →
+    ``strip_furniture`` (running header + page-number footer removed, the
+    page-1 stamp and the repeated BODY notice kept) →
+    ``repair_hyphenation`` (the planted ``exam-``/``ple`` split rejoined)
+    → per-document text reassembly in (page, reading-order) order. One
+    oracle hash over the final clean text gates the whole chain."""
+    from autoextract.operators.furniture import (
+        lines_table,
+        repair_hyphenation,
+        strip_furniture,
+    )
+    from autoextract.operators.layout import order_words
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 300)
+    )
+    n_pages = (F.col("doc_id") % 4 + 2).cast("int")
+    pages = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), n_pages)).alias("page"),
+        n_pages.alias("n_pages"),
+    )
+    did = F.col("doc_id").cast("string")
+    pg = F.col("page").cast("string")
+    npg = F.col("n_pages").cast("string")
+
+    def line(ln, y0, text):
+        return F.struct(
+            F.lit(ln).alias("ln"), F.lit(float(y0)).alias("ly0"), text.alias("lt")
+        )
+
+    base_lines = F.array(
+        line(0, 20.0, F.lit("Acme Quarterly Report")),
+        line(2, 300.0, F.concat(F.lit("Body content block "), did, F.lit(" alpha "), pg)),
+        line(3, 340.0, F.concat(F.lit("Body section "), did, F.lit(" beta "), pg)),
+        line(4, 420.0, F.lit("Confidential material enclosed herein")),
+        line(5, 460.0, F.lit("running exam-")),
+        line(6, 500.0, F.lit("ple continues here")),
+        line(7, 760.0, F.concat(F.lit("Page "), pg, F.lit(" of "), npg)),
+    )
+    stamp = F.when(
+        F.col("page") == 1,
+        F.array(line(1, 60.0, F.concat(F.lit("Draft stamp "), did))),
+    ).otherwise(F.array().cast("array<struct<ln:int,ly0:double,lt:string>>"))
+    lines = pages.select(
+        "doc_id", "page", F.explode(F.concat(base_lines, stamp)).alias("l")
+    ).select("doc_id", "page", "l.ln", "l.ly0", "l.lt")
+    words = lines.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "page", "ln", "ly0",
+        F.posexplode(F.split("lt", " ")).alias("wpos", "content"),
+    )
+    x0 = F.lit(40.0) + F.col("wpos") * 90.0
+    boxes = words.select(
+        "doc_id", "page",
+        (F.col("ln") * 16 + F.col("wpos")).cast("int").alias("word_seq"),
+        F.lit("text").alias("kind"), "content",
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(1.0).alias("rec_score"),
+        x0.alias("x0"), F.col("ly0").alias("y0"),
+        (x0 + 80.0).alias("x1"), (F.col("ly0") + 16.0).alias("y1"),
+    )
+    clean = repair_hyphenation(
+        strip_furniture(lines_table(order_words(boxes)), page_height=800.0)
+    )
+    doc_text = clean.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("page"), F.col("seq0"), F.col("text")))
+                ),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("clean_text")
+    )
+    return doc_text.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "clean_text"
+    )
+
+
 def _q_page_furniture(spark, sf):
     """Page-furniture removal (r5): running headers / page-number footers
     recur across pages and must be flagged; a page-1-only header-band
@@ -2622,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_fences": _q_code_fences,
         "cdc_chunks": _q_cdc_chunks,
         "page_furniture": _q_page_furniture,
+        "clean_extraction": _q_clean_extraction,
         "hyphenation_repair": _q_hyphenation_repair,
         "pdf_ingest_spans": _q_pdf_ingest_spans,
         "pdf_modern_ingest": _q_pdf_modern_ingest,
@@ -3721,6 +3807,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(row AS INT) AS row, CAST(col AS INT) AS col,
                    'cell ' || doc_id || ' ' || row || ' ' || col AS text
             FROM c
+        """,
+        # capstone replay: the exact clean text after layout + furniture
+        # strip + hyphen repair, page by page in reading order
+        "clean_extraction": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 4 + 2 AS n_pages
+              FROM documents WHERE doc_id < 300),
+            pg AS (
+              SELECT doc_id, n_pages, unnest(range(1, n_pages + 1)) AS page
+              FROM docs),
+            pt AS (
+              SELECT doc_id, page,
+                (CASE WHEN page = 1
+                      THEN 'Draft stamp ' || doc_id || chr(10) ELSE '' END)
+                || 'Body content block ' || doc_id || ' alpha ' || page
+                || chr(10)
+                || 'Body section ' || doc_id || ' beta ' || page || chr(10)
+                || 'Confidential material enclosed herein' || chr(10)
+                || 'running example' || chr(10)
+                || 'continues here' AS t
+              FROM pg)
+            SELECT doc_id, string_agg(t, chr(10) ORDER BY page) AS clean_text
+            FROM pt GROUP BY doc_id
         """,
         # page-furniture replay: regenerate the multi-page line fixture
         # arithmetically, classify bands from the same geometry (y1 <=

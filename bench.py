@@ -174,6 +174,9 @@ HEADLINE = [
     # cross-page header/footer census: two short-key partial-agg shuffles
     # over the full boxes → order_words → lines_table chain
     "page_furniture",
+    # the cleanup-integrated extraction capstone: layout → furniture strip
+    # → hyphen repair → document text under one hash
+    "clean_extraction",
     # end-of-line hyphen merge: one window pass, pure JVM regex
     "hyphenation_repair",
     # table grid recovery: one grouping exchange + per-table NumPy kernel
