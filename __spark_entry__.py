@@ -1671,6 +1671,32 @@ def _q_text_scrub(spark, sf):
     return scrub_text(docs.select("doc_id", text.alias("text")))
 
 
+def _q_language_consistency(spark, sf):
+    """Code-switching detector (r5): per doc three English sentences plus
+    0–2 German ones (doc_id arithmetic) through the full
+    split→classify→majority chain; majority stays 'en', the fraction and
+    the mixed flag (majority < 0.8) must match the arithmetic replay."""
+    from autoextract.functions.text import language_consistency
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit(
+            "The cat and the dog is here. The bird and the fish is fine. "
+            "The sun and the moon is up."
+        ),
+        F.when(
+            d % 3 >= 1, F.lit(" Der Hund und die Katze nicht da.")
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 2, F.lit(" Der Wind und das Wetter nicht gut.")
+        ).otherwise(F.lit("")),
+    )
+    return language_consistency(docs.select("doc_id", text.alias("text")))
+
+
 def _q_sentence_chunking(spark, sf):
     """Sentence-boundary chunking (r5): the sentence_split fixture (token
     counts 8/5/4/1 per doc) packed greedily at max_tokens=12 must yield
@@ -2701,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _q_script_profile,
         "sentence_split": _q_sentence_split,
         "sentence_chunking": _q_sentence_chunking,
+        "language_consistency": _q_language_consistency,
         "compression_signal": _q_compression_signal,
         "text_scrub": _q_text_scrub,
         "reply_strip": _q_reply_strip,
@@ -3956,6 +3983,14 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Alpha beta ' || doc_id || chr(10) || chr(10)
                              || 'Gamma delta.' END AS text,
                    doc_id % 10 <> 9 AS scrubbed
+            FROM documents
+        """,
+        # consistency replay: majority vote + mixed flag arithmetically
+        "language_consistency": """
+            SELECT doc_id, CAST(3 + doc_id % 3 AS INT) AS n_sents,
+                   'en' AS majority_lang,
+                   ROUND(3.0 / (3 + doc_id % 3), 6) AS majority_frac,
+                   doc_id % 3 <> 0 AS mixed
             FROM documents
         """,
         # chunk replay: the greedy boundary at max_tokens=12 over the

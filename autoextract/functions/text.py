@@ -862,3 +862,39 @@ def sentence_chunks(
         F.count("*").cast("int").alias("n_sentences"),
         F.size(F.split(F.trim(joined), r"\s+")).alias("n_tokens"),
     )
+
+
+def language_consistency(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Code-switching detector — multilingual curation drops documents
+    whose sentences disagree about language (usually boilerplate collage,
+    spam, or mis-merged crawl records rather than real bilingual prose).
+
+    ``split_sentences`` → per-sentence ``lang_guess`` → per-document
+    majority vote.  Output: ``(id, n_sents, majority_lang, majority_frac,
+    mixed)`` with ``mixed`` true when the majority holds < ``0.8`` of the
+    classified sentences (``und`` sentences don't vote).  Two short-key
+    partial-agg shuffles; the per-sentence classifier is the codegen'd
+    marker chain.
+    """
+    sents = split_sentences(docs, id_col=id_col, text_col=text_col)
+    tagged = sents.select(
+        F.col(id_col), lang_guess(F.col("sentence")).alias("lang")
+    ).where(F.col("lang") != "und")
+    counts = tagged.groupBy(id_col, "lang").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("n").desc(), F.col("lang").asc())
+    totals = counts.groupBy(id_col).agg(F.sum("n").alias("n_sents"))
+    top = (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    out = top.join(totals, id_col).select(
+        id_col,
+        F.col("n_sents").cast("int").alias("n_sents"),
+        F.col("lang").alias("majority_lang"),
+        F.round(F.col("n") / F.col("n_sents"), 6).alias("majority_frac"),
+        (F.col("n") / F.col("n_sents") < 0.8).alias("mixed"),
+    )
+    return out

@@ -162,6 +162,8 @@ HEADLINE = [
     "sentence_split",
     # greedy sentence packing: one per-doc agg + JVM aggregate HOF
     "sentence_chunking",
+    # code-switching detector: two short-key partial-agg shuffles
+    "language_consistency",
     # zlib entropy signal: narrow Arrow stage, C codec per batch
     "compression_signal",
     # C4-style scrub: one codegen'd regexp chain, zero shuffles

@@ -486,3 +486,22 @@ def test_sentence_chunks_partition_invariance(spark):
     b = sorted(map(tuple, sentence_chunks(
         sents.repartition(7), max_tokens=4).collect()))
     assert a == b
+
+
+def test_language_consistency_majority_and_mixed(spark):
+    from autoextract.functions.text import language_consistency
+
+    en3 = ("The cat and the dog is here. The bird and the fish is fine. "
+           "The sun and the moon is up.")
+    df = spark.createDataFrame(
+        [(1, en3),
+         (2, en3 + " Der Hund und die Katze nicht da."),
+         (3, "12345. 67890.")],      # nothing classifiable
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in language_consistency(df).collect()}
+    assert got[1]["majority_lang"] == "en" and got[1]["mixed"] is False
+    assert got[1]["majority_frac"] == 1.0
+    assert got[2]["n_sents"] == 4 and got[2]["mixed"] is True
+    assert abs(got[2]["majority_frac"] - 0.75) < 1e-9
+    assert 3 not in got          # und-only docs produce no row
