@@ -1829,6 +1829,55 @@ def _q_unicode_nfc(spark, sf):
     ).select("doc_id", "text", "normalized")
 
 
+def _q_exif_metadata(spark, sf):
+    """EXIF extraction (r5): per doc an APP1/Exif segment with rotating
+    byte order (II/MM), rotating field presence (orientation, Make, Model,
+    DateTime inline-vs-offset ASCII, DateTimeOriginal behind the ExifIFD
+    pointer), and every 12th payload corrupt (no SOI) → all-NULL row, never
+    a failure. Oracle derives all five fields arithmetically."""
+    from autoextract.operators.exif import (
+        build_exif_app1,
+        exif_metadata,
+        splice_app1,
+    )
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        base = b"\xff\xd8\xff\xdb\x00\x04\x00\x00\xff\xda\x00\x02rest"
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 12 == 11:
+                    rows.append({"doc_id": d, "payload": b"not a jpeg"})
+                    continue
+                app1 = build_exif_app1(
+                    orientation=(d % 8 + 1) if d % 3 != 0 else None,
+                    make=f"Maker {d % 5}" if d % 4 != 1 else None,
+                    model=f"Model {d % 7}" if d % 7 != 0 else None,
+                    datetime=(
+                        f"2026:01:0{d % 9 + 1} 00:00:00" if d % 2 == 0 else None
+                    ),
+                    datetime_original=(
+                        f"2025:11:0{d % 9 + 1} 12:00:00" if d % 5 == 0 else None
+                    ),
+                    byte_order="II" if d % 2 == 0 else "MM",
+                )
+                rows.append({"doc_id": d, "payload": splice_app1(base, app1)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return exif_metadata(media).select(
+        "doc_id", "orientation", "make", "model", "datetime",
+        "datetime_original",
+    )
+
+
 def _q_image_neardup(spark, sf):
     """Perceptual image near-dup (r5) as a driver-checked verdict: 40
     deterministic random-field PNGs each planted with a near-duplicate
@@ -2722,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
+        "exif_metadata": _q_exif_metadata,
         "mojibake_repair": _q_mojibake_repair,
         "unicode_nfc": _q_unicode_nfc,
         "script_profile": _q_script_profile,
@@ -4047,6 +4097,24 @@ def oracle_sql() -> dict[str, str]:
                         WHEN grk >= han THEN 'greek'
                         ELSE 'han' END AS dominant_script
             FROM t
+        """,
+        # exif replay: all five fields derived arithmetically; corrupt
+        # payloads -> all-NULL rows
+        "exif_metadata": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 12 <> 11 AND doc_id % 3 <> 0
+                        THEN CAST(doc_id % 8 + 1 AS INT) END AS orientation,
+                   CASE WHEN doc_id % 12 <> 11 AND doc_id % 4 <> 1
+                        THEN 'Maker ' || doc_id % 5 END AS make,
+                   CASE WHEN doc_id % 12 <> 11 AND doc_id % 7 <> 0
+                        THEN 'Model ' || doc_id % 7 END AS model,
+                   CASE WHEN doc_id % 12 <> 11 AND doc_id % 2 = 0
+                        THEN '2026:01:0' || (doc_id % 9 + 1) || ' 00:00:00'
+                   END AS datetime,
+                   CASE WHEN doc_id % 12 <> 11 AND doc_id % 5 = 0
+                        THEN '2025:11:0' || (doc_id % 9 + 1) || ' 12:00:00'
+                   END AS datetime_original
+            FROM documents WHERE doc_id < 240
         """,
         # NFC cross-engine: DuckDB's ICU normalizer over the same
         # decomposed construction must equal our unicodedata kernel

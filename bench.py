@@ -153,6 +153,8 @@ HEADLINE = [
     "dsir_sample",
     # perceptual dHash + the shared pigeonhole blocking over real PNG decode
     "image_neardup",
+    # EXIF IFD walk: narrow Arrow stage over the binary column
+    "exif_metadata",
     # ftfy-style encoding repair: narrow Arrow stage, zero shuffles
     "mojibake_repair",
     # NFC recomposition: narrow Arrow stage, ascii early-exit

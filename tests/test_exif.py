@@ -1,0 +1,47 @@
+"""EXIF extraction (operators/exif.py): TIFF 6.0 IFD walk over APP1."""
+
+from __future__ import annotations
+
+from autoextract.operators.exif import (
+    build_exif_app1,
+    exif_metadata,
+    parse_exif,
+    splice_app1,
+)
+
+BASE = b"\xff\xd8\xff\xdb\x00\x04\x00\x00\xff\xda\x00\x02rest"
+
+
+def test_roundtrip_both_byte_orders():
+    for bo in ("II", "MM"):
+        j = splice_app1(BASE, build_exif_app1(
+            orientation=6, make="Acme", model="Cam 9000 Ultra",
+            datetime="2026:01:02 03:04:05",
+            datetime_original="2025:12:31 23:59:59", byte_order=bo))
+        got = parse_exif(j)
+        assert got["orientation"] == 6 and got["make"] == "Acme"
+        assert got["model"] == "Cam 9000 Ultra"          # offset ASCII
+        assert got["datetime_original"] == "2025:12:31 23:59:59"  # ExifIFD
+
+
+def test_containment_and_range():
+    assert parse_exif(b"junk")["orientation"] is None
+    assert parse_exif(BASE)["make"] is None              # no APP1 at all
+    bad = splice_app1(BASE, build_exif_app1(orientation=9))
+    assert parse_exif(bad)["orientation"] is None        # out of 1..8
+    # truncated APP1 must not raise
+    trunc = splice_app1(BASE, build_exif_app1(orientation=3))[:14]
+    assert parse_exif(trunc)["orientation"] is None
+
+
+def test_exif_metadata_kernel(spark):
+    rows = [
+        (1, splice_app1(BASE, build_exif_app1(orientation=3, make="A"))),
+        (2, b"not jpeg"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in exif_metadata(df).collect()}
+    assert got[1]["orientation"] == 3 and got[1]["make"] == "A"
+    assert got[2]["orientation"] is None
+    assert got[3]["orientation"] is None
