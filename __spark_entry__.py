@@ -1878,6 +1878,44 @@ def _q_exif_metadata(spark, sf):
     )
 
 
+def _q_id3_metadata(spark, sf):
+    """ID3v2 extraction (r5): rotating tag version (2.3 plain / 2.4
+    syncsafe frame sizes), rotating text encoding (latin-1 / UTF-16+BOM /
+    UTF-8), rotating field presence, every 11th payload corrupt → all-NULL
+    row. Oracle derives all four fields arithmetically."""
+    from autoextract.operators.id3 import build_id3, id3_metadata
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 11 == 10:
+                    rows.append({"doc_id": d, "payload": b"\xff\xfbjunk"})
+                    continue
+                tag = build_id3(
+                    title=f"Track {d % 9}",
+                    artist=f"Artist {d % 5}" if d % 4 != 1 else None,
+                    album=f"Album {d % 7}" if d % 7 != 0 else None,
+                    year=f"201{d % 10}" if d % 3 != 2 else None,
+                    version=3 if d % 2 == 0 else 4,
+                    encoding=(0, 1, 3)[d % 3],
+                )
+                rows.append({"doc_id": d, "payload": tag + b"\xff\xfb..."})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return id3_metadata(media).select(
+        "doc_id", "title", "artist", "album", "year"
+    )
+
+
 def _q_image_neardup(spark, sf):
     """Perceptual image near-dup (r5) as a driver-checked verdict: 40
     deterministic random-field PNGs each planted with a near-duplicate
@@ -2772,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
         "exif_metadata": _q_exif_metadata,
+        "id3_metadata": _q_id3_metadata,
         "mojibake_repair": _q_mojibake_repair,
         "unicode_nfc": _q_unicode_nfc,
         "script_profile": _q_script_profile,
@@ -4097,6 +4136,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN grk >= han THEN 'greek'
                         ELSE 'han' END AS dominant_script
             FROM t
+        """,
+        # id3 replay: all four fields derived arithmetically; corrupt
+        # payloads -> all-NULL rows
+        "id3_metadata": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 <> 10
+                        THEN 'Track ' || doc_id % 9 END AS title,
+                   CASE WHEN doc_id % 11 <> 10 AND doc_id % 4 <> 1
+                        THEN 'Artist ' || doc_id % 5 END AS artist,
+                   CASE WHEN doc_id % 11 <> 10 AND doc_id % 7 <> 0
+                        THEN 'Album ' || doc_id % 7 END AS album,
+                   CASE WHEN doc_id % 11 <> 10 AND doc_id % 3 <> 2
+                        THEN '201' || doc_id % 10 END AS year
+            FROM documents WHERE doc_id < 240
         """,
         # exif replay: all five fields derived arithmetically; corrupt
         # payloads -> all-NULL rows

@@ -155,6 +155,8 @@ HEADLINE = [
     "image_neardup",
     # EXIF IFD walk: narrow Arrow stage over the binary column
     "exif_metadata",
+    # ID3v2 frame walk: the audio-metadata twin
+    "id3_metadata",
     # ftfy-style encoding repair: narrow Arrow stage, zero shuffles
     "mojibake_repair",
     # NFC recomposition: narrow Arrow stage, ascii early-exit

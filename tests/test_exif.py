@@ -45,3 +45,33 @@ def test_exif_metadata_kernel(spark):
     assert got[1]["orientation"] == 3 and got[1]["make"] == "A"
     assert got[2]["orientation"] is None
     assert got[3]["orientation"] is None
+
+
+# ----------------------------------------------------------------------
+# ID3v2 (the audio-metadata twin)
+# ----------------------------------------------------------------------
+
+def test_id3_roundtrip_versions_and_encodings():
+    from autoextract.operators.id3 import build_id3, parse_id3
+
+    for v in (3, 4):
+        for e in (0, 1, 3):
+            tag = build_id3(title="Söng", artist="Bänd",
+                            album="LP", year="2026", version=v, encoding=e)
+            got = parse_id3(tag + b"\xff\xfbaudio")
+            assert got == {"title": "Söng", "artist": "Bänd",
+                           "album": "LP", "year": "2026"}, (v, e)
+
+
+def test_id3_containment_and_partials(spark):
+    from autoextract.operators.id3 import build_id3, id3_metadata, parse_id3
+
+    assert parse_id3(b"\xff\xfbno tag")["title"] is None
+    assert parse_id3(build_id3(title="x")[:6])["title"] is None
+    df = spark.createDataFrame(
+        [(1, build_id3(title="Only Title")), (2, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in id3_metadata(df).collect()}
+    assert got[1]["title"] == "Only Title" and got[1]["artist"] is None
+    assert got[2]["title"] is None
