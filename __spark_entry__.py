@@ -1373,6 +1373,80 @@ def _q_sitemap_ingest(spark, sf):
     return parse_sitemaps(hosts.select("host", xml.alias("sitemap_xml")))
 
 
+def _q_docx_ingest(spark, sf):
+    """DOCX ingestion (r5): per doc a real ZIP/OOXML package (stdlib
+    zipfile + WordprocessingML) with two heading levels, escaped-entity
+    paragraph text, a 2×2 table, and an image anchor on even docs (which
+    shifts later seqs — the oracle replays the shift); parse back to the
+    engine's interleaved span vocabulary. Oracle derives every span
+    arithmetically."""
+    from autoextract.sources.docx import build_docx, docx_spans
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                blocks = [
+                    ("heading", 1, f"Document {d} Report"),
+                    ("text", f"Opening paragraph of {d} with value {d % 7}."),
+                    ("table", [["k", str(d % 5)], ["metric", str(d % 9)]]),
+                ]
+                if d % 2 == 0:
+                    blocks.append(("image",))
+                blocks += [
+                    ("heading", 2, f"Section {d % 3}"),
+                    ("text", f"Closing remarks for {d}."),
+                ]
+                rows.append({"doc_id": d, "payload": build_docx(blocks)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return docx_spans(media)
+
+
+def _q_xlsx_ingest(spark, sf):
+    """XLSX ingestion (r5): per doc a real SpreadsheetML package — header
+    strings through the DEDUPLICATED shared-string table, odd docs using
+    inlineStr cells instead, numbers inline, every 13th payload corrupt →
+    zero cells. Oracle derives every cell arithmetically."""
+    from autoextract.sources.xlsx import build_xlsx, xlsx_cells
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 13 == 12:
+                    rows.append({"doc_id": d, "payload": b"PK corrupt"})
+                    continue
+                grid = [
+                    ["name", "count"],
+                    [f"item {d % 5}", d % 9],
+                    [f"thing {d % 3}", d % 7],
+                ]
+                rows.append({
+                    "doc_id": d,
+                    "payload": build_xlsx(grid, inline_strings=(d % 2 == 1)),
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return xlsx_cells(media)
+
+
 def _q_jsonl_ingest(spark, sf):
     """JSONL column parsing (r5): per doc a JSON object with an escaped
     quote in the text, a nested meta struct (score absent on every third
@@ -2807,6 +2881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": _q_sitemap_ingest,
         "feed_ingest": _q_feed_ingest,
         "jsonl_ingest": _q_jsonl_ingest,
+        "docx_ingest": _q_docx_ingest,
+        "xlsx_ingest": _q_xlsx_ingest,
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
         "exif_metadata": _q_exif_metadata,
@@ -4291,6 +4367,52 @@ def oracle_sql() -> dict[str, str]:
                      AS priority
             FROM p
             WHERE trim(regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)) <> ''
+        """,
+        # docx replay: every span derived arithmetically incl. the seq
+        # shift caused by the conditional image anchor
+        "docx_ingest": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 2 = 0 AS has_img
+              FROM documents WHERE doc_id < 240)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS seq,
+                   'heading' AS kind,
+                   'Document ' || doc_id || ' Report' AS text,
+                   CAST(1 AS INT) AS level
+            FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, 'text',
+                   'Opening paragraph of ' || doc_id || ' with value '
+                     || doc_id % 7 || '.', NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 2, 'table',
+                   'k | ' || doc_id % 5 || chr(10) || 'metric | '
+                     || doc_id % 9, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 3, 'image', '', NULL
+            FROM docs WHERE has_img
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_img THEN 4 ELSE 3 END, 'heading',
+                   'Section ' || doc_id % 3, 2 FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_img THEN 5 ELSE 4 END, 'text',
+                   'Closing remarks for ' || doc_id || '.', NULL FROM docs
+        """,
+        # xlsx replay: every cell derived arithmetically; corrupt
+        # payloads contribute zero cells
+        "xlsx_ingest": """
+            WITH docs AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id < 240 AND doc_id % 13 <> 12)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS row,
+                   CAST(0 AS INT) AS col, 'name' AS value,
+                   FALSE AS is_number FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 0, 1, 'count', FALSE
+            FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, 0,
+                   'item ' || doc_id % 5, FALSE FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, 1,
+                   CAST(doc_id % 9 AS VARCHAR), TRUE FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 2, 0,
+                   'thing ' || doc_id % 3, FALSE FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 2, 1,
+                   CAST(doc_id % 7 AS VARCHAR), TRUE FROM docs
         """,
         # jsonl replay: parsed fields derived arithmetically; corrupt
         # lines -> valid=false with NULL fields

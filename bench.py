@@ -148,6 +148,10 @@ HEADLINE = [
     "feed_ingest",
     # from_json column parse: one codegen'd projection, O6 containment
     "jsonl_ingest",
+    # OOXML zip + WordprocessingML parse: narrow Arrow stage
+    "docx_ingest",
+    # SpreadsheetML cells: shared-string indirection + A1 decode
+    "xlsx_ingest",
     # DSIR: bounded-cardinality bucket aggregates + broadcast log-ratio
     # join + distributed sort-limit top-k — domain-matching data selection
     "dsir_sample",
