@@ -1447,6 +1447,40 @@ def _q_xlsx_ingest(spark, sf):
     return xlsx_cells(media)
 
 
+def _q_pptx_ingest(spark, sf):
+    """PPTX ingestion (r5): per doc 1–3 slide parts (doc_id arithmetic),
+    each with a title and a body paragraph carrying escaped entities;
+    every 17th payload corrupt → zero rows. Oracle derives every
+    (slide, seq, text) arithmetically."""
+    from autoextract.sources.pptx import build_pptx, pptx_slides
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 17 == 16:
+                    rows.append({"doc_id": d, "payload": b"PK nope"})
+                    continue
+                n = d % 3 + 1
+                slides = [
+                    [f"Slide {s} of deck {d}",
+                     f"Point {s} & detail {d % 7}"]
+                    for s in range(1, n + 1)
+                ]
+                rows.append({"doc_id": d, "payload": build_pptx(slides)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return pptx_slides(media)
+
+
 def _q_jsonl_ingest(spark, sf):
     """JSONL column parsing (r5): per doc a JSON object with an escaped
     quote in the text, a nested meta struct (score absent on every third
@@ -2883,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "docx_ingest": _q_docx_ingest,
         "xlsx_ingest": _q_xlsx_ingest,
+        "pptx_ingest": _q_pptx_ingest,
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
         "exif_metadata": _q_exif_metadata,
@@ -4393,6 +4428,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT CAST(doc_id AS VARCHAR),
                    CASE WHEN has_img THEN 5 ELSE 4 END, 'text',
                    'Closing remarks for ' || doc_id || '.', NULL FROM docs
+        """,
+        # pptx replay: every slide paragraph derived arithmetically
+        "pptx_ingest": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 3 + 1 AS n_slides FROM documents
+              WHERE doc_id < 240 AND doc_id % 17 <> 16),
+            s AS (
+              SELECT doc_id, unnest(range(1, n_slides + 1)) AS slide
+              FROM docs)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(slide AS INT) AS slide, CAST(0 AS INT) AS seq,
+                   'Slide ' || slide || ' of deck ' || doc_id AS text
+            FROM s
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR), CAST(slide AS INT), 1,
+                   'Point ' || slide || ' & detail ' || doc_id % 7
+            FROM s
         """,
         # xlsx replay: every cell derived arithmetically; corrupt
         # payloads contribute zero cells

@@ -152,6 +152,8 @@ HEADLINE = [
     "docx_ingest",
     # SpreadsheetML cells: shared-string indirection + A1 decode
     "xlsx_ingest",
+    # PresentationML slides: numeric part ordering + DrawingML runs
+    "pptx_ingest",
     # DSIR: bounded-cardinality bucket aggregates + broadcast log-ratio
     # join + distributed sort-limit top-k — domain-matching data selection
     "dsir_sample",

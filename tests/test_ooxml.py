@@ -67,3 +67,22 @@ def test_xlsx_kernel_containment(spark):
     )
     got = xlsx_cells(df).collect()
     assert len(got) == 1 and got[0]["value"] == "v"
+
+
+def test_pptx_slide_order_and_entities(spark):
+    from autoextract.sources.pptx import build_pptx, parse_pptx, pptx_slides
+
+    # 11 slides: numeric part ordering must beat lexicographic
+    # (slide10.xml < slide2.xml as strings)
+    d = build_pptx([[f"s{i}"] for i in range(1, 12)])
+    got = parse_pptx(d)
+    assert [r["slide"] for r in got] == list(range(1, 12))
+    e = build_pptx([["A & <b>", "", "second"]])
+    rows = parse_pptx(e)
+    assert [(r["seq"], r["text"]) for r in rows] == [
+        (0, "A & <b>"), (1, "second")]    # empty paragraph dropped
+    df = spark.createDataFrame(
+        [(1, build_pptx([["x"]])), (2, b"junk")],
+        "doc_id long, payload binary",
+    )
+    assert pptx_slides(df).count() == 1
