@@ -1447,6 +1447,68 @@ def _q_xlsx_ingest(spark, sf):
     return xlsx_cells(media)
 
 
+def _q_epub_ingest(spark, sf):
+    """EPUB ingestion (r5) end-to-end: per doc a real OCF/OPF package with
+    1–2 boilerplate-framed XHTML chapters whose zip-member order is
+    deliberately REVERSED from the spine (spine resolution is exercised,
+    not member order), routed through the P6 density extractor per
+    chapter. The oracle recomputes expected chapter text arithmetically —
+    boilerplate leakage, content loss, or spine misordering all
+    hash-mismatch."""
+    from autoextract.operators.html import strip_html
+    from autoextract.sources.epub import build_epub, epub_chapters
+    from autoextract.sources.warc import doc_html_page
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 200)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = d % 2 + 1
+                chapters = [
+                    doc_html_page(
+                        f"{d}:{c}",
+                        f"Book {d} chapter {c} tells a long story about "
+                        "extraction pipelines today",
+                    )
+                    for c in range(n)
+                ]
+                rows.append({"doc_id": d, "payload": build_epub(chapters)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    chapters = epub_chapters(media)
+    keyed = chapters.select(
+        F.concat(F.col("doc_id"), F.lit("#"), F.col("chapter").cast("string"))
+        .alias("doc_id"),
+        "html",
+    )
+    flat = strip_html(keyed)
+    s = F.struct(F.col("seq"), F.col("text"))
+    agg = flat.groupBy("doc_id").agg(
+        F.count(F.when(F.col("kind") == "text", 1)).cast("long").alias("n_text_spans"),
+        F.count(F.when(F.col("kind") == "media", 1)).cast("long").alias("n_media"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.when(F.col("kind") == "text", s))),
+                lambda x: x["text"],
+            ),
+            " ",
+        ).alias("text_rebuilt"),
+    )
+    return agg.select(
+        F.split("doc_id", "#")[0].cast("long").alias("doc_id"),
+        F.split("doc_id", "#")[1].cast("int").alias("chapter"),
+        "n_text_spans", "n_media", "text_rebuilt",
+    )
+
+
 def _q_pptx_ingest(spark, sf):
     """PPTX ingestion (r5): per doc 1–3 slide parts (doc_id arithmetic),
     each with a title and a body paragraph carrying escaped entities;
@@ -2918,6 +2980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_ingest": _q_docx_ingest,
         "xlsx_ingest": _q_xlsx_ingest,
         "pptx_ingest": _q_pptx_ingest,
+        "epub_ingest": _q_epub_ingest,
         "dsir_sample": _q_dsir_sample,
         "image_neardup": _q_image_neardup,
         "exif_metadata": _q_exif_metadata,
@@ -4428,6 +4491,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT CAST(doc_id AS VARCHAR),
                    CASE WHEN has_img THEN 5 ELSE 4 END, 'text',
                    'Closing remarks for ' || doc_id || '.', NULL FROM docs
+        """,
+        # epub replay: per (doc, chapter) the density vote must keep
+        # exactly the article (2 text spans + 1 media) and round-trip the
+        # chapter text
+        "epub_ingest": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 2 + 1 AS n FROM documents
+              WHERE doc_id < 200),
+            c AS (SELECT doc_id, unnest(range(0, n)) AS chapter FROM docs)
+            SELECT doc_id, CAST(chapter AS INT) AS chapter,
+                   CAST(2 AS BIGINT) AS n_text_spans,
+                   CAST(1 AS BIGINT) AS n_media,
+                   'Book ' || doc_id || ' chapter ' || chapter
+                     || ' tells a long story about extraction pipelines today'
+                     AS text_rebuilt
+            FROM c
         """,
         # pptx replay: every slide paragraph derived arithmetically
         "pptx_ingest": """

@@ -154,6 +154,8 @@ HEADLINE = [
     "xlsx_ingest",
     # PresentationML slides: numeric part ordering + DrawingML runs
     "pptx_ingest",
+    # OCF/OPF spine resolution -> P6 density strip per chapter
+    "epub_ingest",
     # DSIR: bounded-cardinality bucket aggregates + broadcast log-ratio
     # join + distributed sort-limit top-k — domain-matching data selection
     "dsir_sample",

@@ -86,3 +86,20 @@ def test_pptx_slide_order_and_entities(spark):
         "doc_id long, payload binary",
     )
     assert pptx_slides(df).count() == 1
+
+
+def test_epub_spine_order_beats_zip_order(spark):
+    from autoextract.sources.epub import build_epub, epub_chapters, parse_epub
+
+    chs = [f"<html><body><p>chapter {i}</p></body></html>" for i in range(3)]
+    e = build_epub(chs)   # zip members written in REVERSE of the spine
+    got = parse_epub(e)
+    assert [c["chapter"] for c in got] == [0, 1, 2]
+    assert all(f"chapter {i}" in c["html"] for i, c in enumerate(got))
+    assert got[0]["path"] == "OEBPS/ch0.xhtml"
+    # css item in the manifest is not a chapter
+    assert len(got) == 3
+    assert parse_epub(b"not epub") == []
+    df = spark.createDataFrame(
+        [(1, e), (2, b"junk")], "doc_id long, payload binary")
+    assert epub_chapters(df).count() == 3
