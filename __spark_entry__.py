@@ -848,6 +848,17 @@ def _q_document_filter(spark, sf):
     return TX.document_filter(_t(spark, sf, "documents").where(F.col("doc_id") < 500))
 
 
+def _q_filter_report(spark, sf):
+    """Per-source curation dashboard (r5): the document_filter verdicts
+    rolled up per source — doc/keep counts, 6-dp keep rate, dominant
+    reject reason (count desc, name asc; all-keep sources NULL). The
+    oracle wraps the SAME verdict SQL the per-doc gate uses, so the
+    rollup math and the verdicts both gate."""
+    return TX.filter_report(
+        _t(spark, sf, "documents").where(F.col("doc_id") < 500)
+    )
+
+
 def _q_asof_join(spark, sf):
     """As-of join (custom temporal operator): each purchase gets the user's
     latest view at-or-before it via the union-window composition — one
@@ -2959,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "repetition_metrics": _q_repetition_metrics,
         "document_filter": _q_document_filter,
+        "filter_report": _q_filter_report,
         "asof_join": _q_asof_join,
         "asof_join_chunked": _q_asof_join_chunked,
         "interval_count_join": _q_interval_count,
@@ -3033,6 +3045,61 @@ _LANG_SCORE = {
         "es": ["el", "los", "las", "es", "y"],
     }.items()
 }
+
+
+#: the composed document-filter replay (shared by the per-doc
+#: document_filter oracle and the per-source filter_report rollup)
+_DOC_FILTER_ORACLE = f"""
+            WITH scalar AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                          WHEN s_es >= s_fr THEN 'es'
+                          ELSE 'fr' END AS lg,
+                     (n_words >= 10
+                      AND (CASE WHEN n_words > 0 THEN CAST(n_chars - n_words + 1 AS DOUBLE)/n_words ELSE 0.0 END) >= 2.0
+                      AND (CASE WHEN n_words > 0 THEN CAST(n_chars - n_words + 1 AS DOUBLE)/n_words ELSE 0.0 END) <= 12.0
+                      AND (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE)/n_chars ELSE 0.0 END) >= 0.6
+                      AND (CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE)/n_chars ELSE 0.0 END) <= 0.2) AS qk,
+                     pii
+              FROM (SELECT doc_id, len(text) AS n_chars,
+                           CASE WHEN len(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+                           len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+                           len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars,
+                           {_LANG_SCORE['de']} AS s_de,
+                           {_LANG_SCORE['en']} AS s_en,
+                           {_LANG_SCORE['es']} AS s_es,
+                           {_LANG_SCORE['fr']} AS s_fr,
+                           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                           + len(regexp_extract_all(text, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))
+                           + len(regexp_extract_all(text, '\\+\\d{{1,3}}[- ]?\\d{{3}}[- ]?\\d{{3,4}}(?:[- ]?\\d{{3,4}})?')) AS pii
+                    FROM documents WHERE doc_id < 500)),
+            toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+                     FROM documents WHERE doc_id < 500),
+            g AS (SELECT doc_id,
+                         unnest([array_to_string(l[i:i+1], ' ')
+                                 for i in range(1, greatest(len(l)-1, 1)+1)]) AS gram
+                  FROM toks),
+            pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+            gs AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS tg
+                   FROM pg GROUP BY 1),
+            t AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+            pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+            ts AS (SELECT doc_id,
+                          round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                                / CAST(sum(c) AS DOUBLE), 6) AS dt
+                   FROM pt GROUP BY 1)
+            SELECT s.doc_id,
+                   (lg = 'en' AND qk AND tg <= 0.2 AND dt <= 0.5 AND pii = 0) AS keep,
+                   CASE WHEN lg != 'en' THEN 'lang'
+                        WHEN NOT qk THEN 'quality'
+                        WHEN NOT (tg <= 0.2 AND dt <= 0.5) THEN 'repetition'
+                        WHEN pii > 0 THEN 'pii'
+                        ELSE NULL END AS reject_reason
+            FROM scalar s JOIN gs USING (doc_id) JOIN ts USING (doc_id)
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3714,56 +3781,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT gs.doc_id, n_grams, top_gram_frac, dup_token_frac
             FROM gs JOIN ts USING (doc_id)
         """,
-        "document_filter": f"""
-            WITH scalar AS (
-              SELECT doc_id,
-                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
-                          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-                          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-                          WHEN s_es >= s_fr THEN 'es'
-                          ELSE 'fr' END AS lg,
-                     (n_words >= 10
-                      AND (CASE WHEN n_words > 0 THEN CAST(n_chars - n_words + 1 AS DOUBLE)/n_words ELSE 0.0 END) >= 2.0
-                      AND (CASE WHEN n_words > 0 THEN CAST(n_chars - n_words + 1 AS DOUBLE)/n_words ELSE 0.0 END) <= 12.0
-                      AND (CASE WHEN n_chars > 0 THEN CAST(alpha_chars AS DOUBLE)/n_chars ELSE 0.0 END) >= 0.6
-                      AND (CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE)/n_chars ELSE 0.0 END) <= 0.2) AS qk,
-                     pii
-              FROM (SELECT doc_id, len(text) AS n_chars,
-                           CASE WHEN len(trim(text)) = 0 THEN 0
-                                ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
-                           len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
-                           len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars,
-                           {_LANG_SCORE['de']} AS s_de,
-                           {_LANG_SCORE['en']} AS s_en,
-                           {_LANG_SCORE['es']} AS s_es,
-                           {_LANG_SCORE['fr']} AS s_fr,
-                           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
-                           + len(regexp_extract_all(text, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b'))
-                           + len(regexp_extract_all(text, '\\+\\d{{1,3}}[- ]?\\d{{3}}[- ]?\\d{{3,4}}(?:[- ]?\\d{{3,4}})?')) AS pii
-                    FROM documents WHERE doc_id < 500)),
-            toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
-                     FROM documents WHERE doc_id < 500),
-            g AS (SELECT doc_id,
-                         unnest([array_to_string(l[i:i+1], ' ')
-                                 for i in range(1, greatest(len(l)-1, 1)+1)]) AS gram
-                  FROM toks),
-            pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
-            gs AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS tg
-                   FROM pg GROUP BY 1),
-            t AS (SELECT doc_id, unnest(l) AS tok FROM toks),
-            pt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
-            ts AS (SELECT doc_id,
-                          round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
-                                / CAST(sum(c) AS DOUBLE), 6) AS dt
-                   FROM pt GROUP BY 1)
-            SELECT s.doc_id,
-                   (lg = 'en' AND qk AND tg <= 0.2 AND dt <= 0.5 AND pii = 0) AS keep,
-                   CASE WHEN lg != 'en' THEN 'lang'
-                        WHEN NOT qk THEN 'quality'
-                        WHEN NOT (tg <= 0.2 AND dt <= 0.5) THEN 'repetition'
-                        WHEN pii > 0 THEN 'pii'
-                        ELSE NULL END AS reject_reason
-            FROM scalar s JOIN gs USING (doc_id) JOIN ts USING (doc_id)
+        "document_filter": _DOC_FILTER_ORACLE,
+        # per-source rollup over the SAME verdict SQL: counts, 6-dp
+        # keep rate, dominant reject reason (count desc, name asc)
+        "filter_report": f"""
+            WITH verdicts AS ({_DOC_FILTER_ORACLE}),
+            d AS (SELECT v.*, doc.source FROM verdicts v
+                  JOIN documents doc USING (doc_id)),
+            agg AS (SELECT source, COUNT(*) AS n_docs,
+                           SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_keep
+                    FROM d GROUP BY source),
+            r AS (SELECT source, reject_reason, COUNT(*) AS c
+                  FROM d WHERE NOT keep GROUP BY 1, 2),
+            top AS (SELECT source, reject_reason,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY c DESC, reject_reason ASC) AS rk
+                    FROM r)
+            SELECT a.source, CAST(a.n_docs AS BIGINT) AS n_docs,
+                   CAST(a.n_keep AS BIGINT) AS n_keep,
+                   ROUND(a.n_keep / CAST(a.n_docs AS DOUBLE), 6)
+                     AS keep_rate,
+                   t.reject_reason AS top_reject_reason
+            FROM agg a LEFT JOIN top t
+              ON a.source = t.source AND t.rk = 1
         """,
         "asof_join": """
             WITH v AS (SELECT user_id, ts, max(event_id) AS view_event_id

@@ -898,3 +898,43 @@ def language_consistency(docs, id_col: str = "doc_id", text_col: str = "text"):
         (F.col("n") / F.col("n_sents") < 0.8).alias("mixed"),
     )
     return out
+
+
+def filter_report(docs, id_col: str = "doc_id", text_col: str = "text",
+                  source_col: str = "source"):
+    """Per-source curation dashboard over ``document_filter``: doc counts,
+    keep counts, 6-dp keep rate, and the dominant reject reason (most
+    frequent among rejected docs; ties break alphabetically; all-keep
+    sources get NULL) — the rollup a corpus owner reads after every
+    filter-rule change.
+
+    Plan: the filter verdicts (codegen'd) join back to the source column
+    on the id key, then two short-key aggregates; the reason argmax is a
+    per-source window over the tiny (source × 4 reasons) table.
+    """
+    from pyspark.sql import Window
+
+    verdicts = document_filter(docs, id_col=id_col, text_col=text_col)
+    d = verdicts.join(docs.select(id_col, source_col), id_col)
+    agg = d.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+    )
+    reasons = (
+        d.where(~F.col("keep"))
+        .groupBy(source_col, "reject_reason")
+        .agg(F.count("*").alias("__c"))
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("__c").desc(), F.col("reject_reason").asc()
+    )
+    top = (
+        reasons.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(source_col, F.col("reject_reason").alias("top_reject_reason"))
+    )
+    return agg.join(top, source_col, "left").select(
+        source_col, "n_docs", "n_keep",
+        F.round(F.col("n_keep") / F.col("n_docs"), 6).alias("keep_rate"),
+        "top_reject_reason",
+    )

@@ -84,6 +84,8 @@ HEADLINE = [
     "pii_redaction",
     "repetition_metrics",
     "document_filter",
+    # per-source curation rollup over the same verdicts
+    "filter_report",
     "simhash_sketches",
     "srp_ann_topk",
     "spans_reassemble",

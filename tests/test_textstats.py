@@ -505,3 +505,22 @@ def test_language_consistency_majority_and_mixed(spark):
     assert got[2]["n_sents"] == 4 and got[2]["mixed"] is True
     assert abs(got[2]["majority_frac"] - 0.75) < 1e-9
     assert 3 not in got          # und-only docs produce no row
+
+
+def test_filter_report_rollup(spark):
+    from autoextract.functions.text import filter_report
+
+    good = ("the cat and the dog is one of the best friends to walk "
+            "around the garden and to see the morning sun rise slowly")
+    df = spark.createDataFrame(
+        [(1, "s1", good), (2, "s1", "und kurz"), (3, "s1", "der und das"),
+         (4, "s2", good)],
+        "doc_id long, source string, text string",
+    )
+    got = {r["source"]: r for r in filter_report(df).collect()}
+    s1 = got["s1"]
+    assert s1["n_docs"] == 3 and s1["n_keep"] == 1
+    assert abs(s1["keep_rate"] - round(1 / 3, 6)) < 1e-9
+    assert s1["top_reject_reason"] == "lang"
+    s2 = got["s2"]
+    assert s2["n_keep"] == 1 and s2["top_reject_reason"] is None
