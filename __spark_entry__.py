@@ -1384,6 +1384,29 @@ def _q_sitemap_ingest(spark, sf):
     return parse_sitemaps(hosts.select("host", xml.alias("sitemap_xml")))
 
 
+def _q_csv_ingest(spark, sf):
+    """CSV column parsing (r5): RFC 4180 quoting exercised per doc (a
+    quoted field with embedded comma AND doubled quotes), numeric typing,
+    and every 9th line an all-empty record that must flag valid=false.
+    Oracle derives parsed values arithmetically."""
+    from autoextract.sources.jsonl import parse_csv_column
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("row_id")
+    )
+    d = F.col("row_id")
+    did = d.cast("string")
+    good = F.concat(
+        did, F.lit(',"text with, comma and ""quote"" inside '),
+        did, F.lit('",'), (d % 10).cast("string"), F.lit(".5"),
+    )
+    line = F.when(d % 9 == 8, F.lit(",,")).otherwise(good)
+    return parse_csv_column(
+        docs.select("row_id", line.alias("line")),
+        "k bigint, body string, score double",
+    )
+
+
 def _q_docx_ingest(spark, sf):
     """DOCX ingestion (r5): per doc a real ZIP/OOXML package (stdlib
     zipfile + WordprocessingML) with two heading levels, escaped-entity
@@ -2989,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_ingest": _q_sitemap_ingest,
         "feed_ingest": _q_feed_ingest,
         "jsonl_ingest": _q_jsonl_ingest,
+        "csv_ingest": _q_csv_ingest,
         "docx_ingest": _q_docx_ingest,
         "xlsx_ingest": _q_xlsx_ingest,
         "pptx_ingest": _q_pptx_ingest,
@@ -4505,6 +4529,19 @@ def oracle_sql() -> dict[str, str]:
                      AS priority
             FROM p
             WHERE trim(regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)) <> ''
+        """,
+        # csv replay: RFC 4180 quoting derived arithmetically; all-empty
+        # records -> valid=false
+        "csv_ingest": """
+            SELECT doc_id AS row_id,
+                   CASE WHEN doc_id % 9 <> 8 THEN doc_id END AS k,
+                   CASE WHEN doc_id % 9 <> 8
+                        THEN 'text with, comma and "quote" inside ' || doc_id
+                   END AS body,
+                   CASE WHEN doc_id % 9 <> 8
+                        THEN CAST(doc_id % 10 + 0.5 AS DOUBLE) END AS score,
+                   doc_id % 9 <> 8 AS valid
+            FROM documents
         """,
         # docx replay: every span derived arithmetically incl. the seq
         # shift caused by the conditional image anchor

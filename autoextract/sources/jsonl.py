@@ -78,3 +78,41 @@ def _split_ddl(schema: str) -> list[str]:
     if cur:
         parts.append("".join(cur).strip())
     return parts
+
+
+def parse_csv_column(
+    lines: DataFrame,
+    schema: str,
+    csv_col: str = "line",
+    keep: bool = False,
+    **options: str,
+) -> DataFrame:
+    """The CSV twin of :func:`parse_jsonl_column`: parse a delimited-string
+    column against an explicit DDL schema via ``from_csv`` (JVM expression,
+    one codegen'd projection).  Handles quoted fields with embedded
+    delimiters/quotes per RFC 4180 (Spark's univocity semantics); a row
+    whose every field is NULL on non-null input is flagged corrupt via the
+    same ``valid`` contract.  ``options`` pass through to ``from_csv``
+    (e.g. ``sep='\\t'`` for TSV).  Defaults to RFC 4180 semantics: the
+    quote char escapes itself (``""`` inside a quoted field), which is
+    NOT Spark's default (backslash) — override ``escape`` to opt out."""
+    opts = {"escape": '"', **options}
+    parsed = F.from_csv(F.col(csv_col), schema, opts)
+    field_names = [f.split()[0].strip("`") for f in _split_ddl(schema)]
+    out = lines.withColumn("__p", parsed)
+    any_field = None
+    for n in field_names:
+        c = F.col(f"__p.{n}").isNotNull()
+        any_field = c if any_field is None else (any_field | c)
+    out = out.withColumn(
+        "valid",
+        F.col(csv_col).isNotNull()
+        & F.col("__p").isNotNull()
+        & F.coalesce(any_field, F.lit(False)),
+    )
+    cols = [c for c in lines.columns if keep or c != csv_col]
+    return out.select(
+        *cols,
+        *[F.col(f"__p.{n}").alias(n) for n in field_names],
+        "valid",
+    )

@@ -150,6 +150,8 @@ HEADLINE = [
     "feed_ingest",
     # from_json column parse: one codegen'd projection, O6 containment
     "jsonl_ingest",
+    # from_csv twin: RFC 4180 quoting, same valid contract
+    "csv_ingest",
     # OOXML zip + WordprocessingML parse: narrow Arrow stage
     "docx_ingest",
     # SpreadsheetML cells: shared-string indirection + A1 decode
