@@ -1384,6 +1384,55 @@ def _q_sitemap_ingest(spark, sf):
     return parse_sitemaps(hosts.select("host", xml.alias("sitemap_xml")))
 
 
+def _q_wds_ingest(spark, sf):
+    """WebDataset shard split (r5): per doc a tar shard with 1–3 samples
+    of .txt/.cls/.bin members (the LAION-style key.ext convention,
+    including a multi-dot seg.png field name on every 4th doc); every
+    19th payload corrupt → zero rows. Text members decode; oracle derives
+    every (key, ext, content, n_bytes) arithmetically."""
+    from autoextract.sources.webdataset import build_wds_tar, wds_members
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 200)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 19 == 18:
+                    rows.append({"doc_id": d, "payload": b"not a tar"})
+                    continue
+                samples = {}
+                for k in range(d % 3 + 1):
+                    key = f"{d:06d}-{k}"
+                    fields = {
+                        "txt": f"caption {k} of shard {d}".encode(),
+                        "cls": str((d + k) % 10).encode(),
+                        "bin": bytes([d % 251]) * (k + 3),
+                    }
+                    if d % 4 == 0:
+                        fields["seg.png"] = b"\x89PNGstub"
+                    samples[key] = fields
+                rows.append({"doc_id": d, "payload": build_wds_tar(samples)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    shards = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    members = wds_members(shards)
+    return members.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "sample_key",
+        "ext",
+        F.when(
+            F.col("ext").isin("txt", "cls"), F.decode("payload", "UTF-8")
+        ).alias("content"),
+        "n_bytes",
+    )
+
+
 def _q_csv_ingest(spark, sf):
     """CSV column parsing (r5): RFC 4180 quoting exercised per doc (a
     quoted field with embedded comma AND doubled quotes), numeric typing,
@@ -3013,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_ingest": _q_feed_ingest,
         "jsonl_ingest": _q_jsonl_ingest,
         "csv_ingest": _q_csv_ingest,
+        "wds_ingest": _q_wds_ingest,
         "docx_ingest": _q_docx_ingest,
         "xlsx_ingest": _q_xlsx_ingest,
         "pptx_ingest": _q_pptx_ingest,
@@ -4529,6 +4579,35 @@ def oracle_sql() -> dict[str, str]:
                      AS priority
             FROM p
             WHERE trim(regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)) <> ''
+        """,
+        # wds replay: every member derived arithmetically (key zero-pad,
+        # multi-dot ext, text decode, bin sizes)
+        "wds_ingest": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 3 + 1 AS n FROM documents
+              WHERE doc_id < 200 AND doc_id % 19 <> 18),
+            s AS (
+              SELECT doc_id, unnest(range(0, n)) AS k FROM docs),
+            keyed AS (
+              SELECT doc_id, k,
+                     lpad(CAST(doc_id AS VARCHAR), 6, '0') || '-' || k
+                       AS sample_key
+              FROM s)
+            SELECT doc_id, sample_key, 'bin' AS ext,
+                   CAST(NULL AS VARCHAR) AS content,
+                   CAST(k + 3 AS BIGINT) AS n_bytes
+            FROM keyed
+            UNION ALL SELECT doc_id, sample_key, 'cls',
+                   CAST((doc_id + k) % 10 AS VARCHAR),
+                   CAST(length(CAST((doc_id + k) % 10 AS VARCHAR)) AS BIGINT)
+            FROM keyed
+            UNION ALL SELECT doc_id, sample_key, 'seg.png', NULL, 8
+            FROM keyed WHERE doc_id % 4 = 0
+            UNION ALL SELECT doc_id, sample_key, 'txt',
+                   'caption ' || k || ' of shard ' || doc_id,
+                   CAST(length('caption ' || k || ' of shard ' || doc_id)
+                        AS BIGINT)
+            FROM keyed
         """,
         # csv replay: RFC 4180 quoting derived arithmetically; all-empty
         # records -> valid=false

@@ -152,6 +152,8 @@ HEADLINE = [
     "jsonl_ingest",
     # from_csv twin: RFC 4180 quoting, same valid contract
     "csv_ingest",
+    # WebDataset shard split: tar framing + key.ext convention
+    "wds_ingest",
     # OOXML zip + WordprocessingML parse: narrow Arrow stage
     "docx_ingest",
     # SpreadsheetML cells: shared-string indirection + A1 decode

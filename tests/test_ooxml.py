@@ -103,3 +103,22 @@ def test_epub_spine_order_beats_zip_order(spark):
     df = spark.createDataFrame(
         [(1, e), (2, b"junk")], "doc_id long, payload binary")
     assert epub_chapters(df).count() == 3
+
+
+def test_wds_tar_samples_and_containment(spark):
+    from autoextract.sources.webdataset import (
+        build_wds_tar, parse_wds_tar, wds_members)
+
+    shard = build_wds_tar({
+        "000001": {"txt": b"hello", "jpg": b"\xff\xd8jpeg", "seg.png": b"p"},
+        "000002": {"txt": b"world"},
+    })
+    got = parse_wds_tar(shard)
+    assert [(m["sample_key"], m["ext"]) for m in got] == [
+        ("000001", "jpg"), ("000001", "seg.png"), ("000001", "txt"),
+        ("000002", "txt")]
+    assert got[2]["payload"] == b"hello" and got[2]["n_bytes"] == 5
+    assert parse_wds_tar(b"definitely not tar") == []
+    df = spark.createDataFrame(
+        [(1, shard), (2, b"junk")], "doc_id long, payload binary")
+    assert wds_members(df).count() == 4
