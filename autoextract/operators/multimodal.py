@@ -43,7 +43,10 @@ MEDIA_META_SCHEMA = (
 def sniff_format(payload: bytes | None) -> str:
     """Magic-byte dispatch — the reference's content sniff
     (``extraction.py:613-619``: JPEG ``\\xff\\xd8`` / PNG ``\\x89PNG``),
-    extended with GIF/PDF/WEBP/RIFF."""
+    extended across the engine's full front door: GIF/PDF/WEBP/WAV/FLAC,
+    ``ID3``-tagged MP3, gzip, WARC, tar (WebDataset shards), and the ZIP
+    container family disambiguated by a central-directory probe
+    (docx/xlsx/pptx/epub/generic zip)."""
     if not payload:
         return "empty"
     if payload[:2] == b"\xff\xd8":
@@ -58,6 +61,35 @@ def sniff_format(payload: bytes | None) -> str:
         return "webp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
+    if payload[:3] == b"ID3":
+        return "mp3"
+    if payload[:2] == b"\x1f\x8b":
+        return "gzip"
+    if payload[:6] in (b"WARC/1", b"WARC/0"):
+        return "warc"
+    if payload[257:262] == b"ustar":
+        return "tar"
+    if payload[:4] == b"PK\x03\x04":
+        # ZIP container family: one central-directory read names the kind
+        import io as _io
+        import zipfile as _zipfile
+
+        try:
+            with _zipfile.ZipFile(_io.BytesIO(payload)) as z:
+                names = set(z.namelist())
+        except Exception:
+            return "zip"
+        if "word/document.xml" in names:
+            return "docx"
+        if any(n.startswith("xl/") for n in names):
+            return "xlsx"
+        if any(n.startswith("ppt/") for n in names):
+            return "pptx"
+        if "mimetype" in names and "META-INF/container.xml" in names:
+            return "epub"
+        return "zip"
     if payload[:5] == b"<html" or payload[:9] == b"<!DOCTYPE":
         return "html"
     return "unknown"

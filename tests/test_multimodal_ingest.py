@@ -338,3 +338,30 @@ def test_image_dhash_neardup_end_to_end(spark):
         (r.doc_a, r.doc_b) for r in hamming_near_dup_pairs(sk, max_hamming=6).collect()
     }
     assert pairs == {(i, 1000 + i) for i in range(10)}
+
+
+def test_sniff_new_container_family():
+    from autoextract.operators.multimodal import sniff_format
+    from autoextract.sources.docx import build_docx
+    from autoextract.sources.epub import build_epub
+    from autoextract.sources.pptx import build_pptx
+    from autoextract.sources.webdataset import build_wds_tar
+    from autoextract.sources.xlsx import build_xlsx
+    from autoextract.operators.id3 import build_id3
+
+    assert sniff_format(build_docx([("text", "x")])) == "docx"
+    assert sniff_format(build_xlsx([["v"]])) == "xlsx"
+    assert sniff_format(build_pptx([["s"]])) == "pptx"
+    assert sniff_format(build_epub(["<html><body>c</body></html>"])) == "epub"
+    assert sniff_format(build_wds_tar({"k": {"txt": b"t"}})) == "tar"
+    assert sniff_format(build_id3(title="t") + b"\xff\xfb") == "mp3"
+    assert sniff_format(b"fLaC....") == "flac"
+    assert sniff_format(b"\x1f\x8b\x08...") == "gzip"
+    assert sniff_format(b"WARC/1.0\r\n") == "warc"
+    import io, zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("random.bin", b"x")
+    assert sniff_format(buf.getvalue()) == "zip"
+    # truncated zip header never raises
+    assert sniff_format(b"PK\x03\x04trunc") == "zip"
