@@ -112,6 +112,9 @@ AUDITED = {
     "— zero exchanges, zero Python",
     "sentence_split": "protect/mark/restore chain + posexplode in one "
     "projection — zero exchanges, zero Python",
+    "filter_report": "verdict projection (codegen'd) joined back on the "
+    "id key, two short-key aggregates, window argmax over the tiny "
+    "(source × reason) table; raw text never shuffles",
     "pagerank": "per-round: edges⋈ranks shuffle on src + partial-agg on "
     "dst, both over (long,long,double) rows; dangling mass is a 1-row "
     "broadcast; localCheckpoint truncates lineage between rounds — so "
