@@ -1456,6 +1456,44 @@ def _q_csv_ingest(spark, sf):
     )
 
 
+def _q_rtf_ingest(spark, sf):
+    """RTF ingestion (r5): per doc a legacy RTF whose body text exercises
+    cp1252 ``\\'hh`` and ``\\uN``-with-fallback escapes, a two-row table
+    via trowd/cell/row, an image pict on every 3rd doc (shifting later
+    seqs — the oracle replays the shift), a font table + ignorable
+    ``{\\*\\generator}`` destination that must contribute nothing, and
+    every 11th payload malformed → zero spans (O6)."""
+    from autoextract.sources.rtf import build_rtf, rtf_spans
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 11 == 10:
+                    rows.append({"doc_id": d, "payload": b"not rtf at all"})
+                    continue
+                blocks = [
+                    ("heading", 1, f"Memo {d}"),
+                    ("text", f"Café item — {d % 7} of {d}."),
+                    ("table", [["k", str(d % 5)], ["v", str(d % 9)]]),
+                ]
+                if d % 3 == 0:
+                    blocks.append(("image",))
+                blocks.append(("text", f"Closing {d}."))
+                rows.append({"doc_id": d, "payload": build_rtf(blocks)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return rtf_spans(media)
+
+
 def _q_docx_ingest(spark, sf):
     """DOCX ingestion (r5): per doc a real ZIP/OOXML package (stdlib
     zipfile + WordprocessingML) with two heading levels, escaped-entity
@@ -3063,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "csv_ingest": _q_csv_ingest,
         "wds_ingest": _q_wds_ingest,
+        "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
         "xlsx_ingest": _q_xlsx_ingest,
         "pptx_ingest": _q_pptx_ingest,
@@ -4621,6 +4660,28 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(doc_id % 10 + 0.5 AS DOUBLE) END AS score,
                    doc_id % 9 <> 8 AS valid
             FROM documents
+        """,
+        # rtf replay: every span derived arithmetically (escape sequences
+        # round-trip to the literal text below) incl. the pict seq shift
+        "rtf_ingest": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 3 = 0 AS has_img
+              FROM documents WHERE doc_id < 240 AND doc_id % 11 <> 10)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS seq,
+                   'heading' AS kind, 'Memo ' || doc_id AS text,
+                   CAST(1 AS INT) AS level
+            FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, 'text',
+                   'Café item — ' || doc_id % 7 || ' of ' || doc_id || '.',
+                   NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 2, 'table',
+                   'k | ' || doc_id % 5 || chr(10) || 'v | ' || doc_id % 9,
+                   NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 3, 'image', '', NULL
+            FROM docs WHERE has_img
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_img THEN 4 ELSE 3 END, 'text',
+                   'Closing ' || doc_id || '.', NULL FROM docs
         """,
         # docx replay: every span derived arithmetically incl. the seq
         # shift caused by the conditional image anchor
