@@ -1456,6 +1456,50 @@ def _q_csv_ingest(spark, sf):
     )
 
 
+def _q_latex_ingest(spark, sf):
+    """LaTeX ingestion (r5): per doc an arXiv-style source whose body
+    exercises comment stripping, the ---/-- ligatures, style-macro
+    unwrap, \\cite bracketing, accent composition and TeX escapes, plus
+    a display equation, a figure with media_ref + caption on every 4th
+    doc (shifting later seqs), a tabular flattened to the shared table
+    vocabulary, and every 13th payload markerless → zero spans (O6)."""
+    from autoextract.sources.latex import build_latex, latex_spans
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 13 == 12:
+                    rows.append({"doc_id": d, "payload": b"no tex markers"})
+                    continue
+                blocks = [
+                    ("heading", 1, f"Paper {d} & results"),
+                    ("text",
+                     f"We study --- topic {d % 7} \\emph{{carefully}} "
+                     f"\\cite{{ref{d}}}~now."),
+                    ("math", f"E_{d % 5} = m c^2 + {d}"),
+                ]
+                if d % 4 == 0:
+                    blocks.append(("image", f"fig{d}.png", f"Caption {d}"))
+                blocks += [
+                    ("table", [["a", str(d % 3)], ["b", str(d % 5)]]),
+                    ("heading", 2, f"Results {d % 3}"),
+                    ("text", f"Closing {d}."),
+                ]
+                rows.append({"doc_id": d, "payload": build_latex(blocks)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return latex_spans(media)
+
+
 def _q_rtf_ingest(spark, sf):
     """RTF ingestion (r5): per doc a legacy RTF whose body text exercises
     cp1252 ``\\'hh`` and ``\\uN``-with-fallback escapes, a two-row table
@@ -3101,6 +3145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "csv_ingest": _q_csv_ingest,
         "wds_ingest": _q_wds_ingest,
+        "latex_ingest": _q_latex_ingest,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
         "xlsx_ingest": _q_xlsx_ingest,
@@ -4660,6 +4705,39 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(doc_id % 10 + 0.5 AS DOUBLE) END AS score,
                    doc_id % 9 <> 8 AS valid
             FROM documents
+        """,
+        # latex replay: every span derived arithmetically — ligatures,
+        # macro unwrap and cite bracketing land as the literals below;
+        # the conditional figure shifts later seqs
+        "latex_ingest": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 4 = 0 AS has_fig
+              FROM documents WHERE doc_id < 240 AND doc_id % 13 <> 12)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS seq,
+                   'heading' AS kind,
+                   'Paper ' || doc_id || ' & results' AS text,
+                   CAST(1 AS INT) AS level, CAST(NULL AS VARCHAR) AS media_ref
+            FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, 'text',
+                   'We study — topic ' || doc_id % 7
+                     || ' carefully [ref' || doc_id || '] now.',
+                   NULL, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 2, 'math',
+                   'E_' || doc_id % 5 || ' = m c^2 + ' || doc_id,
+                   NULL, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 3, 'image',
+                   'Caption ' || doc_id, NULL, 'fig' || doc_id || '.png'
+            FROM docs WHERE has_fig
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_fig THEN 4 ELSE 3 END, 'table',
+                   'a | ' || doc_id % 3 || chr(10) || 'b | ' || doc_id % 5,
+                   NULL, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_fig THEN 5 ELSE 4 END, 'heading',
+                   'Results ' || doc_id % 3, 2, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_fig THEN 6 ELSE 5 END, 'text',
+                   'Closing ' || doc_id || '.', NULL, NULL FROM docs
         """,
         # rtf replay: every span derived arithmetically (escape sequences
         # round-trip to the literal text below) incl. the pict seq shift
