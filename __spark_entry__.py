@@ -1500,6 +1500,55 @@ def _q_latex_ingest(spark, sf):
     return latex_spans(media)
 
 
+def _q_markdown_ingest(spark, sf):
+    """Markdown ingestion (r5): per doc a GFM document exercising ATX +
+    setext headings (the ----under-paragraph trap), entity unescape,
+    emphasis/link unwrap with inline-code protection, a fenced code
+    block with rotating info string (empty → NULL media_ref), a pipe
+    table whose delimiter row vanishes, an image on every 4th doc
+    (shifting later seqs — the oracle replays the shift), a list, a
+    blockquote; every 13th payload is invalid UTF-8 → zero spans (O6)."""
+    from autoextract.sources.markdown import build_markdown, markdown_spans
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 13 == 12:
+                    rows.append({"doc_id": d, "payload": b"\xff\xfe\x00md"})
+                    continue
+                blocks = [
+                    ("heading", 1, f"Guide {d} & notes"),
+                    ("rawtext",
+                     f"Intro **bold {d % 7}** see "
+                     f"[spec {d}](https://ex.com/{d}) and `x_{d % 5}` now."),
+                    ("code", ("py", "js", "")[d % 3],
+                     f"def f():\n    return {d}"),
+                ]
+                if d % 4 == 0:
+                    blocks.append(("image", f"img{d}.png", f"Figure {d}"))
+                blocks += [
+                    ("table", [["k", "v"], ["a", str(d % 3)],
+                               ["b", str(d % 5)]]),
+                    ("setext", 2, f"Results {d % 3}"),
+                    ("list", [f"alpha {d % 2}", f"beta {d % 3}"]),
+                    ("quote", f"Note {d}."),
+                    ("text", f"Closing {d}."),
+                ]
+                rows.append({"doc_id": d, "payload": build_markdown(blocks)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return markdown_spans(media)
+
+
 def _q_rtf_ingest(spark, sf):
     """RTF ingestion (r5): per doc a legacy RTF whose body text exercises
     cp1252 ``\\'hh`` and ``\\uN``-with-fallback escapes, a two-row table
@@ -3146,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_ingest": _q_csv_ingest,
         "wds_ingest": _q_wds_ingest,
         "latex_ingest": _q_latex_ingest,
+        "markdown_ingest": _q_markdown_ingest,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
         "xlsx_ingest": _q_xlsx_ingest,
@@ -4737,6 +4787,47 @@ def oracle_sql() -> dict[str, str]:
                    'Results ' || doc_id % 3, 2, NULL FROM docs
             UNION ALL SELECT CAST(doc_id AS VARCHAR),
                    CASE WHEN has_fig THEN 6 ELSE 5 END, 'text',
+                   'Closing ' || doc_id || '.', NULL, NULL FROM docs
+        """,
+        # markdown replay: every span derived arithmetically — entity
+        # unescape, emphasis/link unwrap and code protection land as the
+        # literals below; the conditional image shifts later seqs
+        "markdown_ingest": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 4 = 0 AS has_img
+              FROM documents WHERE doc_id < 240 AND doc_id % 13 <> 12)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS seq,
+                   'heading' AS kind,
+                   'Guide ' || doc_id || ' & notes' AS text,
+                   CAST(1 AS INT) AS level, CAST(NULL AS VARCHAR) AS media_ref
+            FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, 'text',
+                   'Intro bold ' || doc_id % 7 || ' see spec ' || doc_id
+                     || ' and x_' || doc_id % 5 || ' now.',
+                   NULL, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 2, 'code',
+                   'def f():' || chr(10) || '    return ' || doc_id, NULL,
+                   CASE doc_id % 3 WHEN 0 THEN 'py' WHEN 1 THEN 'js' END
+            FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 3, 'image',
+                   'Figure ' || doc_id, NULL, 'img' || doc_id || '.png'
+            FROM docs WHERE has_img
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_img THEN 4 ELSE 3 END, 'table',
+                   'k | v' || chr(10) || 'a | ' || doc_id % 3 || chr(10)
+                     || 'b | ' || doc_id % 5, NULL, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_img THEN 5 ELSE 4 END, 'heading',
+                   'Results ' || doc_id % 3, 2, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_img THEN 6 ELSE 5 END, 'list',
+                   'alpha ' || doc_id % 2 || chr(10) || 'beta '
+                     || doc_id % 3, NULL, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_img THEN 7 ELSE 6 END, 'quote',
+                   'Note ' || doc_id || '.', NULL, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_img THEN 8 ELSE 7 END, 'text',
                    'Closing ' || doc_id || '.', NULL, NULL FROM docs
         """,
         # rtf replay: every span derived arithmetically (escape sequences
