@@ -1549,6 +1549,56 @@ def _q_markdown_ingest(spark, sf):
     return markdown_spans(media)
 
 
+def _q_mbox_ingest(spark, sf):
+    """MBOX ingestion (r5): per doc a 2–3 message mailbox exercising
+    RFC 4155 framing + mboxrd body quoting (a literal ``From `` body
+    line must round-trip), RFC 2047 B- and Q-encoded subjects, the
+    RFC 5322 date parser (numeric zone, negative offset, alpha GMT),
+    quoted-printable and base64 transfer encodings rotating by doc, and
+    on every 3rd doc a multipart/alternative where text/plain must win
+    over the html part listed first; every 11th payload is junk → zero
+    rows (O6)."""
+    from autoextract.sources.mbox import build_mbox, mbox_messages
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 200)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 11 == 10:
+                    rows.append({"doc_id": d, "payload": b"not a mailbox"})
+                    continue
+                msgs = [
+                    {"from_name": "Ann", "from_addr": f"u{d}@example.com",
+                     "subject": f"Hello {d}",
+                     "date": "Mon, 1 Jan 2024 00:00:%02d +0000" % (d % 60),
+                     "body": f"Report {d}.\nFrom the field."},
+                    {"from_addr": f"bob{d % 9}@example.org",
+                     "subject": f"Ré: topic {d % 5}", "subject_enc": "B",
+                     "date": "2 Feb 2024 10:30:00 -0500",
+                     "cte": ("quoted-printable", "base64")[d % 2],
+                     "body": f"Café item {d % 7}."},
+                ]
+                if d % 3 == 0:
+                    msgs.append(
+                        {"from_addr": "carol@example.net",
+                         "subject": f"naïve {d % 4}", "subject_enc": "Q",
+                         "date": "Tue, 15 Mar 22 23:59:59 GMT",
+                         "body": f"Plain wins {d}.",
+                         "html": "<b>html loses</b>"})
+                rows.append({"doc_id": d, "payload": build_mbox(msgs)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return mbox_messages(media)
+
+
 def _q_rtf_ingest(spark, sf):
     """RTF ingestion (r5): per doc a legacy RTF whose body text exercises
     cp1252 ``\\'hh`` and ``\\uN``-with-fallback escapes, a two-row table
@@ -3196,6 +3246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_ingest": _q_wds_ingest,
         "latex_ingest": _q_latex_ingest,
         "markdown_ingest": _q_markdown_ingest,
+        "mbox_ingest": _q_mbox_ingest,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
         "xlsx_ingest": _q_xlsx_ingest,
@@ -4829,6 +4880,32 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT CAST(doc_id AS VARCHAR),
                    CASE WHEN has_img THEN 8 ELSE 7 END, 'text',
                    'Closing ' || doc_id || '.', NULL, NULL FROM docs
+        """,
+        # mbox replay: every field derived arithmetically — encoded-word
+        # decode, CTE decode and mboxrd unquoting land as the literals
+        # below; date_ts replays the fixed-epoch arithmetic
+        "mbox_ingest": """
+            WITH docs AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id < 200 AND doc_id % 11 <> 10)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS msg_idx,
+                   'u' || doc_id || '@example.com' AS from_addr,
+                   'Hello ' || doc_id AS subject,
+                   CAST(1704067200 + doc_id % 60 AS BIGINT) AS date_ts,
+                   'm0@example.com' AS message_id,
+                   'Report ' || doc_id || '.' || chr(10)
+                     || 'From the field.' AS body
+            FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 1,
+                   'bob' || doc_id % 9 || '@example.org',
+                   'Ré: topic ' || doc_id % 5,
+                   CAST(1706887800 AS BIGINT), 'm1@example.com',
+                   'Café item ' || doc_id % 7 || '.' FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 2,
+                   'carol@example.net', 'naïve ' || doc_id % 4,
+                   CAST(1647388799 AS BIGINT), 'm2@example.com',
+                   'Plain wins ' || doc_id || '.' FROM docs
+            WHERE doc_id % 3 = 0
         """,
         # rtf replay: every span derived arithmetically (escape sequences
         # round-trip to the literal text below) incl. the pict seq shift
