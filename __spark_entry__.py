@@ -1549,6 +1549,49 @@ def _q_markdown_ingest(spark, sf):
     return markdown_spans(media)
 
 
+def _q_odt_ingest(spark, sf):
+    """ODT ingestion (r5): per doc an OpenDocument package (stdlib
+    zipfile + ODF content.xml) with two heading levels, entity-escaped
+    paragraph text whose double space round-trips through the ODF
+    ``<text:s/>`` whitespace element, a 2×2 table, a list, and an image
+    frame on every 5th doc carrying its package href as media_ref
+    (shifting later seqs — the oracle replays the shift); every 9th
+    payload is not a ZIP → zero spans (O6)."""
+    from autoextract.sources.odt import build_odt, odt_spans
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 9 == 8:
+                    rows.append({"doc_id": d, "payload": b"not a zip"})
+                    continue
+                blocks = [
+                    ("heading", 1, f"Spec {d} & co"),
+                    ("text", f"Body  {d % 7} of <doc> {d}."),
+                ]
+                if d % 5 == 0:
+                    blocks.append(("image", f"Pictures/img{d}.png"))
+                blocks += [
+                    ("table", [["k", str(d % 3)], ["v", str(d % 5)]]),
+                    ("list", [f"one {d % 2}", f"two {d % 3}"]),
+                    ("heading", 2, f"Sub {d % 4}"),
+                    ("text", f"Closing {d}."),
+                ]
+                rows.append({"doc_id": d, "payload": build_odt(blocks)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return odt_spans(media)
+
+
 def _q_mbox_ingest(spark, sf):
     """MBOX ingestion (r5): per doc a 2–3 message mailbox exercising
     RFC 4155 framing + mboxrd body quoting (a literal ``From `` body
@@ -3247,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latex_ingest": _q_latex_ingest,
         "markdown_ingest": _q_markdown_ingest,
         "mbox_ingest": _q_mbox_ingest,
+        "odt_ingest": _q_odt_ingest,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
         "xlsx_ingest": _q_xlsx_ingest,
@@ -4879,6 +4923,38 @@ def oracle_sql() -> dict[str, str]:
                    'Note ' || doc_id || '.', NULL, NULL FROM docs
             UNION ALL SELECT CAST(doc_id AS VARCHAR),
                    CASE WHEN has_img THEN 8 ELSE 7 END, 'text',
+                   'Closing ' || doc_id || '.', NULL, NULL FROM docs
+        """,
+        # odt replay: every span derived arithmetically — the <text:s/>
+        # whitespace element and entity escapes land as the literals
+        # below; the conditional image frame shifts later seqs
+        "odt_ingest": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 5 = 0 AS has_img
+              FROM documents WHERE doc_id < 240 AND doc_id % 9 <> 8)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS seq,
+                   'heading' AS kind, 'Spec ' || doc_id || ' & co' AS text,
+                   CAST(1 AS INT) AS level, CAST(NULL AS VARCHAR) AS media_ref
+            FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, 'text',
+                   'Body  ' || doc_id % 7 || ' of <doc> ' || doc_id || '.',
+                   NULL, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 2, 'image', '',
+                   NULL, 'Pictures/img' || doc_id || '.png'
+            FROM docs WHERE has_img
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_img THEN 3 ELSE 2 END, 'table',
+                   'k | ' || doc_id % 3 || chr(10) || 'v | ' || doc_id % 5,
+                   NULL, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_img THEN 4 ELSE 3 END, 'list',
+                   'one ' || doc_id % 2 || chr(10) || 'two ' || doc_id % 3,
+                   NULL, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_img THEN 5 ELSE 4 END, 'heading',
+                   'Sub ' || doc_id % 4, 2, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_img THEN 6 ELSE 5 END, 'text',
                    'Closing ' || doc_id || '.', NULL, NULL FROM docs
         """,
         # mbox replay: every field derived arithmetically — encoded-word

@@ -89,6 +89,8 @@ def sniff_format(payload: bytes | None) -> str:
             return "pptx"
         if "mimetype" in names and "META-INF/container.xml" in names:
             return "epub"
+        if "content.xml" in names:
+            return "odt"
         return "zip"
     if payload[:5] == b"<html" or payload[:9] == b"<!DOCTYPE":
         return "html"

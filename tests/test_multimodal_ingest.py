@@ -353,6 +353,8 @@ def test_sniff_new_container_family():
     assert sniff_format(build_xlsx([["v"]])) == "xlsx"
     assert sniff_format(build_pptx([["s"]])) == "pptx"
     assert sniff_format(build_epub(["<html><body>c</body></html>"])) == "epub"
+    from autoextract.sources.odt import build_odt
+    assert sniff_format(build_odt([("text", "x")])) == "odt"
     assert sniff_format(build_wds_tar({"k": {"txt": b"t"}})) == "tar"
     assert sniff_format(build_id3(title="t") + b"\xff\xfb") == "mp3"
     assert sniff_format(b"fLaC....") == "flac"
