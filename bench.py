@@ -203,6 +203,14 @@ HEADLINE = [
     "table_structure",
     # box-height outline heuristic: per-doc median agg + broadcast back
     "document_outline",
+    # late-r5 document front-door legs: all narrow Arrow parse stages,
+    # zero shuffles — ingest throughput is the first-stage bound of any
+    # corpus run, so each format is tracked
+    "latex_ingest",
+    "rtf_ingest",
+    "markdown_ingest",
+    "mbox_ingest",
+    "odt_ingest",
 ]
 
 
