@@ -1549,6 +1549,21 @@ def _q_markdown_ingest(spark, sf):
     return markdown_spans(media)
 
 
+def _q_zorder_layout(spark, sf):
+    """Z-order layout report (r5): Morton-interleave (doc_id, n_chars)
+    after exact min/max rank normalization, bucket rows into 16 equal
+    key ranges arithmetically, and report each bucket's per-column
+    min/max + row count — the quantities file-skipping reads.  The
+    oracle replays the full parallel bit-spread (Hacker's Delight §7-2)
+    in stepwise SQL, so the key arithmetic itself is value-checked
+    cross-engine."""
+    from autoextract.plans.zorder import layout_pruning_report
+
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    return layout_pruning_report(docs, ["doc_id", "n_chars"],
+                                 partitions=16, bits=10)
+
+
 def _q_odt_ingest(spark, sf):
     """ODT ingestion (r5): per doc an OpenDocument package (stdlib
     zipfile + ODF content.xml) with two heading levels, entity-escaped
@@ -3291,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_ingest": _q_markdown_ingest,
         "mbox_ingest": _q_mbox_ingest,
         "odt_ingest": _q_odt_ingest,
+        "zorder_layout": _q_zorder_layout,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
         "xlsx_ingest": _q_xlsx_ingest,
@@ -4924,6 +4940,45 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT CAST(doc_id AS VARCHAR),
                    CASE WHEN has_img THEN 8 ELSE 7 END, 'text',
                    'Closing ' || doc_id || '.', NULL, NULL FROM docs
+        """,
+        # zorder replay: normalize → parallel bit-spread (stepwise CTEs,
+        # one per magic-number round) → interleave → bucket → rollup;
+        # the Morton arithmetic is value-checked cross-engine
+        "zorder_layout": """
+            WITH b AS (
+              SELECT MIN(doc_id) lo1, MAX(doc_id) hi1,
+                     MIN(n_chars) lo2, MAX(n_chars) hi2 FROM documents),
+            n AS (
+              SELECT doc_id, n_chars,
+                COALESCE(CAST(FLOOR(CAST(doc_id - lo1 AS DOUBLE)
+                  / CAST(GREATEST(hi1 - lo1, 1) AS DOUBLE) * 1023.0)
+                  AS BIGINT), 0) & 4294967295 AS a0,
+                COALESCE(CAST(FLOOR(CAST(n_chars - lo2 AS DOUBLE)
+                  / CAST(GREATEST(hi2 - lo2, 1) AS DOUBLE) * 1023.0)
+                  AS BIGINT), 0) & 4294967295 AS b0
+              FROM documents, b),
+            s1 AS (SELECT doc_id, n_chars,
+                   (a0 | (a0 << 16)) & 281470681808895 AS a1,
+                   (b0 | (b0 << 16)) & 281470681808895 AS b1 FROM n),
+            s2 AS (SELECT doc_id, n_chars,
+                   (a1 | (a1 << 8)) & 71777214294589695 AS a2,
+                   (b1 | (b1 << 8)) & 71777214294589695 AS b2 FROM s1),
+            s3 AS (SELECT doc_id, n_chars,
+                   (a2 | (a2 << 4)) & 1085102592571150095 AS a3,
+                   (b2 | (b2 << 4)) & 1085102592571150095 AS b3 FROM s2),
+            s4 AS (SELECT doc_id, n_chars,
+                   (a3 | (a3 << 2)) & 3689348814741910323 AS a4,
+                   (b3 | (b3 << 2)) & 3689348814741910323 AS b4 FROM s3),
+            s5 AS (SELECT doc_id, n_chars,
+                   (a4 | (a4 << 1)) & 6148914691236517205 AS a5,
+                   (b4 | (b4 << 1)) & 6148914691236517205 AS b5 FROM s4),
+            k AS (SELECT doc_id, n_chars, a5 | (b5 << 1) AS zkey FROM s5),
+            g AS (SELECT LEAST(CAST(FLOOR(CAST(zkey AS DOUBLE) / 1048576.0
+                     * 16) AS INT), 15) AS bucket, doc_id, n_chars FROM k)
+            SELECT bucket, COUNT(*) AS n_rows,
+                   MIN(doc_id) AS doc_id_min, MAX(doc_id) AS doc_id_max,
+                   MIN(n_chars) AS n_chars_min, MAX(n_chars) AS n_chars_max
+            FROM g GROUP BY bucket ORDER BY bucket
         """,
         # odt replay: every span derived arithmetically — the <text:s/>
         # whitespace element and entity escapes land as the literals

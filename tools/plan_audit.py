@@ -120,6 +120,12 @@ AUDITED = {
     "broadcast; localCheckpoint truncates lineage between rounds — so "
     "the settled plan shown here is just the final round's checkpointed "
     "scan (rounds execute eagerly during construction)",
+    "zorder_layout": "1-row global min/max agg broadcast back "
+    "(BroadcastNestedLoopJoin against one row — document rows never "
+    "shuffle for the bounds); the Morton key is a codegen'd shift/mask "
+    "chain; the report rollup is the only real exchange. The re-layout "
+    "variant (zorder_layout fn) adds exactly the one range exchange the "
+    "re-layout IS.",
 }
 
 
