@@ -1549,6 +1549,52 @@ def _q_markdown_ingest(spark, sf):
     return markdown_spans(media)
 
 
+def _q_ipynb_ingest(spark, sf):
+    """Notebook ingestion (r5): per doc an nbformat-4 notebook whose
+    markdown cells route through the markdown leg (same span
+    vocabulary), a code cell with kernel language on media_ref
+    (rotating python/julia/r) and an arithmetic stream output, an
+    extra markdown cell on every 4th doc (shifting cell indices and
+    seqs — the oracle replays both), and a raw cell; the ``source``
+    string-vs-line-list wild forms alternate by doc and must parse
+    identically; every 13th payload is not JSON → zero rows (O6)."""
+    from autoextract.sources.ipynb import build_ipynb, ipynb_spans
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 13 == 12:
+                    rows.append({"doc_id": d, "payload": b"not json"})
+                    continue
+                cells = [
+                    ("markdown",
+                     f"# Notebook {d} & co\n\nIntro **bold {d % 7}**."),
+                    ("code", f"x = {d}\nprint(x * {d % 5})",
+                     [f"{d * (d % 5)}\n"]),
+                ]
+                if d % 4 == 0:
+                    cells.append(("markdown", f"## Results {d % 3}"))
+                cells.append(("raw", f"raw {d}"))
+                rows.append({
+                    "doc_id": d,
+                    "payload": build_ipynb(
+                        cells, lang=("python", "julia", "r")[d % 3],
+                        list_sources=bool(d % 2)),
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return ipynb_spans(media)
+
+
 def _q_zorder_layout(spark, sf):
     """Z-order layout report (r5): Morton-interleave (doc_id, n_chars)
     after exact min/max rank normalization, bucket rows into 16 equal
@@ -3306,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_ingest": _q_markdown_ingest,
         "mbox_ingest": _q_mbox_ingest,
         "odt_ingest": _q_odt_ingest,
+        "ipynb_ingest": _q_ipynb_ingest,
         "zorder_layout": _q_zorder_layout,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
@@ -4940,6 +4987,36 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT CAST(doc_id AS VARCHAR),
                    CASE WHEN has_img THEN 8 ELSE 7 END, 'text',
                    'Closing ' || doc_id || '.', NULL, NULL FROM docs
+        """,
+        # ipynb replay: every span derived arithmetically — markdown-cell
+        # routing lands as the cleaned literals below; the conditional
+        # markdown cell shifts BOTH the cell index and the seq
+        "ipynb_ingest": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 4 = 0 AS has_md2,
+                     CASE doc_id % 3 WHEN 0 THEN 'python'
+                          WHEN 1 THEN 'julia' ELSE 'r' END AS lang
+              FROM documents WHERE doc_id < 240 AND doc_id % 13 <> 12)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(0 AS INT) AS cell,
+                   CAST(0 AS INT) AS seq, 'heading' AS kind,
+                   'Notebook ' || doc_id || ' & co' AS text,
+                   CAST(1 AS INT) AS level, CAST(NULL AS VARCHAR) AS media_ref
+            FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 0, 1, 'text',
+                   'Intro bold ' || doc_id % 7 || '.', NULL, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, 2, 'code',
+                   'x = ' || doc_id || chr(10) || 'print(x * '
+                     || doc_id % 5 || ')', NULL, lang FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, 3, 'output',
+                   CAST(doc_id * (doc_id % 5) AS VARCHAR) || chr(10),
+                   NULL, NULL FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 2, 4, 'heading',
+                   'Results ' || doc_id % 3, 2, NULL
+            FROM docs WHERE has_md2
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_md2 THEN 3 ELSE 2 END,
+                   CASE WHEN has_md2 THEN 5 ELSE 4 END, 'text',
+                   'raw ' || doc_id, NULL, NULL FROM docs
         """,
         # zorder replay: normalize → parallel bit-spread (stepwise CTEs,
         # one per magic-number round) → interleave → bucket → rollup;

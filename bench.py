@@ -211,6 +211,8 @@ HEADLINE = [
     "markdown_ingest",
     "mbox_ingest",
     "odt_ingest",
+    # notebook JSON parse routing markdown cells through the md leg
+    "ipynb_ingest",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]
