@@ -1595,6 +1595,48 @@ def _q_ipynb_ingest(spark, sf):
     return ipynb_spans(media)
 
 
+def _q_patch_ingest(spark, sf):
+    """Unified-diff ingestion (r5): per doc a git-framed patch with a
+    modify hunk (context + del + add + context), a second add-only hunk
+    on every 4th doc, a /dev/null-old new-file on every 3rd doc and a
+    binary file on every 5th (both shifting file_idx — the oracle
+    replays the shifts); every 13th payload is prose → zero rows
+    (O6)."""
+    from autoextract.sources.patch import build_patch, patch_hunks
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 13 == 12:
+                    rows.append({"doc_id": d, "payload": b"plain prose"})
+                    continue
+                h0 = [(d % 20 + 1, d % 20 + 1,
+                       [(" ", f"ctx {d}"), ("-", f"old {d % 5}"),
+                        ("+", f"new {d % 5}"), (" ", "end")])]
+                if d % 4 == 0:
+                    h0.append((50, 51, [("+", f"extra {d}")]))
+                files = [(f"src/m{d % 7}.py", f"src/m{d % 7}.py", h0)]
+                if d % 3 == 0:
+                    files.append((None, f"docs/n{d}.txt",
+                                  [(0, 1, [("+", f"hello {d}"),
+                                           ("+", f"bye {d % 3}")])]))
+                if d % 5 == 0:
+                    files.append(("img.png", "img.png", "binary"))
+                rows.append({"doc_id": d, "payload": build_patch(files)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return patch_hunks(media)
+
+
 def _q_zorder_layout(spark, sf):
     """Z-order layout report (r5): Morton-interleave (doc_id, n_chars)
     after exact min/max rank normalization, bucket rows into 16 equal
@@ -3353,6 +3395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mbox_ingest": _q_mbox_ingest,
         "odt_ingest": _q_odt_ingest,
         "ipynb_ingest": _q_ipynb_ingest,
+        "patch_ingest": _q_patch_ingest,
         "zorder_layout": _q_zorder_layout,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
@@ -5017,6 +5060,45 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN has_md2 THEN 3 ELSE 2 END,
                    CASE WHEN has_md2 THEN 5 ELSE 4 END, 'text',
                    'raw ' || doc_id, NULL, NULL FROM docs
+        """,
+        # patch replay: every hunk row derived arithmetically — counted
+        # adds/dels, declared extents, /dev/null → NULL paths, and the
+        # file_idx shifts from the conditional add/binary files
+        "patch_ingest": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 4 = 0 AS has_h2,
+                     doc_id % 3 = 0 AS has_add, doc_id % 5 = 0 AS has_bin
+              FROM documents WHERE doc_id < 240 AND doc_id % 13 <> 12)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(0 AS INT) AS file_idx,
+                   'src/m' || doc_id % 7 || '.py' AS old_path,
+                   'src/m' || doc_id % 7 || '.py' AS new_path,
+                   FALSE AS is_binary, CAST(0 AS INT) AS hunk_idx,
+                   CAST(doc_id % 20 + 1 AS INT) AS old_start,
+                   CAST(3 AS INT) AS old_count,
+                   CAST(doc_id % 20 + 1 AS INT) AS new_start,
+                   CAST(3 AS INT) AS new_count,
+                   CAST(1 AS INT) AS n_added, CAST(1 AS INT) AS n_deleted,
+                   ' ctx ' || doc_id || chr(10) || '-old ' || doc_id % 5
+                     || chr(10) || '+new ' || doc_id % 5 || chr(10)
+                     || ' end' AS body,
+                   TRUE AS valid
+            FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 0,
+                   'src/m' || doc_id % 7 || '.py',
+                   'src/m' || doc_id % 7 || '.py', FALSE, 1,
+                   50, 0, 51, 1, 1, 0, '+extra ' || doc_id, TRUE
+            FROM docs WHERE has_h2
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, NULL,
+                   'docs/n' || doc_id || '.txt', FALSE, 0,
+                   0, 0, 1, 2, 2, 0,
+                   '+hello ' || doc_id || chr(10) || '+bye 0', TRUE
+            FROM docs WHERE has_add
+            UNION ALL SELECT CAST(doc_id AS VARCHAR),
+                   CASE WHEN has_add THEN 2 ELSE 1 END,
+                   'img.png', 'img.png', TRUE, NULL,
+                   NULL, NULL, NULL, NULL, NULL, NULL, NULL, TRUE
+            FROM docs WHERE has_bin
         """,
         # zorder replay: normalize → parallel bit-spread (stepwise CTEs,
         # one per magic-number round) → interleave → bucket → rollup;

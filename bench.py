@@ -213,6 +213,8 @@ HEADLINE = [
     "odt_ingest",
     # notebook JSON parse routing markdown cells through the md leg
     "ipynb_ingest",
+    # git unified-diff hunk rows: the commit-corpus leg
+    "patch_ingest",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]
