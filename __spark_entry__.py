@@ -1637,6 +1637,19 @@ def _q_patch_ingest(spark, sf):
     return patch_hunks(media)
 
 
+def _q_heavy_hitters(spark, sf):
+    """CMS heavy hitters (r5): exact counts of tokens above 3% of the
+    corpus token mass through the count-min two-pass — the vocabulary
+    never shuffles (one bounded depth×width sketch exchange + d
+    broadcast probes + a candidate-only exact count); the sketch's
+    overcount can only widen the candidate slice, never change the
+    answer, so the DuckDB oracle is the plain exact census."""
+    from autoextract.operators.sketches import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf, "documents"),
+                         min_frac=0.03, width=4096, depth=4)
+
+
 def _q_zorder_layout(spark, sf):
     """Z-order layout report (r5): Morton-interleave (doc_id, n_chars)
     after exact min/max rank normalization, bucket rows into 16 equal
@@ -3396,6 +3409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odt_ingest": _q_odt_ingest,
         "ipynb_ingest": _q_ipynb_ingest,
         "patch_ingest": _q_patch_ingest,
+        "heavy_hitters": _q_heavy_hitters,
         "zorder_layout": _q_zorder_layout,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
@@ -5060,6 +5074,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN has_md2 THEN 3 ELSE 2 END,
                    CASE WHEN has_md2 THEN 5 ELSE 4 END, 'text',
                    'raw ' || doc_id, NULL, NULL FROM docs
+        """,
+        # heavy-hitters replay: the CMS pipeline's output is EXACT (no
+        # false negatives + candidate exact count), so the oracle is the
+        # plain census with the same relative threshold
+        "heavy_hitters": """
+            WITH t AS (
+              SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+            tt AS (SELECT token FROM t WHERE token <> ''),
+            th AS (SELECT CAST(CEIL(0.03 * COUNT(*)) AS BIGINT) AS thr
+                   FROM tt)
+            SELECT token, COUNT(*) AS n
+            FROM tt, th GROUP BY token, thr HAVING COUNT(*) >= thr
         """,
         # patch replay: every hunk row derived arithmetically — counted
         # adds/dels, declared extents, /dev/null → NULL paths, and the

@@ -215,6 +215,9 @@ HEADLINE = [
     "ipynb_ingest",
     # git unified-diff hunk rows: the commit-corpus leg
     "patch_ingest",
+    # CMS two-pass census: bounded sketch exchange + broadcast probes,
+    # vocabulary never shuffles
+    "heavy_hitters",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]

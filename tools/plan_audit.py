@@ -120,6 +120,12 @@ AUDITED = {
     "broadcast; localCheckpoint truncates lineage between rounds — so "
     "the settled plan shown here is just the final round's checkpointed "
     "scan (rounds execute eagerly during construction)",
+    "heavy_hitters": "the vocabulary never shuffles: ONE bounded "
+    "depth×width sketch exchange (posexplode is a constant ×d factor), "
+    "d broadcast probes of the materialized sketch + a 1-row total "
+    "broadcast for the relative threshold, then a candidate-only exact "
+    "count — the sole token-keyed exchange carries the sketch-pruned "
+    "slice",
     "zorder_layout": "1-row global min/max agg broadcast back "
     "(BroadcastNestedLoopJoin against one row — document rows never "
     "shuffle for the bounds); the Morton key is a codegen'd shift/mask "
