@@ -1637,6 +1637,46 @@ def _q_patch_ingest(spark, sf):
     return patch_hunks(media)
 
 
+def _q_mp3_meta(spark, sf):
+    """MP3 header walk (r5): per doc a frame stream rotating MPEG-1
+    128k CBR stereo (Xing-tagged on every 12th doc — declared frames
+    must win), MPEG-2 64k mono behind an ID3v2 prefix, and MPEG-1 VBR
+    alternating 128/192 whose mean bitrate the oracle replays; every
+    11th payload has no sync → NULL row with valid=false (O6)."""
+    from autoextract.operators.id3 import build_id3
+    from autoextract.operators.mp3 import build_mp3, mp3_meta
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 11 == 10:
+                    rows.append({"doc_id": d,
+                                 "payload": b"no sync anywhere ..."})
+                    continue
+                n = 5 + d % 7
+                if d % 3 == 0:
+                    p = build_mp3(
+                        n, xing=(50 + d % 20) if d % 12 == 0 else None)
+                elif d % 3 == 1:
+                    p = build_mp3(n, version="2", bitrate=64, channels=1,
+                                  id3=build_id3(title=f"t{d}"))
+                else:
+                    p = build_mp3(n, vbr_alternate=192)
+                rows.append({"doc_id": d, "payload": p})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return mp3_meta(media)
+
+
 def _q_heavy_hitters(spark, sf):
     """CMS heavy hitters (r5): exact counts of tokens above 3% of the
     corpus token mass through the count-min two-pass — the vocabulary
@@ -3410,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipynb_ingest": _q_ipynb_ingest,
         "patch_ingest": _q_patch_ingest,
         "heavy_hitters": _q_heavy_hitters,
+        "mp3_meta": _q_mp3_meta,
         "zorder_layout": _q_zorder_layout,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
@@ -5074,6 +5115,44 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN has_md2 THEN 3 ELSE 2 END,
                    CASE WHEN has_md2 THEN 5 ELSE 4 END, 'text',
                    'raw ' || doc_id, NULL, NULL FROM docs
+        """,
+        # mp3 replay: every field derived arithmetically — frame-length
+        # walk, Xing override, VBR mean and the samples-per-frame
+        # duration formula all land as the integer math below
+        "mp3_meta": """
+            WITH docs AS (
+              SELECT doc_id, 5 + doc_id % 7 AS n,
+                     doc_id % 11 = 10 AS junk, doc_id % 3 AS v,
+                     doc_id % 12 = 0 AS xing
+              FROM documents WHERE doc_id < 240)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              CASE WHEN junk THEN NULL
+                   WHEN v = 1 THEN '2' ELSE '1' END AS version,
+              CASE WHEN junk THEN NULL ELSE 3 END AS layer,
+              CASE WHEN junk THEN NULL
+                   WHEN v = 1 THEN 22050 ELSE 44100 END AS sample_rate,
+              CASE WHEN junk THEN NULL
+                   WHEN v = 1 THEN 1 ELSE 2 END AS channels,
+              CASE WHEN junk THEN NULL
+                   WHEN v = 0 THEN 128
+                   WHEN v = 1 THEN 64
+                   ELSE (128 * (n - n // 2) + 192 * (n // 2)) // n
+              END AS bitrate_kbps,
+              CASE WHEN junk THEN NULL
+                   WHEN v = 0 AND xing THEN 50 + doc_id % 20
+                   ELSE n END AS n_frames,
+              CAST(CASE WHEN junk THEN NULL
+                   WHEN v = 0 AND xing
+                     THEN (50 + doc_id % 20) * 1152 * 1000 // 44100
+                   WHEN v = 0 THEN n * 1152 * 1000 // 44100
+                   WHEN v = 1 THEN n * 576 * 1000 // 22050
+                   ELSE n * 1152 * 1000 // 44100
+              END AS BIGINT) AS duration_ms,
+              CASE WHEN junk THEN NULL
+                   WHEN v = 0 THEN xing
+                   WHEN v = 1 THEN FALSE ELSE TRUE END AS vbr,
+              NOT junk AS valid
+            FROM docs
         """,
         # heavy-hitters replay: the CMS pipeline's output is EXACT (no
         # false negatives + candidate exact count), so the oracle is the

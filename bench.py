@@ -218,6 +218,8 @@ HEADLINE = [
     # CMS two-pass census: bounded sketch exchange + broadcast probes,
     # vocabulary never shuffles
     "heavy_hitters",
+    # MP3 frame-header walk: stream metadata without decode
+    "mp3_meta",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]
