@@ -1677,6 +1677,43 @@ def _q_mp3_meta(spark, sf):
     return mp3_meta(media)
 
 
+def _q_se_dump_ingest(spark, sf):
+    """Stack Exchange dump ingestion (r5): per doc one posts.xml row
+    line built with pure JVM concat (questions carry entity-escaped
+    Title + Tags, answers neither; scores go negative; attribute order
+    is fixed but the parser's space-anchored patterns are tested
+    against reordering in pytest); every 13th line is the bare
+    ``<posts>`` wrapper and must vanish (O6).  The whole query — render
+    AND parse — is one codegen'd projection chain, zero Python."""
+    from autoextract.sources.sedump import parse_se_posts
+
+    d = F.col("doc_id")
+    ss = F.lpad((d % 60).cast("string"), 2, "0")
+    is_q = d % 2 == 0
+    row_line = F.concat(
+        F.lit('  <row Id="'), d.cast("string"),
+        F.lit('" PostTypeId="'),
+        F.when(is_q, F.lit("1")).otherwise(F.lit("2")),
+        F.lit('" CreationDate="2023-04-05T08:30:'), ss,
+        F.lit('.000" Score="'), (d % 50 - 5).cast("string"), F.lit('"'),
+        F.when(is_q, F.concat(
+            F.lit(' Title="Q &amp; A '), d.cast("string"),
+            F.lit('" Tags="&lt;tag'), (d % 5).cast("string"),
+            F.lit("&gt;&lt;misc&gt;\""))).otherwise(F.lit("")),
+        F.lit(' Body="&lt;p&gt;Body '), d.cast("string"),
+        F.lit(' &amp; more&lt;/p&gt;" OwnerUserId="'),
+        ((d * 3) % 97).cast("string"), F.lit('" />'),
+    )
+    lines = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+        .select(F.when(d % 13 == 12, F.lit("<posts>"))
+                .otherwise(row_line).alias("line"))
+    )
+    return parse_se_posts(lines)
+
+
 def _q_heavy_hitters(spark, sf):
     """CMS heavy hitters (r5): exact counts of tokens above 3% of the
     corpus token mass through the count-min two-pass — the vocabulary
@@ -3451,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "patch_ingest": _q_patch_ingest,
         "heavy_hitters": _q_heavy_hitters,
         "mp3_meta": _q_mp3_meta,
+        "se_dump_ingest": _q_se_dump_ingest,
         "zorder_layout": _q_zorder_layout,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
@@ -5115,6 +5153,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN has_md2 THEN 3 ELSE 2 END,
                    CASE WHEN has_md2 THEN 5 ELSE 4 END, 'text',
                    'raw ' || doc_id, NULL, NULL FROM docs
+        """,
+        # se-dump replay: every attribute derived arithmetically — the
+        # entity unescape lands as the literals below; wrapper lines gone
+        "se_dump_ingest": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 2 = 0 AS is_q
+              FROM documents WHERE doc_id < 240 AND doc_id % 13 <> 12)
+            SELECT doc_id AS post_id,
+                   CASE WHEN is_q THEN 1 ELSE 2 END AS post_type,
+                   TIMESTAMP '2023-04-05 08:30:00'
+                     + (doc_id % 60) * INTERVAL 1 SECOND AS creation_ts,
+                   CAST(doc_id % 50 - 5 AS INT) AS score,
+                   CASE WHEN is_q THEN 'Q & A ' || doc_id END AS title,
+                   '<p>Body ' || doc_id || ' & more</p>' AS body,
+                   CASE WHEN is_q
+                        THEN 'tag' || doc_id % 5 || ',misc' END AS tags_csv,
+                   (doc_id * 3) % 97 AS owner_user_id
+            FROM docs
         """,
         # mp3 replay: every field derived arithmetically — frame-length
         # walk, Xing override, VBR mean and the samples-per-frame

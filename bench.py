@@ -220,6 +220,8 @@ HEADLINE = [
     "heavy_hitters",
     # MP3 frame-header walk: stream metadata without decode
     "mp3_meta",
+    # posts.xml row lines: one codegen'd regexp projection, zero Python
+    "se_dump_ingest",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]
