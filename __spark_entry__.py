@@ -1714,6 +1714,52 @@ def _q_se_dump_ingest(spark, sf):
     return parse_se_posts(lines)
 
 
+def _q_snapshot_diff(spark, sf):
+    """Snapshot diff (r5): derive two crawl snapshots of the same
+    corpus deterministically (every 7th doc absent from the old one →
+    added, every 5th absent from the new → removed, every 3rd mutated
+    in the new → changed), full-outer join on doc_id over (key,
+    sha256) projections — text never shuffles — and classify.  The
+    oracle replays the membership/mutation arithmetic."""
+    from autoextract.operators.snapshot import snapshot_diff
+
+    d = F.col("doc_id")
+    docs = (
+        _t(spark, sf, "documents")
+        .select(d.cast("long").alias("doc_id"), "text", "source")
+        .where(d < 240)
+    )
+    old = docs.where(d % 7 != 6)
+    new = docs.where(d % 5 != 4).withColumn(
+        "text", F.when(d % 3 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")))
+    return snapshot_diff(old, new, carry=["source"]).select(
+        "doc_id", "status", "source")
+
+
+def _q_snapshot_churn(spark, sf):
+    """Per-source churn rollup (r5) over the same derived snapshot
+    pair: counts of each status + 6-dp churn rate per source (removed
+    rows carry NULL source — they group under it, same as the SQL)."""
+    from autoextract.operators.snapshot import (
+        snapshot_diff,
+        snapshot_diff_report,
+    )
+
+    d = F.col("doc_id")
+    docs = (
+        _t(spark, sf, "documents")
+        .select(d.cast("long").alias("doc_id"), "text", "source")
+        .where(d < 240)
+    )
+    old = docs.where(d % 7 != 6)
+    new = docs.where(d % 5 != 4).withColumn(
+        "text", F.when(d % 3 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")))
+    diff = snapshot_diff(old, new, carry=["source"])
+    return snapshot_diff_report(diff, group_col="source")
+
+
 def _q_heavy_hitters(spark, sf):
     """CMS heavy hitters (r5): exact counts of tokens above 3% of the
     corpus token mass through the count-min two-pass — the vocabulary
@@ -3489,6 +3535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "mp3_meta": _q_mp3_meta,
         "se_dump_ingest": _q_se_dump_ingest,
+        "snapshot_diff": _q_snapshot_diff,
+        "snapshot_churn": _q_snapshot_churn,
         "zorder_layout": _q_zorder_layout,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
@@ -5153,6 +5201,47 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN has_md2 THEN 3 ELSE 2 END,
                    CASE WHEN has_md2 THEN 5 ELSE 4 END, 'text',
                    'raw ' || doc_id, NULL, NULL FROM docs
+        """,
+        # snapshot replay: membership + mutation arithmetic decides every
+        # status; removed rows carry NULL source
+        "snapshot_diff": """
+            WITH d AS (
+              SELECT doc_id, source, doc_id % 7 <> 6 AS in_old,
+                     doc_id % 5 <> 4 AS in_new, doc_id % 3 = 0 AS mut
+              FROM documents WHERE doc_id < 240)
+            SELECT doc_id,
+                   CASE WHEN NOT in_old THEN 'added'
+                        WHEN NOT in_new THEN 'removed'
+                        WHEN mut THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CASE WHEN in_new THEN source END AS source
+            FROM d WHERE in_old OR in_new
+        """,
+        "snapshot_churn": """
+            WITH d AS (
+              SELECT doc_id, source, doc_id % 7 <> 6 AS in_old,
+                     doc_id % 5 <> 4 AS in_new, doc_id % 3 = 0 AS mut
+              FROM documents WHERE doc_id < 240),
+            s AS (
+              SELECT CASE WHEN in_new THEN source END AS source,
+                     CASE WHEN NOT in_old THEN 'added'
+                          WHEN NOT in_new THEN 'removed'
+                          WHEN mut THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM d WHERE in_old OR in_new)
+            SELECT source, COUNT(*) AS n_total,
+                   SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                     AS n_added,
+                   SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+                     AS n_removed,
+                   SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                     AS n_changed,
+                   SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+                     AS n_unchanged,
+                   ROUND(SUM(CASE WHEN status <> 'unchanged' THEN 1
+                             ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+                     AS churn_rate
+            FROM s GROUP BY source
         """,
         # se-dump replay: every attribute derived arithmetically — the
         # entity unescape lands as the literals below; wrapper lines gone

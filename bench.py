@@ -222,6 +222,9 @@ HEADLINE = [
     "mp3_meta",
     # posts.xml row lines: one codegen'd regexp projection, zero Python
     "se_dump_ingest",
+    # cross-snapshot key diff: (key, sha256) projections + one outer join
+    "snapshot_diff",
+    "snapshot_churn",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]
