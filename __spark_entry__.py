@@ -1714,6 +1714,19 @@ def _q_se_dump_ingest(spark, sf):
     return parse_se_posts(lines)
 
 
+def _q_distinct_census(spark, sf):
+    """HLL distinct census (r5): per source the row count, the EXACT
+    distinct text count, and the HLL++ estimate checked against its
+    own 5×rsd error bound — the sketch is the partial-aggregable
+    100 TB path, the exact twin makes the estimate verified rather
+    than trusted.  The oracle replays the exact columns and asserts
+    the verdict is uniformly true."""
+    from autoextract.functions.text import distinct_census
+
+    return distinct_census(_t(spark, sf, "documents"),
+                           key_col="text", group_col="source")
+
+
 def _q_snapshot_diff(spark, sf):
     """Snapshot diff (r5): derive two crawl snapshots of the same
     corpus deterministically (every 7th doc absent from the old one →
@@ -3537,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "se_dump_ingest": _q_se_dump_ingest,
         "snapshot_diff": _q_snapshot_diff,
         "snapshot_churn": _q_snapshot_churn,
+        "distinct_census": _q_distinct_census,
         "zorder_layout": _q_zorder_layout,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
@@ -5201,6 +5215,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN has_md2 THEN 3 ELSE 2 END,
                    CASE WHEN has_md2 THEN 5 ELSE 4 END, 'text',
                    'raw ' || doc_id, NULL, NULL FROM docs
+        """,
+        # distinct-census replay: exact columns replayed; the HLL verdict
+        # must be uniformly true (its bound is part of the contract)
+        "distinct_census": """
+            SELECT source, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT text) AS n_distinct,
+                   TRUE AS hll_ok
+            FROM documents GROUP BY source
         """,
         # snapshot replay: membership + mutation arithmetic decides every
         # status; removed rows carry NULL source
