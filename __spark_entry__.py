@@ -1714,6 +1714,48 @@ def _q_se_dump_ingest(spark, sf):
     return parse_se_posts(lines)
 
 
+def _q_subtitle_ingest(spark, sf):
+    """Subtitle ingestion (r5): even docs carry SRT (comma millis,
+    deliberately gapped indices the parser renumbers, a multi-line
+    cue), odd docs WebVTT (dot millis, NOTE block, cue ids, settings
+    after the timestamps, voice markup stripped); 3 cues per doc with
+    arithmetic timings; every 11th payload has no timing line → zero
+    rows (O6)."""
+    from autoextract.sources.subtitles import (
+        build_srt,
+        build_vtt,
+        subtitle_cues,
+    )
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 11 == 10:
+                    rows.append({"doc_id": d, "payload": b"no cues here"})
+                    continue
+                cues = [
+                    (d * 40 + k * 2000, d * 40 + k * 2000 + 1500 + d % 7,
+                     (f"Cue {k} of {d}" if k != 1
+                      else f"Line A {d}\nLine B {d % 3}"))
+                    for k in range(3)
+                ]
+                p = build_srt(cues) if d % 2 == 0 else build_vtt(
+                    cues, note=f"meta {d}")
+                rows.append({"doc_id": d, "payload": p})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return subtitle_cues(media)
+
+
 def _q_distinct_census(spark, sf):
     """HLL distinct census (r5): per source the row count, the EXACT
     distinct text count, and the HLL++ estimate checked against its
@@ -3551,6 +3593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "snapshot_churn": _q_snapshot_churn,
         "distinct_census": _q_distinct_census,
+        "subtitle_ingest": _q_subtitle_ingest,
         "zorder_layout": _q_zorder_layout,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
@@ -5215,6 +5258,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN has_md2 THEN 3 ELSE 2 END,
                    CASE WHEN has_md2 THEN 5 ELSE 4 END, 'text',
                    'raw ' || doc_id, NULL, NULL FROM docs
+        """,
+        # subtitle replay: every cue derived arithmetically — timings,
+        # renumbered cue ids, multi-line join, VTT markup strip
+        "subtitle_ingest": """
+            WITH docs AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id < 240 AND doc_id % 11 <> 10),
+            k AS (SELECT unnest([0, 1, 2]) AS k)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(k AS INT) AS cue,
+                   CAST(doc_id * 40 + k * 2000 AS BIGINT) AS start_ms,
+                   CAST(doc_id * 40 + k * 2000 + 1500 + doc_id % 7
+                        AS BIGINT) AS end_ms,
+                   CASE WHEN k = 1
+                        THEN 'Line A ' || doc_id || chr(10) || 'Line B '
+                             || doc_id % 3
+                        ELSE 'Cue ' || k || ' of ' || doc_id
+                   END AS text
+            FROM docs, k
         """,
         # distinct-census replay: exact columns replayed; the HLL verdict
         # must be uniformly true (its bound is part of the contract)

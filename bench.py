@@ -225,6 +225,10 @@ HEADLINE = [
     # cross-snapshot key diff: (key, sha256) projections + one outer join
     "snapshot_diff",
     "snapshot_churn",
+    # verified HLL cardinality: sketch + exact twin in one exchange
+    "distinct_census",
+    # SRT/WebVTT cue parse: narrow Arrow stage
+    "subtitle_ingest",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]
