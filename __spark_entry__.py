@@ -1714,6 +1714,32 @@ def _q_se_dump_ingest(spark, sf):
     return parse_se_posts(lines)
 
 
+def _q_dialogue_turns(spark, sf):
+    """Dialogue-turn assembly (r5): per doc a transcript built with
+    pure JVM concat — dropped preamble, a two-line continuation turn,
+    consecutive same-speaker turns kept separate; every 9th doc has no
+    speaker tags → zero rows.  The whole query (render + assembly) is
+    JVM-only: one window exchange + the fused turn agg."""
+    from autoextract.functions.text import dialogue_turns
+
+    d = F.col("doc_id")
+    text = F.when(d % 9 == 8, F.lit("just prose\nno speakers")).otherwise(
+        F.concat(
+            F.lit("intro "), d.cast("string"),
+            F.lit("\nAlice: Turn one "), d.cast("string"),
+            F.lit(",\ncontinued "), (d % 3).cast("string"),
+            F.lit(".\nBob: Reply "), (d % 5).cast("string"),
+            F.lit(".\nAlice: Close "), d.cast("string"), F.lit("."),
+        ))
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+        .select("doc_id", text.alias("text"))
+    )
+    return dialogue_turns(docs)
+
+
 def _q_subtitle_ingest(spark, sf):
     """Subtitle ingestion (r5): even docs carry SRT (comma millis,
     deliberately gapped indices the parser renumbers, a multi-line
@@ -3594,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_churn": _q_snapshot_churn,
         "distinct_census": _q_distinct_census,
         "subtitle_ingest": _q_subtitle_ingest,
+        "dialogue_turns": _q_dialogue_turns,
         "zorder_layout": _q_zorder_layout,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
@@ -5258,6 +5285,21 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN has_md2 THEN 3 ELSE 2 END,
                    CASE WHEN has_md2 THEN 5 ELSE 4 END, 'text',
                    'raw ' || doc_id, NULL, NULL FROM docs
+        """,
+        # dialogue replay: every turn derived arithmetically — preamble
+        # drop, continuation join, per-doc 0-based numbering
+        "dialogue_turns": """
+            WITH docs AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id < 240 AND doc_id % 9 <> 8)
+            SELECT doc_id, CAST(0 AS INT) AS turn, 'Alice' AS speaker,
+                   'Turn one ' || doc_id || ', continued ' || doc_id % 3
+                     || '.' AS utterance
+            FROM docs
+            UNION ALL SELECT doc_id, 1, 'Bob',
+                   'Reply ' || doc_id % 5 || '.' FROM docs
+            UNION ALL SELECT doc_id, 2, 'Alice',
+                   'Close ' || doc_id || '.' FROM docs
         """,
         # subtitle replay: every cue derived arithmetically — timings,
         # renumbered cue ids, multi-line join, VTT markup strip

@@ -979,3 +979,67 @@ def distinct_census(
             "hll_ok"
         ),
     )
+
+
+# ----------------------------------------------------------------------
+# dialogue-turn assembly — transcripts → structured conversation turns
+# ----------------------------------------------------------------------
+
+def dialogue_turns(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``Speaker: utterance`` transcripts (interview dumps, chat logs,
+    screenplay-style corpora) → one row per conversational turn:
+    ``(doc_id, turn, speaker, utterance)``.
+
+    Rules (the common transcript convention): a line opening with a
+    short capitalized tag before a colon starts a new turn; untagged
+    lines continue the current turn (joined with a space); anything
+    before the first speaker tag is preamble and is dropped; turn
+    numbering is 0-based per document.
+
+    Pure JVM: posexplode over the line split, a running ``sum`` window
+    on (doc, line order) to assign turn ids, one per-(doc, turn)
+    partial agg with position-sorted reassembly (``collect_list`` order
+    is partition-arbitrary — pinned via ``sort_array`` on a (pos, line)
+    struct, the r5 house rule).  One window exchange on the doc key;
+    the turn agg fuses onto the same partitioning.
+    """
+    from pyspark.sql import Window
+
+    speaker_re = r"^([A-Z][A-Za-z .'-]{0,30}):\s+"
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    tagged = lines.select(
+        id_col,
+        "pos",
+        F.nullif(F.regexp_extract("line", speaker_re, 1), F.lit("")).alias(
+            "speaker"
+        ),
+        F.trim(F.regexp_replace("line", speaker_re, "")).alias("txt"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    turns = tagged.withColumn(
+        "turn",
+        F.sum(F.when(F.col("speaker").isNotNull(), 1).otherwise(0)).over(w),
+    ).where((F.col("turn") >= 1) & (F.length("txt") > 0))
+    return (
+        turns.groupBy(id_col, "turn")
+        .agg(
+            F.max("speaker").alias("speaker"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "txt"))
+                    ),
+                    lambda s: s["txt"],
+                ),
+                " ",
+            ).alias("utterance"),
+        )
+        .withColumn("turn", (F.col("turn") - 1).cast("int"))
+    )

@@ -229,6 +229,8 @@ HEADLINE = [
     "distinct_census",
     # SRT/WebVTT cue parse: narrow Arrow stage
     "subtitle_ingest",
+    # speaker-turn assembly: one window exchange + fused turn agg
+    "dialogue_turns",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]
