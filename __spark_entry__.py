@@ -1714,6 +1714,37 @@ def _q_se_dump_ingest(spark, sf):
     return parse_se_posts(lines)
 
 
+def _q_html_tables(spark, sf):
+    """HTML table extraction (r5): per doc a page rendered with pure
+    JVM concat carrying a header row (th + colspan advancing the column
+    cursor), an entity-escaped body row, and a second single-cell table
+    on every 4th doc; every 9th doc has no table → zero rows (O6)."""
+    from autoextract.operators.html import extract_html_tables
+
+    d = F.col("doc_id")
+    html = F.when(d % 9 == 8, F.lit("<p>no tables</p>")).otherwise(
+        F.concat(
+            F.lit("<html><body><p>pre</p><table><tr><th>K</th>"
+                  '<th colspan="2">W '),
+            (d % 3).cast("string"),
+            F.lit("</th></tr><tr><td>a &amp; "), d.cast("string"),
+            F.lit("</td><td>"), (d % 5).cast("string"),
+            F.lit("</td><td>"), (d % 7).cast("string"),
+            F.lit("</td></tr></table>"),
+            F.when(d % 4 == 0, F.concat(
+                F.lit("<table><tr><td>solo "), d.cast("string"),
+                F.lit("</td></tr></table>"))).otherwise(F.lit("")),
+            F.lit("</body></html>"),
+        ))
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+        .select("doc_id", html.alias("html"))
+    )
+    return extract_html_tables(docs)
+
+
 def _q_dialogue_turns(spark, sf):
     """Dialogue-turn assembly (r5): per doc a transcript built with
     pure JVM concat — dropped preamble, a two-line continuation turn,
@@ -3621,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_census": _q_distinct_census,
         "subtitle_ingest": _q_subtitle_ingest,
         "dialogue_turns": _q_dialogue_turns,
+        "html_tables": _q_html_tables,
         "zorder_layout": _q_zorder_layout,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
@@ -5285,6 +5317,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN has_md2 THEN 3 ELSE 2 END,
                    CASE WHEN has_md2 THEN 5 ELSE 4 END, 'text',
                    'raw ' || doc_id, NULL, NULL FROM docs
+        """,
+        # html-tables replay: every cell derived arithmetically — colspan
+        # column advance, th header flags, entity unescape
+        "html_tables": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 4 = 0 AS has_t2
+              FROM documents WHERE doc_id < 240 AND doc_id % 9 <> 8)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(0 AS INT) AS table_id, CAST(0 AS INT) AS row,
+                   CAST(0 AS INT) AS col, TRUE AS header, 'K' AS text
+            FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 0, 0, 1, TRUE,
+                   'W ' || doc_id % 3 FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 0, 1, 0, FALSE,
+                   'a & ' || doc_id FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 0, 1, 1, FALSE,
+                   CAST(doc_id % 5 AS VARCHAR) FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 0, 1, 2, FALSE,
+                   CAST(doc_id % 7 AS VARCHAR) FROM docs
+            UNION ALL SELECT CAST(doc_id AS VARCHAR), 1, 0, 0, FALSE,
+                   'solo ' || doc_id FROM docs WHERE has_t2
         """,
         # dialogue replay: every turn derived arithmetically — preamble
         # drop, continuation join, per-doc 0-based numbering

@@ -69,6 +69,15 @@ class _TreeBuilder(HTMLParser):
         if tag in BOILERPLATE_TAGS:
             self._skip_depth = 1
             return
+        # HTML5 implied end tags for table structure: a new cell closes
+        # an open cell, a new row closes an open cell/row — without this
+        # the wild unclosed-<td> form nests instead of forming a grid
+        if tag in ("td", "th"):
+            while self.cur.tag in ("td", "th"):
+                self.cur = self.cur.parent
+        elif tag == "tr":
+            while self.cur.tag in ("td", "th", "tr"):
+                self.cur = self.cur.parent
         node = _Node(tag, dict(attrs), self.cur)
         self.cur.children.append(node)
         if tag not in VOID_TAGS:
@@ -464,3 +473,106 @@ def extract_metadata(html_docs: DataFrame, html_col: str = "html") -> DataFrame:
             F.lower(robots).contains("noindex"), F.lit(False)
         ).alias("noindex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# table extraction — the HTML twin of sources.docx.parse_docx_tables
+# ---------------------------------------------------------------------------
+
+HTML_TABLES_SCHEMA = (
+    "doc_id string, table_id int, row int, col int, header boolean,"
+    " text string"
+)
+
+
+def _cell_text(node: _Node) -> str:
+    """Subtree text of a cell, whitespace-collapsed, EXCLUDING any
+    nested table (which is emitted as its own table_id instead)."""
+    parts: list[str] = []
+
+    def walk(n) -> None:
+        for c in n.children:
+            if isinstance(c, str):
+                parts.append(c)
+            elif c.tag != "table":
+                walk(c)
+
+    walk(node)
+    return _re.sub(r"\s+", " ", "".join(parts)).strip()
+
+
+def parse_html_tables(html: str) -> list[dict]:
+    """HTML → structured table cells ``{table_id, row, col, header,
+    text}``.  Every ``<table>`` gets its own id in document order
+    (nested tables included — their text is excluded from the outer
+    cell); ``colspan`` advances the column cursor with the text on the
+    first spanned column; ``th`` marks ``header``.  Built on the same
+    tolerant ``_TreeBuilder`` DOM the boilerplate strip uses."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(html)
+        builder.close()
+    except Exception:
+        return []
+
+    tables: list[_Node] = []
+
+    def find(n) -> None:
+        for c in n.children:
+            if isinstance(c, _Node):
+                if c.tag == "table":
+                    tables.append(c)
+                find(c)
+
+    find(builder.root)
+
+    out: list[dict] = []
+    for tid, tbl in enumerate(tables):
+        rows: list[_Node] = []
+
+        def collect_rows(n) -> None:
+            for c in n.children:
+                if isinstance(c, _Node) and c.tag != "table":
+                    if c.tag == "tr":
+                        rows.append(c)
+                    else:
+                        collect_rows(c)
+
+        collect_rows(tbl)
+        for ri, tr in enumerate(rows):
+            ci = 0
+            for c in tr.children:
+                if not isinstance(c, _Node) or c.tag not in ("td", "th"):
+                    continue
+                out.append({
+                    "table_id": tid, "row": ri, "col": ci,
+                    "header": c.tag == "th", "text": _cell_text(c),
+                })
+                try:
+                    span = max(int(c.attrs.get("colspan", 1)), 1)
+                except ValueError:
+                    span = 1
+                ci += span
+    return out
+
+
+def extract_html_tables(html_docs: DataFrame, html_col: str = "html"
+                        ) -> DataFrame:
+    """Arrow-batched HTML table extraction → cell rows ``(doc_id,
+    table_id, row, col, header, text)``.  Narrow stage, zero
+    shuffles."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, h in zip(pdf["doc_id"], pdf[html_col]):
+                for r in parse_html_tables(h if isinstance(h, str)
+                                           else ""):
+                    rows.append({"doc_id": str(doc_id), **r})
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "table_id", "row", "col", "header",
+                         "text"],
+            )
+
+    return html_docs.mapInPandas(kernel, schema=HTML_TABLES_SCHEMA)

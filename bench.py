@@ -231,6 +231,8 @@ HEADLINE = [
     "subtitle_ingest",
     # speaker-turn assembly: one window exchange + fused turn agg
     "dialogue_turns",
+    # DOM-walk table cells: narrow Arrow stage over the shared tree
+    "html_tables",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]
