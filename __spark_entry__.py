@@ -1714,6 +1714,49 @@ def _q_se_dump_ingest(spark, sf):
     return parse_se_posts(lines)
 
 
+def _q_front_matter(spark, sf):
+    """YAML front matter (r5): per doc a Jekyll/Hugo-style page —
+    quoted + bare scalars, draft boolean on every 3rd doc, inline
+    vs block tag lists alternating by doc, an extra ignored key, and
+    the body's first line; every 7th doc has no front matter → NULL
+    fields with the real first line (O6-adjacent contract)."""
+    from autoextract.sources.markdown import front_matter
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 7 == 6:
+                    p = f"# Plain {d}\nno front matter".encode()
+                else:
+                    tags = (f"tags: [t{d % 4}, extra]"
+                            if d % 2 == 0
+                            else f"tags:\n  - t{d % 4}\n  - extra")
+                    lines = [
+                        "---",
+                        f'title: "Post {d}"',
+                        f"date: 2024-0{d % 9 + 1}-15",
+                        tags,
+                        f"author: a{d % 5}",
+                    ]
+                    if d % 3 == 0:
+                        lines.append("draft: true")
+                    lines += ["---", "", f"# Body {d}", "text"]
+                    p = "\n".join(lines).encode()
+                rows.append({"doc_id": d, "payload": p})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return front_matter(media)
+
+
 def _q_html_tables(spark, sf):
     """HTML table extraction (r5): per doc a page rendered with pure
     JVM concat carrying a header row (th + colspan advancing the column
@@ -3653,6 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtitle_ingest": _q_subtitle_ingest,
         "dialogue_turns": _q_dialogue_turns,
         "html_tables": _q_html_tables,
+        "front_matter": _q_front_matter,
         "zorder_layout": _q_zorder_layout,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
@@ -5317,6 +5361,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN has_md2 THEN 3 ELSE 2 END,
                    CASE WHEN has_md2 THEN 5 ELSE 4 END, 'text',
                    'raw ' || doc_id, NULL, NULL FROM docs
+        """,
+        # front-matter replay: every field derived arithmetically — both
+        # list forms collapse to the same tags_csv; absent draft → NULL
+        "front_matter": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 7 = 6 AS plain,
+                     doc_id % 3 = 0 AS has_draft
+              FROM documents WHERE doc_id < 240)
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN plain THEN NULL
+                        ELSE 'Post ' || doc_id END AS title,
+                   CASE WHEN plain THEN NULL
+                        ELSE '2024-0' || (doc_id % 9 + 1) || '-15'
+                   END AS date,
+                   CASE WHEN plain THEN NULL
+                        WHEN has_draft THEN TRUE END AS draft,
+                   CASE WHEN plain THEN NULL
+                        ELSE 't' || doc_id % 4 || ',extra' END AS tags_csv,
+                   CAST(CASE WHEN plain THEN 0
+                        WHEN has_draft THEN 5 ELSE 4 END AS INT) AS n_meta,
+                   CASE WHEN plain THEN '# Plain ' || doc_id
+                        ELSE '# Body ' || doc_id END AS body_first_line
+            FROM docs
         """,
         # html-tables replay: every cell derived arithmetically — colspan
         # column advance, th header flags, entity unescape

@@ -300,3 +300,101 @@ def markdown_spans(docs: DataFrame, payload_col: str = "payload"
             )
 
     return docs.mapInPandas(kernel, schema=SPANS_SCHEMA)
+
+
+# ----------------------------------------------------------------------
+# YAML front matter — static-site metadata ahead of the body
+# ----------------------------------------------------------------------
+
+FRONT_MATTER_SCHEMA = (
+    "doc_id string, title string, date string, draft boolean,"
+    " tags_csv string, n_meta int, body_first_line string"
+)
+
+_FM_KV_RE = re.compile(r"^([A-Za-z_][\w-]*):\s*(.*)$")
+
+
+def parse_front_matter(data: bytes) -> dict:
+    """Leading ``---`` -fenced YAML front matter (the Jekyll/Hugo
+    convention that dominates static-site corpora) → the curation
+    fields pipelines key on.  Honest subset of YAML: scalar
+    ``key: value`` (quotes stripped), inline ``[a, b]`` lists, block
+    ``- item`` lists, ``true``/``false`` booleans.  Returns ``title``,
+    ``date``, ``draft``, ``tags_csv``, ``n_meta`` (total keys) and the
+    first body line; a document without front matter yields NULL
+    fields with ``n_meta`` 0 and its real first line, so the column is
+    safe to read unconditionally."""
+    nulls = {"title": None, "date": None, "draft": None,
+             "tags_csv": None, "n_meta": 0}
+    try:
+        src = bytes(data).decode("utf-8")
+    except Exception:
+        return {**nulls, "body_first_line": None}
+    lines = src.replace("\r\n", "\n").split("\n")
+    first_body = next((ln for ln in lines if ln.strip()), "")
+    if not lines or lines[0].strip() != "---":
+        return {**nulls, "body_first_line": first_body or None}
+    meta: dict[str, object] = {}
+    i = 1
+    key = None
+    while i < len(lines):
+        ln = lines[i]
+        if ln.strip() in ("---", "..."):
+            i += 1
+            break
+        item = re.match(r"^\s*-\s+(.*)$", ln)
+        if item and key is not None and isinstance(meta.get(key), list):
+            meta[key].append(item.group(1).strip().strip("\"'"))
+            i += 1
+            continue
+        kv = _FM_KV_RE.match(ln)
+        if kv:
+            key, val = kv.group(1), kv.group(2).strip()
+            if not val:
+                meta[key] = []                     # block list follows
+            elif val.startswith("[") and val.endswith("]"):
+                meta[key] = [v.strip().strip("\"'")
+                             for v in val[1:-1].split(",") if v.strip()]
+            else:
+                meta[key] = val.strip("\"'")
+        i += 1
+    else:
+        # unterminated fence: not front matter at all
+        return {**nulls, "body_first_line": first_body or None}
+    body_first = next((ln for ln in lines[i:] if ln.strip()), "")
+
+    def scalar(k):
+        v = meta.get(k)
+        return v if isinstance(v, str) and v else None
+
+    tags = meta.get("tags")
+    draft = meta.get("draft")
+    return {
+        "title": scalar("title"),
+        "date": scalar("date"),
+        "draft": (draft == "true") if isinstance(draft, str) else None,
+        "tags_csv": ",".join(tags) if isinstance(tags, list) and tags
+        else None,
+        "n_meta": len(meta),
+        "body_first_line": body_first or None,
+    }
+
+
+def front_matter(docs: DataFrame, payload_col: str = "payload"
+                 ) -> DataFrame:
+    """Arrow-batched front-matter extraction → one row per document.
+    Narrow stage, zero shuffles."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf[payload_col]):
+                m = parse_front_matter(bytes(p) if p is not None else b"")
+                rows.append({"doc_id": str(doc_id), **m})
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "title", "date", "draft", "tags_csv",
+                         "n_meta", "body_first_line"],
+            )
+
+    return docs.mapInPandas(kernel, schema=FRONT_MATTER_SCHEMA)

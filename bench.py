@@ -233,6 +233,8 @@ HEADLINE = [
     "dialogue_turns",
     # DOM-walk table cells: narrow Arrow stage over the shared tree
     "html_tables",
+    # Jekyll/Hugo front-matter fields: narrow Arrow stage
+    "front_matter",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]

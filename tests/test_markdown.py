@@ -112,3 +112,36 @@ def test_containment_and_kernel(spark):
     got = markdown_spans(df).collect()
     assert [(r["doc_id"], r["kind"], r["text"]) for r in got] == [
         ("1", "text", "hello")]
+
+
+def test_front_matter_scalar_inline_block_and_absent():
+    from autoextract.sources.markdown import parse_front_matter
+
+    fm = parse_front_matter(
+        b'---\ntitle: "My Post"\ndate: 2024-03-01\ndraft: true\n'
+        b"tags: [ml, \"data eng\"]\nauthor: someone\n---\n\n# Body\n")
+    assert fm == {"title": "My Post", "date": "2024-03-01", "draft": True,
+                  "tags_csv": "ml,data eng", "n_meta": 5,
+                  "body_first_line": "# Body"}
+    blk = parse_front_matter(
+        b"---\ntitle: Block\ntags:\n  - one\n  - two\n---\nbody\n")
+    assert blk["tags_csv"] == "one,two" and blk["n_meta"] == 2
+    # no front matter → NULL fields, real first line
+    plain = parse_front_matter(b"plain doc\nrest")
+    assert plain["n_meta"] == 0 and plain["body_first_line"] == "plain doc"
+    # unterminated fence is NOT front matter
+    unterm = parse_front_matter(b"---\nkey: v\nno close")
+    assert unterm["n_meta"] == 0 and unterm["body_first_line"] == "---"
+
+
+def test_front_matter_kernel(spark):
+    from autoextract.sources.markdown import front_matter
+
+    df = spark.createDataFrame(
+        [(1, b"---\ntitle: T\n---\nbody"), (2, b"\xff\xfe"), (3, None)],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r for r in front_matter(df).collect()}
+    assert got["1"]["title"] == "T" and got["1"]["n_meta"] == 1
+    assert got["2"]["body_first_line"] is None
+    assert got["3"]["n_meta"] == 0
