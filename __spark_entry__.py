@@ -690,6 +690,40 @@ def _q_bpe_train(spark, sf):
     return bpe_merges_df(corpus, 8)
 
 
+def _q_bpe_encode(spark, sf):
+    """BPE encode (r5): apply the 8 merges trained on the planted
+    Sennrich corpus (same construction as bpe_train, so the merge
+    table is analytically fixed) to a probe set of two words per doc —
+    seen words, partially-mergeable words, and an unseen-char word.
+    Encoding is len(merges) chained JVM HOF projections, zero Python,
+    zero shuffles; the oracle hardcodes the hand-derived tokenization
+    of each probe word."""
+    from autoextract.operators.tokenizer import bpe_encode, bpe_train
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "newer": 4,
+          "wider": 1}
+    corpus = spark.createDataFrame(
+        [(i, " ".join([w] * c)) for i, (w, c) in enumerate(sorted(wc.items()))],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(corpus, 8)
+
+    words = ["newest", "lowest", "wider", "low", "newer", "lox"]
+    d = F.col("doc_id")
+    pick = lambda e: F.element_at(  # noqa: E731
+        F.array(*[F.lit(w) for w in words]), (e % 6 + 1).cast("int"))
+    probe = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+        .select("doc_id",
+                F.concat(pick(d), F.lit(" "), pick(d + 2)).alias("text"))
+    )
+    return bpe_encode(probe, merges).select(
+        "doc_id", "text",
+        F.array_join("bpe_tokens", " ").alias("tokens"))
+
+
 def _q_quality_classifier(spark, sf):
     """Model-based quality filter (r5): logistic score over the rounded
     rule-based features in ONE codegen'd projection — the DCLM/fastText
@@ -3642,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_quality": _q_unigram_quality,
         "bigram_quality": _q_bigram_quality,
         "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
         "dedup_incremental": _q_dedup_incremental,
         "dedup_incremental_bloom": _q_dedup_incremental_bloom,
         "fuzzy_title_pairs": _q_fuzzy_title_pairs,
@@ -4278,6 +4313,24 @@ def oracle_sql() -> dict[str, str]:
         # the analytically-fixed merge table for the planted corpus —
         # every step's pair and weighted count, incl. the lexicographic
         # tie-break at step 2
+        # bpe-encode replay: per probe word the hand-derived tokenization
+        # under the fixed merge table (newest fully merges; lowest stops
+        # at lo/we/st; lox exercises an unseen char)
+        "bpe_encode": """
+            WITH w AS (SELECT * FROM (VALUES
+                (0, 'newest', 'newest'),
+                (1, 'lowest', 'lo we st'),
+                (2, 'wider', 'w i de r'),
+                (3, 'low', 'low'),
+                (4, 'newer', 'newe r'),
+                (5, 'lox', 'lo x')) AS t(k, word, toks)),
+            docs AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS k1,
+                            CAST((doc_id + 2) % 6 AS INT) AS k2
+                     FROM documents WHERE doc_id < 240)
+            SELECT d.doc_id, a.word || ' ' || b.word AS text,
+                   a.toks || ' ' || b.toks AS tokens
+            FROM docs d JOIN w a ON a.k = d.k1 JOIN w b ON b.k = d.k2
+        """,
         "bpe_train": """
             SELECT * FROM (VALUES
                 (1, 'w', 'e', 'we', 12),

@@ -235,6 +235,8 @@ HEADLINE = [
     "html_tables",
     # Jekyll/Hugo front-matter fields: narrow Arrow stage
     "front_matter",
+    # learned-merge application: chained JVM HOFs, zero Python
+    "bpe_encode",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]
