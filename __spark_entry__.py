@@ -1962,6 +1962,18 @@ def _q_heavy_hitters(spark, sf):
                          min_frac=0.03, width=4096, depth=4)
 
 
+def _q_skew_report(spark, sf):
+    """Skew report (r5): top-10 hottest user_id keys over events with
+    per-key share and the global max/mean skew factor — the diagnosis
+    that decides between plain shuffle, AQE skew split, salting, or
+    the chunked hot-key paths.  One partial-agg exchange + a 1-row
+    broadcast rollup + a distributed sort-limit; deterministic via the
+    (count desc, key asc) tie-break the oracle replays."""
+    from autoextract.plans.zorder import skew_report
+
+    return skew_report(_t(spark, sf, "events"), "user_id", top_k=10)
+
+
 def _q_zorder_layout(spark, sf):
     """Z-order layout report (r5): Morton-interleave (doc_id, n_chars)
     after exact min/max rank normalization, bucket rows into 16 equal
@@ -3733,6 +3745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": _q_html_tables,
         "front_matter": _q_front_matter,
         "zorder_layout": _q_zorder_layout,
+        "skew_report": _q_skew_report,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
         "xlsx_ingest": _q_xlsx_ingest,
@@ -5649,6 +5662,20 @@ def oracle_sql() -> dict[str, str]:
                    'img.png', 'img.png', TRUE, NULL,
                    NULL, NULL, NULL, NULL, NULL, NULL, NULL, TRUE
             FROM docs WHERE has_bin
+        """,
+        # skew replay: exact census + the same (n desc, key asc) boundary
+        # tie-break; share and factor replay the double arithmetic
+        "skew_report": """
+            WITH c AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS n
+              FROM events GROUP BY user_id),
+            t AS (SELECT SUM(n) AS total, COUNT(*) AS nkeys,
+                         MAX(n) AS maxn FROM c)
+            SELECT key, n,
+                   ROUND(n / CAST(total AS DOUBLE), 6) AS share,
+                   ROUND(maxn * nkeys / CAST(total AS DOUBLE), 6)
+                     AS skew_factor
+            FROM c, t ORDER BY n DESC, key ASC LIMIT 10
         """,
         # zorder replay: normalize → parallel bit-spread (stepwise CTEs,
         # one per magic-number round) → interleave → bucket → rollup;

@@ -135,3 +135,39 @@ def layout_pruning_report(df: DataFrame, columns: list[str], *,
         aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
     return (keyed.withColumn("bucket", bucket)
             .groupBy("bucket").agg(*aggs).orderBy("bucket"))
+
+
+# ----------------------------------------------------------------------
+# skew report — per-key hotness diagnosis for join/groupBy planning
+# ----------------------------------------------------------------------
+
+def skew_report(df: DataFrame, key_col: str, *, top_k: int = 10
+                ) -> DataFrame:
+    """The question every shuffle plan starts with: how hot are the
+    hottest keys?  Returns the ``top_k`` keys by row count (ties broken
+    on the key, so the report is deterministic) with each key's 6-dp
+    ``share`` of all rows and the global ``skew_factor`` = hottest-key
+    count / mean-per-distinct-key — the number that decides between a
+    plain shuffle join, AQE skew splitting, salting, or the chunked
+    hot-key paths the temporal operators carry.
+
+    Scale shape: one partial-agg exchange on the key (map-side combine
+    makes the per-key counts cheap), a 1-row global rollup broadcast
+    back, and a distributed sort-limit (TakeOrderedAndProject — no
+    global sort materializes) for the top slice.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+        F.max("n").alias("__maxn"),
+    )
+    enriched = counts.crossJoin(F.broadcast(totals)).select(
+        F.col(key_col).cast("string").alias("key"),
+        "n",
+        F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+        F.round(F.col("__maxn") * F.col("__nkeys") / F.col("__total"), 6)
+        .alias("skew_factor"),
+    )
+    return (enriched.orderBy(F.col("n").desc(), F.col("key").asc())
+            .limit(top_k))

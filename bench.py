@@ -237,6 +237,8 @@ HEADLINE = [
     "front_matter",
     # learned-merge application: chained JVM HOFs, zero Python
     "bpe_encode",
+    # hot-key diagnosis: partial-agg + 1-row rollup + sort-limit
+    "skew_report",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]

@@ -97,3 +97,18 @@ def test_layout_sorted_within_partitions(spark):
     spans = sorted((min(v), max(v)) for v in by_pid.values() if v)
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo
+
+
+def test_skew_report_values_and_ties(spark):
+    from autoextract.plans.zorder import skew_report
+
+    rows = [(i, "hot" if i % 3 == 0 else "k%02d" % (i % 5)) for i in
+            range(300)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    rep = skew_report(df, "k", top_k=3).collect()
+    # hot: 100 rows; k00..k04 come deterministically by key asc on ties
+    assert [(r["key"], r["n"]) for r in rep] == [
+        ("hot", 100), ("k00", 40), ("k01", 40)]
+    assert rep[0]["share"] == round(100 / 300, 6)
+    # 6 distinct keys, mean 50, max 100 → factor 2.0
+    assert rep[0]["skew_factor"] == 2.0
