@@ -1962,6 +1962,45 @@ def _q_heavy_hitters(spark, sf):
                          min_frac=0.03, width=4096, depth=4)
 
 
+def _q_access_log_ingest(spark, sf):
+    """Access-log ingestion (r5): per doc a Combined Log Format line
+    rendered with pure JVM concat — rotating zone (+0000 / -0500, the
+    UTC shift replayed by the oracle), GET/POST, status by mod-5,
+    '-' bytes on every 7th doc and '-' referer on odd docs; every 9th
+    line is garbage → NULL row with valid=false (O6).  Render and
+    parse are one codegen'd chain, zero Python, zero exchanges."""
+    from autoextract.sources.accesslog import parse_access_log
+
+    d = F.col("doc_id")
+    ss = F.lpad((d % 60).cast("string"), 2, "0")
+    line = F.when(d % 9 == 8, F.lit("garbage line")).otherwise(
+        F.concat(
+            F.lit("198.51.100."), (d % 250).cast("string"),
+            F.lit(" - - [05/Apr/2023:08:30:"), ss,
+            F.when(d % 2 == 0, F.lit(" +0000] \"GET /p/"))
+            .otherwise(F.lit(" -0500] \"POST /p/")),
+            d.cast("string"), F.lit(" HTTP/1.1\" "),
+            F.element_at(F.array(F.lit("200"), F.lit("301"),
+                                 F.lit("404"), F.lit("500"),
+                                 F.lit("503")), (d % 5 + 1).cast("int")),
+            F.lit(" "),
+            F.when(d % 7 == 6, F.lit("-"))
+            .otherwise((d * 17 % 100000).cast("string")),
+            F.lit(' "'),
+            F.when(d % 2 == 1, F.lit("-"))
+            .otherwise(F.concat(F.lit("https://ref.example/"),
+                                (d % 10).cast("string"))),
+            F.lit('" "agent/'), (d % 4).cast("string"), F.lit('"'),
+        ))
+    lines = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+        .select(line.alias("line"))
+    )
+    return parse_access_log(lines)
+
+
 def _q_skew_report(spark, sf):
     """Skew report (r5): top-10 hottest user_id keys over events with
     per-key share and the global max/mean skew factor — the diagnosis
@@ -3746,6 +3785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "front_matter": _q_front_matter,
         "zorder_layout": _q_zorder_layout,
         "skew_report": _q_skew_report,
+        "access_log_ingest": _q_access_log_ingest,
         "rtf_ingest": _q_rtf_ingest,
         "docx_ingest": _q_docx_ingest,
         "xlsx_ingest": _q_xlsx_ingest,
@@ -5662,6 +5702,37 @@ def oracle_sql() -> dict[str, str]:
                    'img.png', 'img.png', TRUE, NULL,
                    NULL, NULL, NULL, NULL, NULL, NULL, NULL, TRUE
             FROM docs WHERE has_bin
+        """,
+        # access-log replay: every field derived arithmetically — month
+        # table, zone-offset UTC shift, dash→NULL rules
+        "access_log_ingest": """
+            WITH docs AS (
+              SELECT doc_id, doc_id % 9 = 8 AS junk
+              FROM documents WHERE doc_id < 240)
+            SELECT CASE WHEN junk THEN NULL
+                        ELSE '198.51.100.' || doc_id % 250 END AS host,
+                   CAST(CASE WHEN junk THEN NULL
+                        ELSE 1680683400 + doc_id % 60
+                             + CASE WHEN doc_id % 2 = 1 THEN 18000
+                                    ELSE 0 END END AS BIGINT) AS ts,
+                   CASE WHEN junk THEN NULL
+                        WHEN doc_id % 2 = 0 THEN 'GET'
+                        ELSE 'POST' END AS method,
+                   CASE WHEN junk THEN NULL
+                        ELSE '/p/' || doc_id END AS path,
+                   CAST(CASE WHEN junk THEN NULL
+                        ELSE [200, 301, 404, 500, 503][doc_id % 5 + 1]
+                   END AS INT) AS status,
+                   CAST(CASE WHEN junk OR doc_id % 7 = 6 THEN NULL
+                        ELSE doc_id * 17 % 100000 END AS BIGINT)
+                     AS n_bytes,
+                   CASE WHEN junk OR doc_id % 2 = 1 THEN NULL
+                        ELSE 'https://ref.example/' || doc_id % 10
+                   END AS referer,
+                   CASE WHEN junk THEN NULL
+                        ELSE 'agent/' || doc_id % 4 END AS user_agent,
+                   NOT junk AS valid
+            FROM docs
         """,
         # skew replay: exact census + the same (n desc, key asc) boundary
         # tie-break; share and factor replay the double arithmetic

@@ -239,6 +239,8 @@ HEADLINE = [
     "bpe_encode",
     # hot-key diagnosis: partial-agg + 1-row rollup + sort-limit
     "skew_report",
+    # CLF lines: one codegen'd regexp projection, zero Python
+    "access_log_ingest",
     # Morton-key layout report: codegen'd shift/mask chain + one rollup
     "zorder_layout",
 ]
