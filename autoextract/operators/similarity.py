@@ -788,3 +788,211 @@ def semantic_dedup_verdict(
         )
         .orderBy("query_id")
     )
+
+
+# ----------------------------------------------------------------------
+# Product quantization (PQ): the compressed-ANN tier
+# ----------------------------------------------------------------------
+#
+# SRP prunes by bucket, IVF prunes by cell — both still rerank against the
+# FULL float vectors. PQ attacks the other axis: memory. Each vector is
+# split into ``m`` subspaces and every subspace is replaced by the index of
+# its nearest codeword (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) — 64 floats (256 B) become m=8 bytes, a 32×
+# compression, which is what lets a 10^12-vector store sit in cluster RAM.
+# Search is ADC (asymmetric distance computation): the query stays float,
+# each subspace contributes a table lookup ``lut[sub][code]`` built ONCE per
+# query on the driver (m × n_codes doubles — broadcast-tiny), so scoring a
+# row is m adds, no float vectors touched. The top-``rerank`` ADC candidates
+# are then reranked with exact cosine — the standard IVF-PQ refinement step.
+
+
+def _lloyd(sample: np.ndarray, k: int, seed: int, n_iters: int) -> np.ndarray:
+    """Seeded Lloyd's k-means (same recipe as ``train_ivf_centroids``:
+    deterministic init, fixed iterations, stable ties)."""
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(n_iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 4096,
+    n_iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """(m, n_codes, dim/m) codebooks — one seeded k-means per subspace on a
+    bounded driver sample (the ``sample_size`` lowest ids, a TakeOrdered —
+    stable across partitionings/cluster sizes). Training is tiny and
+    one-off; the corpus-sized encode stays distributed."""
+    sample = np.array(
+        [
+            list(r[vec_col])
+            for r in embeddings.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    return np.stack(
+        [
+            _lloyd(sample[:, s * d_sub : (s + 1) * d_sub], n_codes, seed + s, n_iters)
+            for s in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Attach ``pq_code: array<int>`` (m nearest-codeword indices). One
+    NumPy distance matrix per subspace per Arrow batch; codebooks ride in
+    the UDF closure (broadcast-by-serialization, m × n_codes × d_sub
+    doubles). Ties to the lowest code index (argmin), deterministic."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _, d_sub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def code(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        cols = []
+        for s in range(m):
+            sub = mat[:, s * d_sub : (s + 1) * d_sub]
+            cents = books[s]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2 * (sub @ cents.T)
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            cols.append(d2.argmin(axis=1).astype("int32"))
+        codes = np.stack(cols, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return embeddings.withColumn("pq_code", code(F.col(vec_col)))
+
+
+def _adc_luts(queries: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n_q, m, n_codes) squared-L2 lookup tables: lut[q, s, c] =
+    ||query_sub - codeword||² — the ADC additive decomposition."""
+    n_q = queries.shape[0]
+    m, n_codes, d_sub = codebooks.shape
+    luts = np.empty((n_q, m, n_codes), dtype=np.float64)
+    for s in range(m):
+        qs = queries[:, s * d_sub : (s + 1) * d_sub]
+        diff = qs[:, None, :] - codebooks[s][None, :, :]
+        luts[:, s, :] = (diff * diff).sum(axis=2)
+    return luts
+
+
+def _adc_score_col(luts: np.ndarray):
+    """pandas UDF: pq_code → array<double> of per-query ADC distances.
+    Scoring is pure table addition — the float vectors never load."""
+    tables = np.ascontiguousarray(luts)
+    n_q, m, _ = tables.shape
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="object")
+        cm = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])  # (B, m)
+        acc = np.zeros((len(cm), n_q), dtype=np.float64)
+        for s in range(m):
+            acc += tables[:, s, :][:, cm[:, s]].T  # (B, n_q)
+        return pd.Series([row.tolist() for row in acc])
+
+    return adc
+
+
+def ann_topk_via_pq(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ ANN top-k: ADC-score every row from its m-byte code (table adds
+    only), TakeOrdered the best ``rerank`` candidates, exact cosine rerank.
+    rerank = |corpus| degenerates to exact search (tested)."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            embeddings, m=m, n_codes=n_codes, seed=seed, vec_col=vec_col, id_col=id_col
+        )
+    q = np.asarray(query_vec, dtype=np.float64)[None, :]
+    luts = _adc_luts(q, codebooks)
+    encoded = pq_encode(embeddings, codebooks, vec_col)
+    scored = encoded.withColumn(
+        "adc", F.element_at(_adc_score_col(luts)(F.col("pq_code")), 1)
+    )
+    pruned = scored.orderBy(F.asc("adc"), F.asc(id_col)).limit(rerank)
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def pq_ann_verdict(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 50,
+    seed: int = 42,
+    recall_floor: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DRIVER-CHECKED verdict for PQ ANN, per query: the planted ε-twin is
+    recovered through the FULL compressed path (codebooks → m-byte codes →
+    ADC table scoring → top-``rerank`` prune → exact rerank) AND recall@k vs
+    exact cosine clears the floor. All queries ride ONE encoded-corpus scan
+    (their LUTs stack into a single (n_q, m, n_codes) closure array); the
+    per-query prune is a window top-``rerank`` on the ADC score."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    corpus = plant_near_neighbors(embeddings, n_queries, id_col=id_col, vec_col=vec_col)
+    queries = _collect_queries(embeddings, n_queries, id_col, vec_col)
+    codebooks = train_pq_codebooks(
+        embeddings, m=m, n_codes=n_codes, seed=seed, vec_col=vec_col, id_col=id_col
+    )
+    qmat = np.array([vec for _, vec in queries], dtype=np.float64)
+    luts = _adc_luts(qmat, codebooks)
+    qdf = _queries_df(spark, queries)
+
+    encoded = pq_encode(corpus, codebooks, vec_col)
+    scored = encoded.select(
+        id_col,
+        vec_col,
+        F.posexplode(_adc_score_col(luts)(F.col("pq_code"))).alias("qpos", "adc"),
+    )
+    w = Window.partitionBy("qpos").orderBy(F.asc("adc"), F.asc(id_col))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= rerank)
+        .withColumn("qid", F.col("qpos").cast("long"))
+        .join(F.broadcast(qdf), "qid")
+    )
+    approx = _multi_topk(cand, k, id_col, vec_col)
+    exact = _multi_topk(corpus.crossJoin(F.broadcast(qdf)), k, id_col, vec_col)
+    return _ann_verdict(approx, exact, qdf, k, recall_floor)
