@@ -94,6 +94,12 @@ def sniff_format(payload: bytes | None) -> str:
         return "zip"
     if payload[:5] == b"<html" or payload[:9] == b"<!DOCTYPE":
         return "html"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        return "bmp"
     return "unknown"
 
 
@@ -150,6 +156,40 @@ def _webp_dims(b: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _tiff_dims(b: bytes) -> tuple[int, int] | None:
+    """TIFF header dims: IFD0 ImageWidth/ImageLength, both byte orders —
+    a tag walk only, no strip data touched."""
+    if len(b) < 8 or b[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    bo = "<" if b[:2] == b"II" else ">"
+    try:
+        (ifd_off,) = struct.unpack_from(bo + "I", b, 4)
+        (n,) = struct.unpack_from(bo + "H", b, ifd_off)
+        w = h = None
+        for k in range(n):
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", b, ifd_off + 2 + 12 * k)
+            raw = b[ifd_off + 10 + 12 * k : ifd_off + 14 + 12 * k]
+            val = (
+                struct.unpack(bo + "H", raw[:2])[0]
+                if typ == 3
+                else struct.unpack(bo + "I", raw)[0]
+            )
+            if tag == 256:
+                w = val
+            elif tag == 257:
+                h = val
+        return (w, h) if w and h else None
+    except Exception:
+        return None
+
+
+def _bmp_dims(b: bytes) -> tuple[int, int] | None:
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    w, h = struct.unpack_from("<ii", b, 18)
+    return (w, abs(h)) if w > 0 and h != 0 else None
+
+
 def decode_image_meta(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """``(media_ref, payload binary)`` → typed metadata. REAL decoder for
     header-level facts (format + dimensions); no external libs."""
@@ -165,6 +205,8 @@ def decode_image_meta(media: DataFrame, payload_col: str = "payload") -> DataFra
                     "gif": _gif_dims,
                     "jpeg": _jpeg_dims,
                     "webp": _webp_dims,
+                    "tiff": _tiff_dims,
+                    "bmp": _bmp_dims,
                 }.get(fmt, lambda _: None)(b)
                 rows.append(
                     {
@@ -223,9 +265,11 @@ def resize_image(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     schema = "media_ref string, payload binary, resized boolean"
 
     def kernel(batches):
+        from .bmp_codec import resize_bmp_bytes
         from .gif_codec import resize_gif_bytes
         from .jpeg_codec import resize_jpeg_bytes
         from .png_codec import resize_png_bytes
+        from .tiff_codec import resize_tiff_bytes
         from .webp_codec import resize_webp_bytes
 
         codecs = {
@@ -234,6 +278,8 @@ def resize_image(media: DataFrame, payload_col: str = "payload") -> DataFrame:
             "gif": resize_gif_bytes,  # single-frame + animated (per-frame)
             "webp": resize_webp_bytes,  # lossless VP8L (r5); lossy raises →
             # contained pass-through below
+            "tiff": resize_tiff_bytes,  # baseline none/PackBits (r5)
+            "bmp": resize_bmp_bytes,  # 24-bit + 8-bit-palette BI_RGB (r5)
         }
         for pdf in batches:
             rows = []
@@ -242,7 +288,7 @@ def resize_image(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                 fmt = sniff_format(b)
                 dims = {
                     "png": _png_dims, "gif": _gif_dims, "jpeg": _jpeg_dims,
-                    "webp": _webp_dims,
+                    "webp": _webp_dims, "tiff": _tiff_dims, "bmp": _bmp_dims,
                 }.get(fmt, lambda _: None)(b)
                 needs = bool(dims and max(dims) > MAX_LONG_EDGE)
                 out_b, resized = b, False
