@@ -88,6 +88,9 @@ HEADLINE = [
     "filter_report",
     "simhash_sketches",
     "srp_ann_topk",
+    # PQ ANN: the memory-compressed tier — ADC table scoring over m-byte
+    # codes, float vectors load only for the top-rerank refinement
+    "pq_ann_topk",
     "spans_reassemble",
     "pdf_ingest_spans",
     "layout_reading_order",
@@ -171,6 +174,8 @@ HEADLINE = [
     "exif_metadata",
     # ID3v2 frame walk: the audio-metadata twin
     "id3_metadata",
+    # ISO-BMFF box walk: the video-metadata leg, narrow Arrow stage
+    "mp4_metadata",
     # ftfy-style encoding repair: narrow Arrow stage, zero shuffles
     "mojibake_repair",
     # NFC recomposition: narrow Arrow stage, ascii early-exit
