@@ -882,6 +882,22 @@ def _q_document_filter(spark, sf):
     return TX.document_filter(_t(spark, sf, "documents").where(F.col("doc_id") < 500))
 
 
+#: deterministic stand-in for the C4 badwords list — includes one term
+#: the corpus never contains so the zero-hit path is driver-gated too
+_BLOCKLIST_TERMS = ["big", "merge", "slow", "stream", "zeppelin"]
+
+
+def _q_blocklist_terms(spark, sf):
+    """Term-level content blocklist (r5): per doc the hit count, distinct
+    matched terms (sorted, pipe-joined) and flagged verdict against a
+    broadcast term list — the C4 badwords stage, token-exact and
+    case-insensitive with edge punctuation stripped. Raw text never
+    shuffles: only matched (doc_id, term) rows reach the aggregate."""
+    return TX.blocklist_term_hits(
+        _t(spark, sf, "documents"), _BLOCKLIST_TERMS
+    )
+
+
 def _q_filter_report(spark, sf):
     """Per-source curation dashboard (r5): the document_filter verdicts
     rolled up per source — doc/keep counts, 6-dp keep rate, dominant
@@ -3817,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "repetition_metrics": _q_repetition_metrics,
         "document_filter": _q_document_filter,
+        "blocklist_terms": _q_blocklist_terms,
         "filter_report": _q_filter_report,
         "asof_join": _q_asof_join,
         "asof_join_chunked": _q_asof_join_chunked,
@@ -4671,6 +4688,32 @@ def oracle_sql() -> dict[str, str]:
             FROM gs JOIN ts USING (doc_id)
         """,
         "document_filter": _DOC_FILTER_ORACLE,
+        # badwords replay: identical tokenize → edge-strip → IN-list →
+        # per-doc rollup chain, left-joined so zero-hit docs survive
+        "blocklist_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_replace(t, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+                       AS term
+              FROM (SELECT doc_id,
+                           unnest(regexp_split_to_array(
+                               trim(lower(text)), '\\s+')) AS t
+                    FROM documents)),
+            hits AS (
+              SELECT doc_id, COUNT(*) AS n_hits,
+                     COUNT(DISTINCT term) AS nd,
+                     string_agg(DISTINCT term, '|' ORDER BY term)
+                       AS hit_terms
+              FROM toks
+              WHERE term IN ('big','merge','slow','stream','zeppelin')
+              GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(nd, 0) AS INT) AS n_distinct_terms,
+                   hit_terms,
+                   COALESCE(n_hits, 0) > 0 AS flagged
+            FROM documents d LEFT JOIN hits USING (doc_id)
+        """,
         # per-source rollup over the SAME verdict SQL: counts, 6-dp
         # keep rate, dominant reject reason (count desc, name asc)
         "filter_report": f"""

@@ -1043,3 +1043,65 @@ def dialogue_turns(
         )
         .withColumn("turn", (F.col("turn") - 1).cast("int"))
     )
+
+
+# ----------------------------------------------------------------------
+# term-level blocklist tagging (the C4 "badwords" stage)
+# ----------------------------------------------------------------------
+
+
+def blocklist_term_hits(
+    docs,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """C4-style content blocklist: tag every document with its hits
+    against a term list (C4 dropped any page containing a listed word;
+    RefinedWeb/FineWeb keep the verdict as a feature). The domain-level
+    twin is ``functions/urls.py``; this is the token-level leg.
+
+    Plan shape for 100 TB: tokens explode NARROW (doc_id + token only —
+    the document text itself never explodes or shuffles), the term list
+    is a BROADCAST hash join (blocklists are 10^3–10^4 rows by
+    definition), so only MATCHED (doc_id, term) rows — rare by
+    construction — reach the per-doc aggregate's exchange. The final
+    join back to the full id list rides the same short doc_id key.
+    Matching is case-insensitive whole-token, the C4 rule; punctuation is
+    stripped token-edge so "word," still hits.
+    """
+    spark = docs.sparkSession
+    terms_df = spark.createDataFrame(
+        [(t.lower(),) for t in sorted(set(terms))], "term string"
+    )
+    toks = docs.select(
+        id_col,
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"),
+    ).select(
+        id_col,
+        F.regexp_replace("__tok", r"^[^a-z0-9]+|[^a-z0-9]+$", "").alias("term"),
+    )
+    hits = (
+        toks.join(F.broadcast(terms_df), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.size(F.collect_set("term")).alias("n_distinct_terms"),
+            F.array_join(F.array_sort(F.collect_set("term")), "|").alias(
+                "hit_terms"
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_distinct_terms", F.lit(0))
+            .cast("int")
+            .alias("n_distinct_terms"),
+            F.col("hit_terms"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("flagged"),
+        )
+    )

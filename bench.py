@@ -86,6 +86,9 @@ HEADLINE = [
     "document_filter",
     # per-source curation rollup over the same verdicts
     "filter_report",
+    # C4 badwords stage: narrow token explode + broadcast term join —
+    # only matched rows reach the per-doc aggregate exchange
+    "blocklist_terms",
     "simhash_sketches",
     "srp_ann_topk",
     # PQ ANN: the memory-compressed tier — ADC table scoring over m-byte

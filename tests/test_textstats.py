@@ -524,3 +524,28 @@ def test_filter_report_rollup(spark):
     assert s1["top_reject_reason"] == "lang"
     s2 = got["s2"]
     assert s2["n_keep"] == 1 and s2["top_reject_reason"] is None
+
+
+def test_blocklist_term_hits(spark):
+    from autoextract.functions.text import blocklist_term_hits
+
+    df = spark.createDataFrame(
+        [
+            (1, "The SLOW, big dog."),        # case + edge punctuation
+            (2, "nothing to see here"),        # zero hits
+            (3, "slow slow slow"),             # repeat counting
+            (4, ""),                           # empty text
+            (5, "slowly bigger"),              # whole-token only, no substring
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           blocklist_term_hits(df, ["slow", "big", "zeppelin"]).collect()}
+    assert out[1]["n_hits"] == 2 and out[1]["hit_terms"] == "big|slow"
+    assert out[1]["flagged"] and out[1]["n_distinct_terms"] == 2
+    assert out[2]["n_hits"] == 0 and not out[2]["flagged"]
+    assert out[2]["hit_terms"] is None
+    assert out[3]["n_hits"] == 3 and out[3]["n_distinct_terms"] == 1
+    assert out[4]["n_hits"] == 0
+    assert out[5]["n_hits"] == 0  # substring must NOT match
+    assert len(out) == 5  # every doc survives the left join
