@@ -882,6 +882,50 @@ def _q_document_filter(spark, sf):
     return TX.document_filter(_t(spark, sf, "documents").where(F.col("doc_id") < 500))
 
 
+def _q_charset_detect(spark, sf):
+    """Charset front door (r5): per doc a payload encoded with a rotating
+    scheme — plain ASCII, BOM-less UTF-8, UTF-8/16LE/16BE/32LE with BOMs,
+    Windows-1252 fallback bytes, and a TORN UTF-16 file (odd byte count
+    after the BOM) that must surface valid=false rather than re-guess.
+    Oracle derives encoding/had_bom/valid/text arithmetically; the decoded
+    text must round-trip the source column exactly."""
+    from autoextract.functions.encoding import detect_and_decode
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .where(F.col("doc_id") < 400)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d, t = int(d), str(t)
+                k = d % 8
+                if k == 0:
+                    p = t.encode("utf-8")
+                elif k == 1:
+                    p = (t + " naïve").encode("utf-8")
+                elif k == 2:
+                    p = b"\xef\xbb\xbf" + t.encode("utf-8")
+                elif k == 3:
+                    p = b"\xff\xfe" + t.encode("utf-16-le")
+                elif k == 4:
+                    p = b"\xfe\xff" + t.encode("utf-16-be")
+                elif k == 5:
+                    p = b"\xff\xfe\x00\x00" + t.encode("utf-32-le")
+                elif k == 6:
+                    p = (t + " café").encode("cp1252")
+                else:
+                    p = b"\xff\xfe" + t.encode("utf-16-le") + b"\x00"
+                rows.append({"doc_id": d, "payload": p})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(render, schema="doc_id long, payload binary")
+    return detect_and_decode(payloads)
+
+
 #: deterministic stand-in for the C4 badwords list — includes one term
 #: the corpus never contains so the zero-hit path is driver-gated too
 _BLOCKLIST_TERMS = ["big", "merge", "slow", "stream", "zeppelin"]
@@ -3834,6 +3878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": _q_repetition_metrics,
         "document_filter": _q_document_filter,
         "blocklist_terms": _q_blocklist_terms,
+        "charset_detect": _q_charset_detect,
         "filter_report": _q_filter_report,
         "asof_join": _q_asof_join,
         "asof_join_chunked": _q_asof_join_chunked,
@@ -4688,6 +4733,24 @@ def oracle_sql() -> dict[str, str]:
             FROM gs JOIN ts USING (doc_id)
         """,
         "document_filter": _DOC_FILTER_ORACLE,
+        # charset replay: rotation arithmetic over the source text —
+        # decoded text must equal the column (plus the planted suffixes)
+        "charset_detect": """
+            SELECT doc_id,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'ascii'   WHEN 1 THEN 'utf-8'
+                     WHEN 2 THEN 'utf-8'   WHEN 3 THEN 'utf-16le'
+                     WHEN 4 THEN 'utf-16be' WHEN 5 THEN 'utf-32le'
+                     WHEN 6 THEN 'cp1252'  ELSE 'utf-16le' END AS encoding,
+                   doc_id % 8 IN (2, 3, 4, 5, 7) AS had_bom,
+                   doc_id % 8 <> 7 AS valid,
+                   CASE doc_id % 8
+                     WHEN 1 THEN text || ' naïve'
+                     WHEN 6 THEN text || ' café'
+                     WHEN 7 THEN NULL
+                     ELSE text END AS text
+            FROM documents WHERE doc_id < 400
+        """,
         # badwords replay: identical tokenize → edge-strip → IN-list →
         # per-doc rollup chain, left-joined so zero-hit docs survive
         "blocklist_terms": """

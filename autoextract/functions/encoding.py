@@ -121,3 +121,83 @@ def normalize_unicode(
             yield pdf
 
     return docs.mapInPandas(kernel, schema=schema)
+
+
+# ----------------------------------------------------------------------
+# charset detection + decode (the encoding front door)
+# ----------------------------------------------------------------------
+
+#: BOM table, longest-prefix-first — UTF-32LE must be probed BEFORE
+#: UTF-16LE (FF FE 00 00 starts with FF FE, the classic sniffing trap)
+_BOMS: list[tuple[bytes, str, str]] = [
+    (b"\xff\xfe\x00\x00", "utf-32le", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32be", "utf-32-be"),
+    (b"\xef\xbb\xbf", "utf-8", "utf-8"),
+    (b"\xff\xfe", "utf-16le", "utf-16-le"),
+    (b"\xfe\xff", "utf-16be", "utf-16-be"),
+]
+
+
+def detect_decode_bytes(b: bytes) -> tuple[str, bool, bool, str | None]:
+    """One payload → (encoding, had_bom, valid, text).
+
+    Deterministic rules, in order: BOM (longest prefix first) with a
+    STRICT decode of the remainder; else all-7-bit → ``ascii``; else
+    strict UTF-8 → ``utf-8``; else strict Windows-1252 → ``cp1252``;
+    else Latin-1 (total — every byte string decodes). A BOM whose body
+    fails its own codec reports valid=false with NULL text rather than
+    silently re-guessing: a torn UTF-16 file is a data-quality fact the
+    pipeline should see, not paper over."""
+    if b is None:
+        return ("empty", False, False, None)
+    if len(b) == 0:
+        return ("empty", False, True, "")
+    for bom, name, codec in _BOMS:
+        if b.startswith(bom):
+            try:
+                return (name, True, True, b[len(bom):].decode(codec))
+            except UnicodeDecodeError:
+                return (name, True, False, None)
+    try:
+        text = b.decode("utf-8")
+        return ("ascii" if max(b) < 0x80 else "utf-8", False, True, text)
+    except UnicodeDecodeError:
+        pass
+    try:
+        return ("cp1252", False, True, b.decode("cp1252"))
+    except UnicodeDecodeError:
+        return ("latin-1", False, True, b.decode("latin-1"))
+
+
+DETECT_SCHEMA = (
+    "doc_id long, encoding string, had_bom boolean, valid boolean, "
+    "text string"
+)
+
+
+def detect_and_decode(
+    docs: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Charset front door: raw ``binary`` payloads → decoded text plus the
+    (encoding, had_bom, valid) facts curation filters key on. Runs BEFORE
+    ``repair_mojibake``/``normalize_unicode`` in the cleaning chain.
+
+    One narrow Arrow-batched stage, zero shuffles; detection is pure
+    prefix/strict-decode rules (no ML, engine-portable); O6 containment —
+    a torn BOM'd file yields valid=false, never a task failure."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else None
+                enc, bom, valid, text = detect_decode_bytes(b)
+                rows.append({
+                    "doc_id": int(did), "encoding": enc, "had_bom": bom,
+                    "valid": valid, "text": text,
+                })
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "encoding", "had_bom", "valid", "text"]
+            )
+
+    return docs.mapInPandas(kernel, schema=DETECT_SCHEMA)

@@ -179,6 +179,8 @@ HEADLINE = [
     "id3_metadata",
     # ISO-BMFF box walk: the video-metadata leg, narrow Arrow stage
     "mp4_metadata",
+    # charset front door: BOM/strict-decode rules, narrow Arrow stage
+    "charset_detect",
     # ftfy-style encoding repair: narrow Arrow stage, zero shuffles
     "mojibake_repair",
     # NFC recomposition: narrow Arrow stage, ascii early-exit

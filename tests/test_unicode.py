@@ -153,3 +153,41 @@ def test_nfkc_compatibility_fold(spark):
     nfkc = normalize_unicode(df, form="NFKC").collect()[0]["text"]
     assert nfc == "\ufb01le \uff21" # canonical form conflates neither
     assert nfkc == "file A"             # compatibility form folds both
+
+
+def test_detect_decode_rules():
+    from autoextract.functions.encoding import detect_decode_bytes as dd
+
+    assert dd(b"hello") == ("ascii", False, True, "hello")
+    assert dd("naïve".encode("utf-8")) == ("utf-8", False, True, "naïve")
+    assert dd(b"\xef\xbb\xbfhi") == ("utf-8", True, True, "hi")
+    assert dd(b"\xff\xfe" + "ab".encode("utf-16-le")) == (
+        "utf-16le", True, True, "ab")
+    assert dd(b"\xfe\xff" + "ab".encode("utf-16-be")) == (
+        "utf-16be", True, True, "ab")
+    # the FF FE 00 00 trap: UTF-32LE, not UTF-16LE + NULs
+    assert dd(b"\xff\xfe\x00\x00" + "z".encode("utf-32-le")) == (
+        "utf-32le", True, True, "z")
+    assert dd("café".encode("cp1252")) == ("cp1252", False, True, "café")
+    # cp1252-undefined byte 0x81 → latin-1 total fallback
+    assert dd(b"a\x81b")[0] == "latin-1"
+    # torn UTF-16: odd byte count after BOM → valid=false, no re-guess
+    enc, bom, valid, text = dd(b"\xff\xfe" + b"a\x00b")
+    assert (enc, bom, valid, text) == ("utf-16le", True, False, None)
+    assert dd(b"") == ("empty", False, True, "")
+    assert dd(None) == ("empty", False, False, None)
+
+
+def test_detect_and_decode_kernel(spark):
+    from autoextract.functions.encoding import detect_and_decode
+
+    rows = [
+        (1, b"\xef\xbb\xbfplain"),
+        (2, "gemütlich".encode("cp1252")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in detect_and_decode(df).collect()}
+    assert out[1]["encoding"] == "utf-8" and out[1]["had_bom"]
+    assert out[2]["encoding"] == "cp1252" and out[2]["text"] == "gemütlich"
+    assert out[3]["encoding"] == "empty" and not out[3]["valid"]
