@@ -3806,6 +3806,18 @@ def _q_pq_ann_topk(spark, sf):
     )
 
 
+def _q_kmeans_clusters(spark, sf):
+    """Distributed k-means as a verdict (r5): Lloyd rounds where the
+    assignment matmul runs over the whole corpus and the centroid update
+    is a map-side partial aggregation (exchange ∝ k·dim·partitions, never
+    corpus size) must EXACTLY recover six planted well-separated clusters:
+    per planted cluster one learned label (purity) owned by no other
+    planted cluster (distinctness)."""
+    from autoextract.operators.clustering import kmeans_verdict
+
+    return kmeans_verdict(spark, n_clusters=6, per_cluster=40, n_rounds=8)
+
+
 def _q_semantic_dedup(spark, sf):
     """SemDeDup as a verdict (r5): plant ε-twins, run the FULL pipeline
     (IVF k-means cells → per-cell BLAS Gram near-dup pairs → connected
@@ -3957,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_ann_topk": _q_srp_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
         "pq_ann_topk": _q_pq_ann_topk,
+        "kmeans_clusters": _q_kmeans_clusters,
         "semantic_dedup": _q_semantic_dedup,
         "batch_ann_knn": _q_batch_ann_knn,
     }
@@ -6282,6 +6295,11 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann_topk": """
             SELECT CAST(range AS BIGINT) AS query_id, true AS ann_ok
             FROM range(8)
+        """,
+        "kmeans_clusters": """
+            SELECT CAST(range AS INT) AS cluster,
+                   true AS pure, true AS distinct_label
+            FROM range(6)
         """,
         "semantic_dedup": """
             SELECT CAST(range AS BIGINT) AS query_id, true AS semdedup_ok

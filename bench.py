@@ -94,6 +94,9 @@ HEADLINE = [
     # PQ ANN: the memory-compressed tier — ADC table scoring over m-byte
     # codes, float vectors load only for the top-rerank refinement
     "pq_ann_topk",
+    # distributed Lloyd: assignment matmul narrow, centroid update a
+    # map-side partial agg (exchange ∝ k·dim·partitions, never corpus)
+    "kmeans_clusters",
     "spans_reassemble",
     "pdf_ingest_spans",
     "layout_reading_order",
