@@ -926,6 +926,45 @@ def _q_charset_detect(spark, sf):
     return detect_and_decode(payloads)
 
 
+def _q_license_detect(spark, sf):
+    """License detection (r5): per doc the text is augmented with a
+    rotating license shape — SPDX tag, each of the four header
+    fingerprints, an SPDX-beats-header conflict, and none — and the
+    operator must name (license, matched_via, permissive) exactly.
+    Oracle derives all three from the rotation arithmetic."""
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .where(F.col("doc_id") < 480)
+    )
+    k = F.col("doc_id") % 6
+    aug = (
+        F.when(k == 0, F.concat(F.lit("SPDX-License-Identifier: MIT\n"), "text"))
+        .when(k == 1, F.concat(
+            "text",
+            F.lit("\nPermission is hereby granted, free of charge, to any"
+                  " person obtaining a copy of this software"),
+        ))
+        .when(k == 2, F.concat(
+            "text",
+            F.lit("\nLicensed under the Apache License, Version 2.0 (the"
+                  ' "License")'),
+        ))
+        .when(k == 3, F.concat(
+            "text",
+            F.lit("\nRedistribution and use in source and binary forms,"
+                  " with or without modification, are permitted"),
+        ))
+        .when(k == 4, F.concat(
+            F.lit("SPDX-License-Identifier: GPL-3.0-only\n"),
+            "text",
+            F.lit("\nLicensed under the Apache License, Version 2.0"),
+        ))
+        .otherwise(F.col("text"))
+    )
+    return TX.detect_license(docs.select("doc_id", aug.alias("text")))
+
+
 #: deterministic stand-in for the C4 badwords list — includes one term
 #: the corpus never contains so the zero-hit path is driver-gated too
 _BLOCKLIST_TERMS = ["big", "merge", "slow", "stream", "zeppelin"]
@@ -3891,6 +3930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "document_filter": _q_document_filter,
         "blocklist_terms": _q_blocklist_terms,
         "charset_detect": _q_charset_detect,
+        "license_detect": _q_license_detect,
         "filter_report": _q_filter_report,
         "asof_join": _q_asof_join,
         "asof_join_chunked": _q_asof_join_chunked,
@@ -4746,6 +4786,20 @@ def oracle_sql() -> dict[str, str]:
             FROM gs JOIN ts USING (doc_id)
         """,
         "document_filter": _DOC_FILTER_ORACLE,
+        # license replay: the rotation arithmetic names the expected
+        # (license, via, permissive) directly — SPDX beats header on k=4
+        "license_detect": """
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'MIT'          WHEN 1 THEN 'MIT'
+                     WHEN 2 THEN 'Apache-2.0'   WHEN 3 THEN 'BSD-3-Clause'
+                     WHEN 4 THEN 'GPL-3.0-only' END AS license,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'spdx' WHEN 4 THEN 'spdx'
+                     WHEN 5 THEN NULL   ELSE 'header' END AS matched_via,
+                   doc_id % 6 IN (0, 1, 2, 3) AS permissive
+            FROM documents WHERE doc_id < 480
+        """,
         # charset replay: rotation arithmetic over the source text —
         # decoded text must equal the column (plus the planted suffixes)
         "charset_detect": """

@@ -1105,3 +1105,50 @@ def blocklist_term_hits(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("flagged"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# license detection (the code-corpus filtering stage)
+# ----------------------------------------------------------------------
+
+#: header fingerprints, checked in a fixed precedence order — each is a
+#: distinctive phrase from the license's canonical text (case-folded)
+_LICENSE_MARKERS: list[tuple[str, str]] = [
+    ("MIT", "permission is hereby granted, free of charge"),
+    ("Apache-2.0", "licensed under the apache license, version 2.0"),
+    ("BSD-3-Clause", "redistribution and use in source and binary forms"),
+    ("GPL-3.0-only", "gnu general public license"),
+]
+
+_SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+
+def detect_license(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Code-corpus license detection (the Stack/StarCoder permissive-
+    filter stage): an explicit ``SPDX-License-Identifier`` tag wins;
+    otherwise the first matching canonical-header fingerprint in a fixed
+    precedence order; otherwise NULL. Output: (id, license, matched_via
+    ∈ {'spdx','header',NULL}, permissive).
+
+    One codegen'd projection — ``regexp_extract`` + a short
+    ``lower(text) CONTAINS`` chain — zero shuffles, zero Python, and the
+    rules are engine-portable (the oracle replays them verbatim)."""
+    c = F.col(text_col)
+    spdx = F.regexp_extract(c, _SPDX_RE, 1)
+    lowered = F.lower(c)
+    header = F.lit(None).cast("string")
+    for lic, marker in reversed(_LICENSE_MARKERS):
+        header = F.when(lowered.contains(marker), F.lit(lic)).otherwise(header)
+    license_col = F.when(spdx != "", spdx).otherwise(header)
+    via = (
+        F.when(spdx != "", F.lit("spdx"))
+        .when(header.isNotNull(), F.lit("header"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    permissive = license_col.isin("MIT", "Apache-2.0", "BSD-3-Clause")
+    return docs.select(
+        id_col,
+        license_col.alias("license"),
+        via.alias("matched_via"),
+        F.coalesce(permissive, F.lit(False)).alias("permissive"),
+    )

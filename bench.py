@@ -89,6 +89,8 @@ HEADLINE = [
     # C4 badwords stage: narrow token explode + broadcast term join —
     # only matched rows reach the per-doc aggregate exchange
     "blocklist_terms",
+    # SPDX tag + header fingerprints: one codegen'd projection
+    "license_detect",
     "simhash_sketches",
     "srp_ann_topk",
     # PQ ANN: the memory-compressed tier — ADC table scoring over m-byte

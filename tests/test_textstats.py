@@ -549,3 +549,30 @@ def test_blocklist_term_hits(spark):
     assert out[4]["n_hits"] == 0
     assert out[5]["n_hits"] == 0  # substring must NOT match
     assert len(out) == 5  # every doc survives the left join
+
+
+def test_detect_license_rules(spark):
+    from autoextract.functions.text import detect_license
+
+    df = spark.createDataFrame(
+        [
+            (1, "# SPDX-License-Identifier: Apache-2.0\ncode here"),
+            (2, "Permission is hereby granted, free of charge, to any person"),
+            (3, "SPDX-License-Identifier: GPL-3.0-only\n"
+                "Licensed under the Apache License, Version 2.0"),  # spdx wins
+            (4, "This program is covered by the GNU General Public License."),
+            (5, "no license text at all"),
+            (6, "LICENSED UNDER THE APACHE LICENSE, VERSION 2.0"),  # case-fold
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in detect_license(df).collect()}
+    assert out[1]["license"] == "Apache-2.0" and out[1]["matched_via"] == "spdx"
+    assert out[1]["permissive"]
+    assert out[2]["license"] == "MIT" and out[2]["matched_via"] == "header"
+    assert out[3]["license"] == "GPL-3.0-only" and out[3]["matched_via"] == "spdx"
+    assert not out[3]["permissive"]
+    assert out[4]["license"] == "GPL-3.0-only" and out[4]["matched_via"] == "header"
+    assert out[5]["license"] is None and out[5]["matched_via"] is None
+    assert not out[5]["permissive"]
+    assert out[6]["license"] == "Apache-2.0"
