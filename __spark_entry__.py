@@ -965,6 +965,30 @@ def _q_license_detect(spark, sf):
     return TX.detect_license(docs.select("doc_id", aug.alias("text")))
 
 
+def _q_extraction_cer(spark, sf):
+    """Extraction-quality eval (r5): hypotheses derived from the source
+    text by rotating corruption (identical / all-'a'-substituted / tail
+    appended / case-folded), CER + band computed by Spark's levenshtein
+    and INDEPENDENTLY re-derived by DuckDB's — a genuine cross-engine
+    edit-distance check, not an arithmetic replay."""
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .where(F.col("doc_id") < 480)
+    )
+    k = F.col("doc_id") % 4
+    hyp = (
+        F.when(k == 0, F.col("text"))
+        .when(k == 1, F.regexp_replace("text", "a", "@"))
+        .when(k == 2, F.concat("text", F.lit(" spurious trailing ocr noise")))
+        .otherwise(F.upper("text"))
+    )
+    pairs = docs.select(
+        "doc_id", F.col("text").alias("ref_text"), hyp.alias("hyp_text")
+    )
+    return TX.extraction_quality(pairs)
+
+
 #: deterministic stand-in for the C4 badwords list — includes one term
 #: the corpus never contains so the zero-hit path is driver-gated too
 _BLOCKLIST_TERMS = ["big", "merge", "slow", "stream", "zeppelin"]
@@ -3931,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_terms": _q_blocklist_terms,
         "charset_detect": _q_charset_detect,
         "license_detect": _q_license_detect,
+        "extraction_cer": _q_extraction_cer,
         "filter_report": _q_filter_report,
         "asof_join": _q_asof_join,
         "asof_join_chunked": _q_asof_join_chunked,
@@ -4786,6 +4811,34 @@ def oracle_sql() -> dict[str, str]:
             FROM gs JOIN ts USING (doc_id)
         """,
         "document_filter": _DOC_FILTER_ORACLE,
+        # CER cross-engine: DuckDB's own levenshtein over the same
+        # rotation-derived hypothesis pairs — two independent edit
+        # distances must agree, as must the derived band arithmetic
+        "extraction_cer": """
+            WITH pairs AS (
+              SELECT doc_id, text AS ref_text,
+                     CASE doc_id % 4
+                       WHEN 0 THEN text
+                       WHEN 1 THEN replace(text, 'a', '@')
+                       WHEN 2 THEN text || ' spurious trailing ocr noise'
+                       ELSE upper(text) END AS hyp_text
+              FROM documents WHERE doc_id < 480),
+            scored AS (
+              SELECT doc_id,
+                     levenshtein(ref_text, hyp_text) AS d,
+                     round(levenshtein(ref_text, hyp_text)
+                           / greatest(length(ref_text), 1), 6) AS cer
+              FROM pairs)
+            SELECT doc_id,
+                   CAST(d AS BIGINT) AS edit_distance,
+                   cer,
+                   d = 0 AS exact,
+                   CASE WHEN d = 0 THEN 'exact'
+                        WHEN cer <= 0.05 THEN 'good'
+                        WHEN cer <= 0.25 THEN 'degraded'
+                        ELSE 'bad' END AS quality_band
+            FROM scored
+        """,
         # license replay: the rotation arithmetic names the expected
         # (license, via, permissive) directly — SPDX beats header on k=4
         "license_detect": """

@@ -91,6 +91,8 @@ HEADLINE = [
     "blocklist_terms",
     # SPDX tag + header fingerprints: one codegen'd projection
     "license_detect",
+    # CER eval: built-in levenshtein, one codegen'd projection
+    "extraction_cer",
     "simhash_sketches",
     "srp_ann_topk",
     # PQ ANN: the memory-compressed tier — ADC table scoring over m-byte

@@ -576,3 +576,25 @@ def test_detect_license_rules(spark):
     assert out[5]["license"] is None and out[5]["matched_via"] is None
     assert not out[5]["permissive"]
     assert out[6]["license"] == "Apache-2.0"
+
+
+def test_extraction_quality_bands(spark):
+    from autoextract.functions.text import extraction_quality
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world", "hello world"),            # exact
+            (2, "a" * 100, "a" * 97 + "bbb"),             # 3/100 → good
+            (3, "abcdefghij", "abcdefghXX"),              # 2/10 → degraded
+            (4, "short", "completely different text"),     # bad
+            (5, "", "x"),                                  # empty ref guard
+        ],
+        "doc_id long, ref_text string, hyp_text string",
+    )
+    out = {r["doc_id"]: r for r in extraction_quality(df).collect()}
+    assert out[1]["exact"] and out[1]["quality_band"] == "exact"
+    assert out[1]["cer"] == 0.0
+    assert out[2]["edit_distance"] == 3 and out[2]["quality_band"] == "good"
+    assert out[3]["quality_band"] == "degraded"
+    assert out[4]["quality_band"] == "bad"
+    assert out[5]["edit_distance"] == 1 and out[5]["cer"] == 1.0  # /max(len,1)
