@@ -926,6 +926,52 @@ def _q_charset_detect(spark, sf):
     return detect_and_decode(payloads)
 
 
+def _q_wiki_ingest(spark, sf):
+    """Wikipedia-dump ingestion (r5): per doc a pages-articles XML payload
+    with an article page (nested templates, ref tags, pipe/plain links, a
+    File link with a nested-link caption, bold fences, a heading) and a
+    redirect page; every 10th payload corrupt → zero rows. The oracle
+    derives page ids/titles/flags AND the exact cleaned wikitext
+    arithmetically, so the whole cleanup chain sits under the hash."""
+    from autoextract.sources.wikidump import to_wikidump, wiki_pages_table
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .where(F.col("doc_id") < 300)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d, t = int(d), str(t)
+                if d % 10 == 9:
+                    rows.append({"doc_id": d, "xml": "torn <page> no close"})
+                    continue
+                q = d % 7
+                wikitext = (
+                    f"'''Article {d}''' is {{{{Infobox|x={{{{n|1}}}}}}}}about "
+                    f"[[topic {q}|topic-{q}]].<ref>c{d}</ref>\n== Body ==\n"
+                    f"{t} [[File:F{d}.jpg|thumb|a [[pic]] here]]and "
+                    f"[[beyond]]."
+                )
+                rows.append({
+                    "doc_id": d,
+                    "xml": to_wikidump([
+                        {"title": f"Article {d}", "page_id": d * 10 + 1,
+                         "text": wikitext},
+                        {"title": f"Redirect {d}", "page_id": d * 10 + 2,
+                         "redirect": f"Article {d}",
+                         "text": f"#REDIRECT [[Article {d}]]"},
+                    ]),
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "xml"])
+
+    payloads = docs.mapInPandas(render, schema="doc_id long, xml string")
+    return wiki_pages_table(payloads)
+
+
 def _q_license_detect(spark, sf):
     """License detection (r5): per doc the text is augmented with a
     rotating license shape — SPDX tag, each of the four header
@@ -3956,6 +4002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_detect": _q_charset_detect,
         "license_detect": _q_license_detect,
         "extraction_cer": _q_extraction_cer,
+        "wiki_ingest": _q_wiki_ingest,
         "filter_report": _q_filter_report,
         "asof_join": _q_asof_join,
         "asof_join_chunked": _q_asof_join_chunked,
@@ -4811,6 +4858,30 @@ def oracle_sql() -> dict[str, str]:
             FROM gs JOIN ts USING (doc_id)
         """,
         "document_filter": _DOC_FILTER_ORACLE,
+        # wiki replay: page ids/titles/flags plus the EXACT cleaned
+        # wikitext assembled from the same rotation arithmetic
+        "wiki_ingest": """
+            WITH base AS (
+              SELECT doc_id, text, doc_id % 7 AS q
+              FROM documents WHERE doc_id < 300 AND doc_id % 10 <> 9)
+            SELECT doc_id,
+                   CAST(doc_id * 10 + 1 AS BIGINT) AS page_id,
+                   'Article ' || doc_id AS title,
+                   CAST(0 AS INT) AS ns,
+                   false AS redirect,
+                   'Article ' || doc_id || ' is about topic-' || q ||
+                   '.' || chr(10) || 'Body' || chr(10) || text ||
+                   ' and beyond.' AS clean_text
+            FROM base
+            UNION ALL
+            SELECT doc_id,
+                   CAST(doc_id * 10 + 2 AS BIGINT) AS page_id,
+                   'Redirect ' || doc_id AS title,
+                   CAST(0 AS INT) AS ns,
+                   true AS redirect,
+                   '#REDIRECT Article ' || doc_id AS clean_text
+            FROM base
+        """,
         # CER cross-engine: DuckDB's own levenshtein over the same
         # rotation-derived hypothesis pairs — two independent edit
         # distances must agree, as must the derived band arithmetic

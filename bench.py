@@ -93,6 +93,8 @@ HEADLINE = [
     "license_detect",
     # CER eval: built-in levenshtein, one codegen'd projection
     "extraction_cer",
+    # pages-articles parse + wikitext cleanup: narrow Arrow stage
+    "wiki_ingest",
     "simhash_sketches",
     "srp_ann_topk",
     # PQ ANN: the memory-compressed tier — ADC table scoring over m-byte

@@ -132,6 +132,18 @@ AUDITED = {
     "chain; the report rollup is the only real exchange. The re-layout "
     "variant (zorder_layout fn) adds exactly the one range exchange the "
     "re-layout IS.",
+    "blocklist_terms": "narrow token explode carrying only (doc_id, term) "
+    "→ BROADCAST hash join against the term list (the big side never "
+    "shuffles for the match) → per-doc partial agg over matched rows only; "
+    "the final left join back rides the short doc_id key",
+    "license_detect": "one codegen'd regexp/contains projection over the "
+    "scan — zero exchanges, zero Python",
+    "extraction_cer": "built-in levenshtein in one codegen'd projection — "
+    "zero exchanges, zero Python",
+    "charset_detect": "two chained narrow Arrow stages (payload render + "
+    "detect/decode) — zero exchanges; detection is per-row byte rules",
+    "mp4_metadata": "narrow Arrow stage over the binary column — zero "
+    "exchanges; the box walk reads headers only",
 }
 
 
