@@ -509,6 +509,21 @@ def _q_temperature_mixture_sample(spark, sf):
     )
 
 
+def _q_perplexity_buckets(spark, sf):
+    """CCNet head/middle/tail buckets (r5): per-language tertiles of the
+    corpus-LM cross-entropy; thresholds and scores both 6-dp-rounded so
+    the bucket edges are engine-portable. Oracle recomputes the CE chain
+    AND the quantile_cont tertiles independently."""
+    from autoextract.functions.text import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "cross_entropy",
+        "bucket",
+    )
+
+
 def _q_unigram_quality(spark, sf):
     """Corpus-unigram cross-entropy (r5): the CCNet perplexity-style
     quality signal with the corpus itself as the LM — deterministic, no
@@ -3977,6 +3992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": _q_exact_substring_dedup,
         "temperature_mixture_sample": _q_temperature_mixture_sample,
         "unigram_quality": _q_unigram_quality,
+        "perplexity_buckets": _q_perplexity_buckets,
         "bigram_quality": _q_bigram_quality,
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
@@ -4685,6 +4701,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN cx USING (prev)
             JOIN c1 ON bg.cur = c1.tok, t
             GROUP BY bg.doc_id
+        """,
+        # CCNet buckets: independent CE chain + quantile_cont tertiles
+        # per lang (same interpolation as Spark's exact percentile), both
+        # sides 6-dp-rounded before the bucket comparison
+        "perplexity_buckets": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents),
+            c AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tk GROUP BY tok),
+            t AS (SELECT SUM(cnt) AS total FROM c),
+            ce AS (
+              SELECT tk.doc_id,
+                     round(-avg(ln(cnt / total)), 6) AS cross_entropy
+              FROM tk JOIN c USING (tok), t
+              GROUP BY tk.doc_id),
+            lg AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                          WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                          WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                          WHEN s_es >= s_fr THEN 'es'
+                          ELSE 'fr' END AS lang
+              FROM (SELECT doc_id,
+                           {_LANG_SCORE['de']} AS s_de,
+                           {_LANG_SCORE['en']} AS s_en,
+                           {_LANG_SCORE['es']} AS s_es,
+                           {_LANG_SCORE['fr']} AS s_fr
+                    FROM documents)),
+            j AS (SELECT ce.doc_id, lg.lang, ce.cross_entropy
+                  FROM ce JOIN lg USING (doc_id)),
+            th AS (
+              SELECT lang,
+                     round(quantile_cont(cross_entropy, 1.0/3.0), 6) AS t1,
+                     round(quantile_cont(cross_entropy, 2.0/3.0), 6) AS t2
+              FROM j GROUP BY lang)
+            SELECT j.doc_id, j.lang, j.cross_entropy,
+                   CASE WHEN j.cross_entropy <= th.t1 THEN 'head'
+                        WHEN j.cross_entropy <= th.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM j JOIN th USING (lang)
         """,
         "unigram_quality": """
             WITH tk AS (

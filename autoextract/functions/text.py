@@ -1191,3 +1191,51 @@ def extraction_quality(
         (dist == 0).alias("exact"),
         band.alias("quality_band"),
     )
+
+
+# ----------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail)
+# ----------------------------------------------------------------------
+
+
+def perplexity_buckets(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    approx: bool = False,
+):
+    """CCNet's head/middle/tail split: per-LANGUAGE tertiles of the
+    corpus-LM cross-entropy, the curation cut used to keep the fluent
+    third of a crawl (head), sample the middle, and drop the tail.
+
+    Composition of two audited pieces: ``unigram_cross_entropy`` (two
+    short-key partial-agg shuffles) + ``lang_guess`` (codegen'd). The
+    tertile thresholds are a per-lang aggregate — rows ∝ languages, a
+    broadcast join back — computed with exact ``percentile`` (linear
+    interpolation ≡ DuckDB ``quantile_cont``, the `corpus_stats`
+    precedent) or ``approx_percentile`` at 100 TB (``approx=True``, same
+    plan shape, bounded memory). Thresholds AND scores round to 6 dp
+    before comparison so the bucket edges are engine-portable."""
+    pct = (
+        (lambda c, p: F.approx_percentile(c, F.lit(p)))
+        if approx
+        else (lambda c, p: F.percentile(c, F.lit(p)))
+    )
+    ce = unigram_cross_entropy(docs, id_col=id_col, text_col=text_col)
+    langs = docs.select(id_col, lang_guess(F.col(text_col)).alias("lang"))
+    j = ce.join(langs, id_col)
+    th = j.groupBy("lang").agg(
+        F.round(pct(F.col("cross_entropy"), 1.0 / 3.0), 6).alias("t1"),
+        F.round(pct(F.col("cross_entropy"), 2.0 / 3.0), 6).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("cross_entropy") <= F.col("t1"), "head")
+        .when(F.col("cross_entropy") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return j.join(F.broadcast(th), "lang").select(
+        id_col,
+        "lang",
+        "cross_entropy",
+        bucket.alias("bucket"),
+    )

@@ -130,6 +130,8 @@ HEADLINE = [
     "temperature_mixture_sample",
     "unigram_quality",
     "bigram_quality",
+    # CCNet head/middle/tail: CE chain + per-lang tertile broadcast
+    "perplexity_buckets",
     # cross-snapshot dedup: in-batch keeper window + anti-join against
     # the running fingerprint table
     "dedup_incremental",

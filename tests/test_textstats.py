@@ -598,3 +598,30 @@ def test_extraction_quality_bands(spark):
     assert out[3]["quality_band"] == "degraded"
     assert out[4]["quality_band"] == "bad"
     assert out[5]["edit_distance"] == 1 and out[5]["cer"] == 1.0  # /max(len,1)
+
+
+def test_perplexity_buckets(spark):
+    from autoextract.functions.text import perplexity_buckets
+
+    # all-English corpus: 9 docs of common words, rarity increasing via
+    # unique md5-ish suffixes — tertiles must split 3/3/3 deterministically
+    common = "the cat and the dog walk to the house"
+    rows = [(i, common + (f" rare{i}tok" * i)) for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(df).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["doc_id"])
+    assert len(out) == 9
+    # monotone: higher-rarity docs never land in a lower-CE bucket
+    order = {"head": 0, "middle": 1, "tail": 2}
+    ce = {r["doc_id"]: r["cross_entropy"] for r in out}
+    bk = {r["doc_id"]: order[r["bucket"]] for r in out}
+    ids = sorted(ce, key=lambda d: ce[d])
+    assert bk[ids[0]] <= bk[ids[-1]]
+    assert all(b in order for b in by_bucket)
+    # partition invariance
+    out2 = perplexity_buckets(df.repartition(7)).collect()
+    assert {(r["doc_id"], r["bucket"]) for r in out2} == {
+        (r["doc_id"], r["bucket"]) for r in out
+    }
