@@ -987,6 +987,43 @@ def _q_wiki_ingest(spark, sf):
     return wiki_pages_table(payloads)
 
 
+def _q_sqldump_ingest(spark, sf):
+    """MySQL-dump ingestion (r5): per doc an INSERT-statement dump with
+    two tables, escaped quotes (backslash AND doubled), embedded tabs/
+    newlines, NULLs and numbers; every 12th payload corrupt → zero rows.
+    Values surface in mysqldump's own TSV convention (tab-joined, \\N for
+    NULL) so the oracle derives each row as one flat string."""
+    from autoextract.sources.sqldump import sqldump_rows_table, to_sqldump
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 240)
+    )
+
+    def render(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 12 == 11:
+                    rows.append({"doc_id": d, "sql": "INSERT INTO broken ("})
+                    continue
+                dump = to_sqldump({
+                    "page": [
+                        [d, f"Title {d}",
+                         None if d % 3 == 0 else f"cat {d % 5}", d % 7],
+                        [d + 1, f"quote ' in {d}", "tab\there", d % 2],
+                    ],
+                    "links": [[d, f"target {d % 9}"]],
+                })
+                rows.append({"doc_id": d, "sql": dump})
+            yield pd.DataFrame(rows, columns=["doc_id", "sql"])
+
+    payloads = docs.mapInPandas(render, schema="doc_id long, sql string")
+    return sqldump_rows_table(payloads)
+
+
 def _q_license_detect(spark, sf):
     """License detection (r5): per doc the text is augmented with a
     rotating license shape — SPDX tag, each of the four header
@@ -4019,6 +4056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_detect": _q_license_detect,
         "extraction_cer": _q_extraction_cer,
         "wiki_ingest": _q_wiki_ingest,
+        "sqldump_ingest": _q_sqldump_ingest,
         "filter_report": _q_filter_report,
         "asof_join": _q_asof_join,
         "asof_join_chunked": _q_asof_join_chunked,
@@ -4916,6 +4954,30 @@ def oracle_sql() -> dict[str, str]:
             FROM gs JOIN ts USING (doc_id)
         """,
         "document_filter": _DOC_FILTER_ORACLE,
+        # mysqldump replay: each tuple reassembled as the same TSV string
+        # (chr(9) separators, \N for NULL) from the rotation arithmetic
+        "sqldump_ingest": """
+            WITH base AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id < 240 AND doc_id % 12 <> 11)
+            SELECT doc_id, 'page' AS table_name, CAST(0 AS INT) AS row_idx,
+                   CAST(4 AS INT) AS n_values,
+                   doc_id || chr(9) || 'Title ' || doc_id || chr(9) ||
+                   CASE WHEN doc_id % 3 = 0 THEN '\\N'
+                        ELSE 'cat ' || doc_id % 5 END ||
+                   chr(9) || doc_id % 7 AS values_tsv
+            FROM base
+            UNION ALL
+            SELECT doc_id, 'page', CAST(1 AS INT), CAST(4 AS INT),
+                   (doc_id + 1) || chr(9) || 'quote '' in ' || doc_id ||
+                   chr(9) || 'tab' || chr(9) || 'here' || chr(9) ||
+                   doc_id % 2
+            FROM base
+            UNION ALL
+            SELECT doc_id, 'links', CAST(0 AS INT), CAST(2 AS INT),
+                   doc_id || chr(9) || 'target ' || doc_id % 9
+            FROM base
+        """,
         # wiki replay: page ids/titles/flags plus the EXACT cleaned
         # wikitext assembled from the same rotation arithmetic
         "wiki_ingest": """

@@ -95,6 +95,8 @@ HEADLINE = [
     "extraction_cer",
     # pages-articles parse + wikitext cleanup: narrow Arrow stage
     "wiki_ingest",
+    # mysqldump tuple walk: narrow Arrow stage, zero shuffles
+    "sqldump_ingest",
     "simhash_sketches",
     "srp_ann_topk",
     # PQ ANN: the memory-compressed tier — ADC table scoring over m-byte
