@@ -987,6 +987,48 @@ def _q_wiki_ingest(spark, sf):
     return wiki_pages_table(payloads)
 
 
+def _q_cdx_ingest(spark, sf):
+    """CDX index parsing (r5): Common Crawl CDXJ lines with rotating
+    mime/status/filename fields, double-spaced separators every 4th line,
+    and a malformed (JSON-less) line every 6th → valid=false row. The
+    index is what a crawl pipeline plans fetches from BEFORE touching any
+    WARC byte; oracle derives every field arithmetically including the
+    yyyyMMddHHmmss → timestamp parse."""
+    from autoextract.sources.warc import parse_cdx_column
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 400)
+    )
+    d = F.col("doc_id")
+    ts = F.concat(
+        F.lit("20260115"),
+        F.lpad((d % 24).cast("string"), 2, "0"),
+        F.lpad((d % 60).cast("string"), 2, "0"),
+        F.lit("30"),
+    )
+    blob = F.concat(
+        F.lit('{"url": "https://example.com/page/'), d,
+        F.lit('", "mime": "'),
+        F.when(d % 3 == 1, "application/pdf").otherwise("text/html"),
+        F.lit('", "status": "'),
+        F.when(d % 5 == 0, "404").otherwise("200"),
+        F.lit('", "digest": "sha1:D'), d,
+        F.lit('", "length": "'), (d + 1000),
+        F.lit('", "offset": "'), (d * 7),
+        F.lit('", "filename": "crawl-'), d % 4,
+        F.lit('.warc.gz"}'),
+    )
+    sep = F.when(d % 4 == 0, "  ").otherwise(" ")
+    line = F.when(d % 6 == 5, F.lit("com,example)/broken 20260101")).otherwise(
+        F.concat(
+            F.lit("com,example)/page/"), d, sep, ts, sep, blob
+        )
+    )
+    return parse_cdx_column(docs.select("doc_id", line.alias("line")))
+
+
 def _q_sqldump_ingest(spark, sf):
     """MySQL-dump ingestion (r5): per doc an INSERT-statement dump with
     two tables, escaped quotes (backslash AND doubled), embedded tabs/
@@ -4057,6 +4099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_cer": _q_extraction_cer,
         "wiki_ingest": _q_wiki_ingest,
         "sqldump_ingest": _q_sqldump_ingest,
+        "cdx_ingest": _q_cdx_ingest,
         "filter_report": _q_filter_report,
         "asof_join": _q_asof_join,
         "asof_join_chunked": _q_asof_join_chunked,
@@ -4954,6 +4997,35 @@ def oracle_sql() -> dict[str, str]:
             FROM gs JOIN ts USING (doc_id)
         """,
         "document_filter": _DOC_FILTER_ORACLE,
+        # CDX replay: every field from the rotation arithmetic, incl. the
+        # strptime of the same assembled yyyyMMddHHmmss string
+        "cdx_ingest": """
+            WITH p AS (
+              SELECT doc_id,
+                     doc_id % 6 <> 5 AS ok,
+                     '20260115' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                       || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || '30'
+                       AS ts
+              FROM documents WHERE doc_id < 400)
+            SELECT doc_id,
+                   CASE WHEN ok THEN 'com,example)/page/' || doc_id END AS urlkey,
+                   CASE WHEN ok THEN ts END AS ts,
+                   CASE WHEN ok THEN strptime(ts, '%Y%m%d%H%M%S') END AS event_time,
+                   CASE WHEN ok THEN 'https://example.com/page/' || doc_id END AS url,
+                   CASE WHEN ok THEN
+                     CASE WHEN doc_id % 3 = 1 THEN 'application/pdf'
+                          ELSE 'text/html' END END AS mime,
+                   CASE WHEN ok THEN
+                     CAST(CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS INT)
+                   END AS status,
+                   CASE WHEN ok THEN 'sha1:D' || doc_id END AS digest,
+                   CASE WHEN ok THEN CAST(doc_id + 1000 AS BIGINT) END AS length,
+                   CASE WHEN ok THEN CAST(doc_id * 7 AS BIGINT) END AS offset,
+                   CASE WHEN ok THEN 'crawl-' || doc_id % 4 || '.warc.gz' END
+                     AS filename,
+                   ok AS valid
+            FROM p
+        """,
         # mysqldump replay: each tuple reassembled as the same TSV string
         # (chr(9) separators, \N for NULL) from the rotation arithmetic
         "sqldump_ingest": """

@@ -37,6 +37,7 @@ import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 CRLF = b"\r\n"
 
@@ -419,4 +420,50 @@ def warc_text_docs(raw: DataFrame) -> DataFrame:
     return (
         recs.where((F.col("warc_type") == "response") & F.col("valid"))
         .select("doc_id", "target_uri", "mime", decoded.alias("text"))
+    )
+
+
+# ----------------------------------------------------------------------
+# CDX index parsing (the Common Crawl lookup companion to the WARC leg)
+# ----------------------------------------------------------------------
+
+CDX_JSON_SCHEMA = (
+    "url string, mime string, status string, digest string, "
+    "length string, offset string, filename string"
+)
+
+
+def parse_cdx_column(
+    df: "DataFrame", line_col: str = "line", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Common Crawl CDXJ index lines — ``urlkey timestamp {json}`` — to
+    typed columns: (urlkey, ts string + event_time timestamp, url, mime,
+    status int, digest, length/offset long, filename, valid).
+
+    A crawl-scale pipeline reads the CDX index BEFORE any WARC byte is
+    fetched (dedup by digest, range-plan by offset/length, freshness by
+    timestamp — all without touching the archive). One codegen'd
+    regexp + ``from_json`` projection against an explicit schema (never
+    inferred — stable plans), zero shuffles, zero Python; a malformed
+    line surfaces ``valid=false``, never a failure (the JSONL-column O6
+    contract)."""
+    c = F.col(line_col)
+    urlkey = F.regexp_extract(c, r"^(\S+)", 1)
+    ts = F.regexp_extract(c, r"^\S+\s+(\d{14})", 1)
+    blob = F.regexp_extract(c, r"^\S+\s+\S+\s+(\{.*\})\s*$", 1)
+    j = F.from_json(blob, CDX_JSON_SCHEMA)
+    valid = (urlkey != "") & (ts != "") & j.isNotNull() & j["url"].isNotNull()
+    return df.select(
+        id_col,
+        F.when(valid, urlkey).alias("urlkey"),
+        F.when(valid, ts).alias("ts"),
+        F.when(valid, F.to_timestamp(ts, "yyyyMMddHHmmss")).alias("event_time"),
+        F.when(valid, j["url"]).alias("url"),
+        F.when(valid, j["mime"]).alias("mime"),
+        F.when(valid, j["status"].cast("int")).alias("status"),
+        F.when(valid, j["digest"]).alias("digest"),
+        F.when(valid, j["length"].cast("long")).alias("length"),
+        F.when(valid, j["offset"].cast("long")).alias("offset"),
+        F.when(valid, j["filename"]).alias("filename"),
+        valid.alias("valid"),
     )

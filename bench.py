@@ -97,6 +97,8 @@ HEADLINE = [
     "wiki_ingest",
     # mysqldump tuple walk: narrow Arrow stage, zero shuffles
     "sqldump_ingest",
+    # CDXJ index lines: one codegen'd regexp+from_json projection
+    "cdx_ingest",
     "simhash_sketches",
     "srp_ann_topk",
     # PQ ANN: the memory-compressed tier — ADC table scoring over m-byte

@@ -52,3 +52,25 @@ def test_atom_entries(spark):
 def test_malformed_feed_yields_no_rows(spark):
     assert _parse(spark, "not xml at all") == []
     assert _parse(spark, "<rss><channel><item><title>x</title>") == []
+
+
+def test_parse_cdx_column(spark):
+    from autoextract.sources.warc import parse_cdx_column
+
+    rows = [
+        (1, 'com,a)/x 20260101120000 {"url": "https://a.com/x", '
+            '"mime": "text/html", "status": "200", "digest": "sha1:Q", '
+            '"length": "512", "offset": "0", "filename": "f.warc.gz"}'),
+        (2, 'com,b)/y  20260101120001  {"url": "https://b.com/y"}'),  # 2 spaces
+        (3, "no json here"),
+        (4, 'com,c)/z 2026 {"url": "https://c.com/z"}'),  # short ts
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, line string")
+    out = {r["doc_id"]: r for r in parse_cdx_column(df).collect()}
+    assert out[1]["valid"] and out[1]["status"] == 200
+    assert out[1]["length"] == 512 and out[1]["urlkey"] == "com,a)/x"
+    assert out[1]["event_time"].year == 2026
+    assert out[2]["valid"] and out[2]["url"] == "https://b.com/y"
+    assert out[2]["mime"] is None  # absent field → NULL, not failure
+    assert not out[3]["valid"] and out[3]["url"] is None
+    assert not out[4]["valid"]
