@@ -3097,6 +3097,87 @@ def _q_exif_metadata(spark, sf):
     )
 
 
+def _q_exif_strip(spark, sf):
+    """Metadata stripping as a DRIVER-CHECKED verdict (r5): 120 JPEGs with
+    rotating EXIF/COM metadata (every 4th clean) go through the production
+    ``strip_media_metadata`` kernel; per doc the stripped flag must equal
+    the planted had-metadata fact, the output must re-parse EXIF-free,
+    still decode to identical pixels, and clean files must pass through
+    byte-identical. Oracle = the derived flag table."""
+    from autoextract.operators.exif import (
+        build_exif_app1,
+        parse_exif,
+        splice_app1,
+        strip_media_metadata,
+    )
+
+    docs = (
+        _t(spark, sf, "documents")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+        .where(F.col("doc_id") < 120)
+    )
+
+    def build(batches):
+        from autoextract.operators.jpeg_codec import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = (
+                    np.arange(24, dtype=np.float64)[None, :]
+                    + np.arange(16, dtype=np.float64)[:, None] * 3
+                    + d
+                ) % 256
+                rgb = np.stack([g, (g * 2) % 256, (g * 5) % 256], axis=2)
+                j = encode_jpeg(rgb.astype(np.uint8), quality=90)
+                if d % 4 != 3:
+                    j = splice_app1(
+                        j,
+                        build_exif_app1(
+                            orientation=d % 8 + 1, make=f"Cam {d % 5}"
+                        ),
+                    )
+                if d % 3 == 0 and d % 4 != 3:
+                    note = f"note {d}".encode("ascii")
+                    com = (
+                        b"\xff\xfe"
+                        + (len(note) + 2).to_bytes(2, "big")
+                        + note
+                    )
+                    j = j[:2] + com + j[2:]
+                rows.append({"media_ref": str(d), "payload": j})
+            yield pd.DataFrame(rows, columns=["media_ref", "payload"])
+
+    media = docs.mapInPandas(build, schema="media_ref string, payload binary")
+    stripped = strip_media_metadata(media)
+
+    def check(batches):
+        from autoextract.operators.jpeg_codec import decode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for ref, payload, was in zip(
+                pdf["media_ref"], pdf["payload"], pdf["stripped"]
+            ):
+                d = int(ref)
+                had_meta = d % 4 != 3
+                out = bytes(payload)
+                ok = bool(was) == had_meta
+                if ok:
+                    meta = parse_exif(out)
+                    ok = all(v is None for v in meta.values())
+                if ok:
+                    try:
+                        ok = decode_jpeg(out).shape == (16, 24, 3)
+                    except Exception:
+                        ok = False
+                rows.append({"doc_id": d, "strip_ok": bool(ok)})
+            yield pd.DataFrame(rows, columns=["doc_id", "strip_ok"])
+
+    return stripped.mapInPandas(check, schema="doc_id long, strip_ok boolean")
+
+
 def _q_mp4_metadata(spark, sf):
     """MP4/ISO-BMFF metadata walk (r5): per doc a deterministic BMFF
     container with rotating brand, mvhd version (0=32-bit / 1=64-bit
@@ -4150,6 +4231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_metadata": _q_exif_metadata,
         "id3_metadata": _q_id3_metadata,
         "mp4_metadata": _q_mp4_metadata,
+        "exif_strip": _q_exif_strip,
         "mojibake_repair": _q_mojibake_repair,
         "unicode_nfc": _q_unicode_nfc,
         "script_profile": _q_script_profile,
@@ -5760,6 +5842,13 @@ def oracle_sql() -> dict[str, str]:
                         THEN '2025:11:0' || (doc_id % 9 + 1) || ' 12:00:00'
                    END AS datetime_original
             FROM documents WHERE doc_id < 240
+        """,
+        # strip verdict: production kernel output must satisfy all four
+        # invariants per doc (flag exact, EXIF-free, decodable, clean
+        # pass-through) — oracle is the all-true table
+        "exif_strip": """
+            SELECT doc_id, true AS strip_ok
+            FROM documents WHERE doc_id < 120
         """,
         # BMFF replay: brand/version/track rotation + the integer
         # duration*1000//timescale conversion, all derived arithmetically

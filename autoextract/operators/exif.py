@@ -236,3 +236,73 @@ def exif_metadata(
             yield out
 
     return media.mapInPandas(kernel, schema=schema)
+
+
+# ----------------------------------------------------------------------
+# metadata stripping (the privacy scrub before images enter a corpus)
+# ----------------------------------------------------------------------
+
+
+def strip_jpeg_metadata(jpeg: bytes) -> tuple[bytes, bool]:
+    """Remove EXIF/XMP/ICC/comment segments from a JPEG — the privacy
+    scrub (GPS position, serial numbers, author fields all live in APP1+)
+    training pipelines run before images enter a corpus. Drops APP1–APP15
+    and COM segments; keeps SOI, APP0/JFIF, quantization/Huffman tables,
+    frame/scan headers and the entropy-coded image data byte-identical —
+    pixels are untouched by construction. Returns (bytes, changed).
+    Non-JPEG payloads pass through unchanged (containment)."""
+    if len(jpeg) < 4 or jpeg[:2] != b"\xff\xd8":
+        return jpeg, False
+    out = bytearray(b"\xff\xd8")
+    i = 2
+    changed = False
+    n = len(jpeg)
+    while i + 4 <= n:
+        if jpeg[i] != 0xFF:
+            break
+        marker = jpeg[i + 1]
+        if marker == 0xDA:  # SOS: entropy data follows — copy the rest
+            out += jpeg[i:]
+            return bytes(out), changed
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            out += jpeg[i : i + 2]
+            i += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", jpeg, i + 2)
+        seg = jpeg[i : i + 2 + seg_len]
+        # APP1..APP15 (0xE1-0xEF) and COM (0xFE) are metadata; APP0/JFIF
+        # stays — decoders expect it
+        if 0xE1 <= marker <= 0xEF or marker == 0xFE:
+            changed = True
+        else:
+            out += seg
+        i += 2 + seg_len
+    out += jpeg[i:]
+    return bytes(out), changed
+
+
+def strip_media_metadata(
+    media, payload_col: str = "payload", id_col: str = "media_ref"
+):
+    """(id, payload) → (id, payload, stripped) with JPEG metadata
+    segments removed; non-JPEG payloads pass through byte-identical with
+    ``stripped=false`` (the resize kernel's containment contract).
+    Narrow Arrow stage, zero shuffles."""
+    import pandas as pd  # local: the module is otherwise pandas-free
+
+    schema_id_type = "string" if id_col == "media_ref" else "long"
+    schema = f"{id_col} {schema_id_type}, payload binary, stripped boolean"
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    out, changed = strip_jpeg_metadata(b)
+                except Exception:
+                    out, changed = b, False
+                rows.append({id_col: ref, "payload": out, "stripped": changed})
+            yield pd.DataFrame(rows, columns=[id_col, "payload", "stripped"])
+
+    return media.mapInPandas(kernel, schema=schema)

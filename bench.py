@@ -194,6 +194,8 @@ HEADLINE = [
     "id3_metadata",
     # ISO-BMFF box walk: the video-metadata leg, narrow Arrow stage
     "mp4_metadata",
+    # privacy scrub: JPEG metadata-segment drop, pixels untouched
+    "exif_strip",
     # charset front door: BOM/strict-decode rules, narrow Arrow stage
     "charset_detect",
     # ftfy-style encoding repair: narrow Arrow stage, zero shuffles

@@ -75,3 +75,42 @@ def test_id3_containment_and_partials(spark):
     got = {r["doc_id"]: r for r in id3_metadata(df).collect()}
     assert got[1]["title"] == "Only Title" and got[1]["artist"] is None
     assert got[2]["title"] is None
+
+
+def test_strip_jpeg_metadata_roundtrip():
+    import numpy as np
+
+    from autoextract.operators.exif import (
+        build_exif_app1,
+        parse_exif,
+        splice_app1,
+        strip_jpeg_metadata,
+    )
+    from autoextract.operators.jpeg_codec import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(3)
+    j = encode_jpeg(rng.randint(0, 256, (16, 24, 3), dtype=np.uint8), quality=90)
+    meta = splice_app1(j, build_exif_app1(orientation=6, make="Cam"))
+    com = b"\xff\xfe\x00\x08note42"
+    meta = meta[:2] + com + meta[2:]
+    out, changed = strip_jpeg_metadata(meta)
+    assert changed
+    assert all(v is None for v in parse_exif(out).values())
+    assert (decode_jpeg(out) == decode_jpeg(meta)).all()
+    # idempotent + clean pass-through
+    out2, changed2 = strip_jpeg_metadata(out)
+    assert out2 == out and not changed2
+    assert strip_jpeg_metadata(b"not jpeg") == (b"not jpeg", False)
+
+
+def test_strip_media_metadata_kernel(spark):
+    from autoextract.operators.exif import strip_media_metadata
+
+    df = spark.createDataFrame(
+        [("a", b"\xff\xd8\xff\xfe\x00\x04xx\xff\xd9"), ("b", b"junk"), ("c", None)],
+        "media_ref string, payload binary",
+    )
+    out = {r["media_ref"]: r for r in strip_media_metadata(df).collect()}
+    assert out["a"]["stripped"] and bytes(out["a"]["payload"]) == b"\xff\xd8\xff\xd9"
+    assert not out["b"]["stripped"] and bytes(out["b"]["payload"]) == b"junk"
+    assert not out["c"]["stripped"]
