@@ -509,6 +509,20 @@ def _q_temperature_mixture_sample(spark, sf):
     )
 
 
+def _q_readability(spark, sf):
+    """Flesch readability (r5): word/sentence/syllable counts and both
+    scores from the documented deterministic syllable rule; DuckDB
+    recomputes the whole chain independently (list_transform + regexp) —
+    engine-portable by construction."""
+    from autoextract.functions.text import readability_metrics
+
+    return readability_metrics(_t(spark, sf, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_words", "n_sentences", "n_syllables",
+        "flesch_reading_ease", "fk_grade",
+    )
+
+
 def _q_perplexity_buckets(spark, sf):
     """CCNet head/middle/tail buckets (r5): per-language tertiles of the
     corpus-LM cross-entropy; thresholds and scores both 6-dp-rounded so
@@ -4153,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_sample": _q_temperature_mixture_sample,
         "unigram_quality": _q_unigram_quality,
         "perplexity_buckets": _q_perplexity_buckets,
+        "readability": _q_readability,
         "bigram_quality": _q_bigram_quality,
         "bpe_train": _q_bpe_train,
         "bpe_encode": _q_bpe_encode,
@@ -4864,6 +4879,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN cx USING (prev)
             JOIN c1 ON bg.cur = c1.tok, t
             GROUP BY bg.doc_id
+        """,
+        # readability replay: the same documented syllable rule computed
+        # with DuckDB's own list/regexp machinery
+        "readability": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(
+                         string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> regexp_replace(x, '[^a-z]', '', 'g')),
+                       x -> x <> '') AS ws,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sent
+              FROM documents),
+            s AS (
+              SELECT doc_id, ws, n_sent,
+                     list_transform(ws, x ->
+                       greatest(len(regexp_extract_all(x, '[aeiouy]+'))
+                         - CASE WHEN x LIKE '%e'
+                                 AND len(regexp_extract_all(x, '[aeiouy]+')) > 1
+                                THEN 1 ELSE 0 END, 1)) AS syls
+              FROM w)
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(n_sent AS BIGINT) AS n_sentences,
+                   CAST(coalesce(list_sum(syls), 0) AS BIGINT) AS n_syllables,
+                   round(206.835
+                         - 1.015 * (CAST(greatest(len(ws),1) AS DOUBLE)/n_sent)
+                         - 84.6 * (CAST(coalesce(list_sum(syls), 0) AS DOUBLE)
+                                   / greatest(len(ws),1)), 6)
+                     AS flesch_reading_ease,
+                   round(0.39 * (CAST(greatest(len(ws),1) AS DOUBLE)/n_sent)
+                         + 11.8 * (CAST(coalesce(list_sum(syls), 0) AS DOUBLE)
+                                   / greatest(len(ws),1))
+                         - 15.59, 6) AS fk_grade
+            FROM s
         """,
         # CCNet buckets: independent CE chain + quantile_cont tertiles
         # per lang (same interpolation as Spark's exact percentile), both

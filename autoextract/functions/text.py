@@ -1239,3 +1239,51 @@ def perplexity_buckets(
         "cross_entropy",
         bucket.alias("bucket"),
     )
+
+
+# ----------------------------------------------------------------------
+# readability metrics (Flesch) — the fluency prior quality filters use
+# ----------------------------------------------------------------------
+
+
+def readability_metrics(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Flesch reading-ease + Flesch-Kincaid grade per doc, from a
+    deterministic engine-portable syllable rule: syllables(word) =
+    max(#vowel-groups − [trailing silent 'e' when >1 group], 1) over
+    lowercased letter-stripped tokens; sentences = max(#[.!?] runs, 1).
+    Not a linguistics engine — the same documented approximation on both
+    sides of the gate, which is what a corpus-scale fluency prior needs.
+
+    All pure JVM: one codegen'd projection of ``transform``/``aggregate``
+    HOFs + ``regexp_count`` — zero shuffles, zero Python."""
+    c = F.col(text_col)
+    words = F.filter(
+        F.transform(
+            tokens(F.lower(c)),
+            lambda w: F.regexp_replace(w, r"[^a-z]", ""),
+        ),
+        lambda w: w != F.lit(""),
+    )
+    n_words = F.greatest(F.size(words), F.lit(1))
+    groups = lambda w: F.regexp_count(w, F.lit(r"[aeiouy]+"))  # noqa: E731
+    syl = lambda w: F.greatest(  # noqa: E731
+        groups(w)
+        - F.when(w.endswith("e") & (groups(w) > 1), F.lit(1)).otherwise(F.lit(0)),
+        F.lit(1),
+    )
+    n_syll = F.aggregate(
+        F.transform(words, syl), F.lit(0), lambda acc, v: acc + v
+    )
+    n_sent = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    wps = n_words.cast("double") / n_sent
+    spw = n_syll.cast("double") / n_words
+    return docs.select(
+        id_col,
+        F.size(words).cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 6).alias(
+            "flesch_reading_ease"
+        ),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 6).alias("fk_grade"),
+    )

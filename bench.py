@@ -136,6 +136,8 @@ HEADLINE = [
     "bigram_quality",
     # CCNet head/middle/tail: CE chain + per-lang tertile broadcast
     "perplexity_buckets",
+    # Flesch scores: one codegen'd HOF projection, zero shuffles
+    "readability",
     # cross-snapshot dedup: in-batch keeper window + anti-join against
     # the running fingerprint table
     "dedup_incremental",

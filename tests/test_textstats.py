@@ -625,3 +625,26 @@ def test_perplexity_buckets(spark):
     assert {(r["doc_id"], r["bucket"]) for r in out2} == {
         (r["doc_id"], r["bucket"]) for r in out
     }
+
+
+def test_readability_metrics(spark):
+    from autoextract.functions.text import readability_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),     # short simple sentences
+            (2, "Incomprehensibility notwithstanding, "
+                "multidimensional considerations proliferate."),
+            (3, ""),                                # empty guard
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability_metrics(df).collect()}
+    assert out[1]["n_words"] == 6 and out[1]["n_sentences"] == 2
+    # 6 monosyllables: the(1) cat(1) sat(1) the(1) dog(1) ran(1)
+    assert out[1]["n_syllables"] == 6
+    # simple text reads easier than sesquipedalian text
+    assert out[1]["flesch_reading_ease"] > out[2]["flesch_reading_ease"]
+    assert out[1]["fk_grade"] < out[2]["fk_grade"]
+    assert out[3]["n_words"] == 0 and out[3]["n_syllables"] == 0
+    assert out[3]["n_sentences"] == 1  # floor guard
