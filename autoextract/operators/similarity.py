@@ -81,19 +81,76 @@ def embedding_near_dup_pairs(
 
     Unblocked = crossjoin: only for small verified sets / oracles. The scale
     path blocks on ``srp_buckets`` output or a semantic key (label, shard).
+
+    The blocked path runs one chunked NumPy Gram multiply per block inside
+    ``applyInPandas`` instead of |block|² interpreted-HOF dot products —
+    the raw vectors cross Arrow once and only qualifying pairs come back
+    (guide §4.2: batch native math beats per-row JVM expression chains by
+    ~500× here). Cosines are ``round(dot/(‖a‖·‖b‖), 6)`` exactly as the
+    expression path computes them; the row-chunked multiply bounds memory
+    at chunk×|block| doubles, so no block-size cap is needed.
     """
-    sel = [F.col(id_col), F.col(vec_col)] + ([F.col(block_col)] if block_col else [])
-    e = embeddings.select(*sel)
-    a, b = e.alias("a"), e.alias("b")
-    joined = (a.join(b, on=block_col) if block_col else a.crossJoin(b)).where(
-        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col is None:
+        e = embeddings.select(F.col(id_col), F.col(vec_col))
+        a, b = e.alias("a"), e.alias("b")
+        joined = a.crossJoin(b).where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        sim = cosine_similarity_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        return joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        ).where(F.col("cosine") >= threshold)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    sim = cosine_similarity_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-    return joined.select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.round(sim, 6).alias("cosine"),
-    ).where(F.col("cosine") >= threshold)
+    chunk_rows = 2048
+
+    def gram_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        m = m[order]
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        # zero-norm rows: the expression path emits cosine 0.0 (its
+        # `denom > 0` guard); dividing by +inf reproduces that exactly
+        safe = np.where(norms == 0.0, np.inf, norms)
+        outs = []
+        for i0 in range(0, n - 1, chunk_rows):
+            i1 = min(i0 + chunk_rows, n)
+            d = m[i0:i1] @ m.T
+            cos = np.round(d / (safe[i0:i1, None] * safe[None, :]), 6)
+            ia, ib = np.nonzero(cos >= threshold)
+            keep = ib > ia + i0  # strict upper triangle in global indices
+            ia, ib = ia[keep], ib[keep]
+            if len(ia):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ia + i0].astype("int64"),
+                            "id_b": ids[ib].astype("int64"),
+                            "cosine": cos[ia, ib],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return (
+        embeddings.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(gram_pairs, schema=out_schema)
+    )
 
 
 def embedding_near_dup_pairs_blas(
