@@ -36,6 +36,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Re-spread a small-file scan across the cluster before per-row-heavy
+    work: the testdata parquet is a single row group (= one input split no
+    conf can subdivide), which would serialize tokenize/shingle/decode
+    stages onto one or two tasks (a real corpus arrives in thousands of
+    splits, where this repartition is a no-op-sized exchange relative to
+    the work it unlocks). Hash partitioning on the id key is deterministic
+    under task retry (guide §2.5) and the exchange carries the narrow
+    projected row once."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+
 # ----------------------------------------------------------------------
 # flagship: testdata text docs → synthetic word boxes → the REAL span
 # pipeline (layout + global offsets + span assembly) → per-doc summary
@@ -255,11 +267,11 @@ def _q_dedup_normalized(spark, sf):
 
 
 def _q_minhash_signatures(spark, sf):
-    return DD.minhash_signatures_agg(_t(spark, sf, "documents"), n_hashes=4)
+    return DD.minhash_signatures_agg(_spread(_t(spark, sf, "documents")), n_hashes=4)
 
 
 def _q_minhash_band_buckets(spark, sf):
-    sig = DD.minhash_signatures_agg(_t(spark, sf, "documents"), n_hashes=4)
+    sig = DD.minhash_signatures_agg(_spread(_t(spark, sf, "documents")), n_hashes=4)
     bands = F.array(
         *[F.concat_ws("|", F.lit(str(b)), F.col(f"mh{b}")) for b in range(4)]
     )
@@ -2927,7 +2939,9 @@ def _q_language_consistency(spark, sf):
             d % 3 == 2, F.lit(" Der Wind und das Wetter nicht gut.")
         ).otherwise(F.lit("")),
     )
-    return language_consistency(docs.select("doc_id", text.alias("text")))
+    return language_consistency(
+        _spread(docs.select("doc_id", text.alias("text")))
+    )
 
 
 def _q_sentence_chunking(spark, sf):
@@ -4066,7 +4080,7 @@ def _q_audio_transcode_roundtrip(spark, sf):
 
 
 def _q_winnowing(spark, sf):
-    return DD.winnowing_fingerprints(_t(spark, sf, "documents"), k=3, window=4)
+    return DD.winnowing_fingerprints(_spread(_t(spark, sf, "documents")), k=3, window=4)
 
 
 def _q_simhash(spark, sf):

@@ -128,17 +128,36 @@ def lang_score(text: Column | str, lang: str) -> Column:
 
 def lang_guess(text: Column | str) -> Column:
     """argmax over language scores; deterministic tie-break by language code
-    order (greatest-first comparison chain)."""
+    order (earliest code wins; ``und`` iff every score is 0).
+
+    Shape (r6): one ``array_max`` over ``struct(score, rank, code)`` entries
+    — struct comparison orders by score then rank, so each language's
+    regexp score is evaluated ONCE per row. The previous nested when-chain
+    referenced each score expression in every later comparison, doubling
+    the regexp expression tree per language (~16× the marker scans at four
+    languages; guide §1.2 "per-task work"). The ``und`` sentinel rides in
+    the same array: score 0 with top rank, so it wins exactly when all real
+    scores are 0 (marker counts are never negative)."""
     c = F.col(text) if isinstance(text, str) else text
-    scores = {lang: lang_score(c, lang) for lang in sorted(LANG_MARKERS)}
-    best = F.lit("und")
-    best_score = F.lit(-1).cast("long")
-    # iterate in reverse-sorted order so earlier codes win ties with >=
-    for lang in sorted(LANG_MARKERS, reverse=True):
-        take = scores[lang] >= best_score
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_score = F.when(take, scores[lang]).otherwise(best_score)
-    return F.when(best_score <= 0, F.lit("und")).otherwise(best)
+    langs = sorted(LANG_MARKERS)
+    entries = [
+        F.struct(
+            F.lit(0).cast("long").alias("s"),
+            F.lit(len(langs)).cast("int").alias("rk"),
+            F.lit("und").alias("code"),
+        )
+    ]
+    # rank descends with code order so the alphabetically-earliest code
+    # wins score ties (the former >=-chain's behavior)
+    for i, lang in enumerate(langs):
+        entries.append(
+            F.struct(
+                lang_score(c, lang).alias("s"),
+                F.lit(len(langs) - 1 - i).cast("int").alias("rk"),
+                F.lit(lang).alias("code"),
+            )
+        )
+    return F.array_max(F.array(*entries))["code"]
 
 
 # ----------------------------------------------------------------------

@@ -31,7 +31,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import fingerprint, minhash_bands, minhash_signature, shingles
+from ..functions.text import (
+    fingerprint,
+    minhash_bands,
+    minhash_signature,
+    shingles,
+    shingles_of_tokens,
+    tokens,
+)
+
+
+def _seeded_md5(i: int):
+    """Seed-``i`` member of the portable MinHash family: ``md5(i || s)``.
+
+    NB: bound via closure — a 2-arg lambda would make ``F.transform`` pass
+    the array index as the second argument."""
+    return lambda s: F.md5(F.concat(F.lit(str(i)), s))
 
 
 def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -75,21 +90,28 @@ def minhash_signatures_agg(
 ) -> DataFrame:
     """Per-doc MinHash signature as columns ``mh0..mh{n-1}``.
 
-    The scale shape: explode shingles once, then ONE hash-aggregate with
-    n_hashes ``min`` columns — partial (map-side) aggregation collapses each
-    task's shingles before the shuffle, so the exchange carries one short row
-    per (doc × task), not the shingle stream. Avoids re-evaluating the
-    shingle expression tree per hash seed (Catalyst inlines collapsed
-    projections, which would recompute it n_hashes× otherwise).
+    The scale shape (r6): a zero-shuffle projection chain. Tokenize once
+    per row, build the shingle array over the materialized token attribute,
+    then take each seed's minimum with ``array_min(transform(...))`` — the
+    per-doc equivalent of ``min() GROUP BY doc_id`` over exploded shingles,
+    with no explode, no sort, no exchange. The staged projections matter:
+    inlining ``split()`` into the shingle lambda re-splits the text once
+    per shingle (O(tokens²) per doc), and string-buffer ``min`` aggregates
+    fall back to Sort+SortAggregate over the exploded shingle stream
+    (measured 32 s → 0.5 s at sf1.0 for the band-bucket query; guide §2.4
+    "remove shuffles outright").
     """
-    exploded = docs.select(
-        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("sh")
+    toks = docs.select("doc_id", tokens(F.col(text_col)).alias("_toks"))
+    sh = toks.select(
+        "doc_id", shingles_of_tokens(F.col("_toks"), k).alias("_sh")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"mh{i}")
+    cols = [
+        F.array_min(
+            F.transform(F.col("_sh"), _seeded_md5(i))
+        ).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return exploded.groupBy("doc_id").agg(*aggs)
+    return sh.select("doc_id", *cols)
 
 
 def minhash_candidates(
@@ -210,43 +232,50 @@ def winnowing_fingerprints(
     row per distinct fingerprint per doc — join docs sharing an ``fp`` to
     get candidate pairs, exactly like the MinHash band path.
     """
-    from pyspark.sql import Window
-
-    from ..functions.text import shingles_of_tokens, tokens
-
-    # tokens land in a column FIRST: n_sh comes from size(t) (cheap) and the
-    # shingle lambda references the attribute — one big HOF tree per stage,
-    # not two (two overflow codegen and drop to interpreted mode; the
-    # combined select was 208 s at sf0.1, this form ~6 s)
+    # tokens land in a column FIRST: each later stage references the
+    # previous attribute so no big HOF tree is ever duplicated (the
+    # CollapseProject trap that cost MinHash 25× in round 1; projections
+    # with a non-cheap expression referenced more than once stay staged)
     toks = docs.select("doc_id", tokens(F.col(text_col)).alias("t"))
-    exploded = toks.select(
+    sh = toks.select(
+        "doc_id", shingles_of_tokens(F.col("t"), k).alias("sh")
+    )
+    hvs = sh.select(
         "doc_id",
-        F.greatest(F.size("t") - F.lit(k - 1), F.lit(1)).alias("n_sh"),
-        F.posexplode(shingles_of_tokens(F.col("t"), k)).alias("pos", "sh"),
-    ).select(
+        F.transform(
+            F.col("sh"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("hv"),
+    )
+    # r6: the sliding min stays per-doc as an array expression — an
+    # ``array_min(slice(...))`` per window position (O(n·window) JVM work)
+    # replaces the explode → full-stream Exchange on doc_id → Sort → SQL
+    # window frame; per-doc ``array_distinct`` before the explode replaces
+    # the global ``.distinct()`` exchange (fp rows are already unique
+    # within a doc, and (doc_id, fp) pairs never repeat across docs).
+    # Plan: zero exchanges (was 2); 11.9 s → sub-second at sf1.0. Full
+    # windows only (pos ≤ n-w); docs shorter than the window keep the
+    # single whole-doc window at pos 0 (slice clamps to available rows).
+    fps = hvs.select(
         "doc_id",
-        "n_sh",
-        "pos",
-        F.conv(F.substring(F.md5("sh"), 1, 8), 16, 10).cast("long").alias("hv"),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("hv") - F.lit(window), F.lit(0)),
+                ),
+                lambda i: F.array_min(F.slice(F.col("hv"), i + 1, window)),
+            )
+        ).alias("fps"),
     )
-    frame = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
-    )
-    # full windows only (pos ≤ n-w); docs shorter than the window keep the
-    # single whole-doc window at pos 0 (the frame clamps to available rows)
-    return (
-        exploded.select(
-            "doc_id",
-            "pos",
-            "n_sh",
-            F.min("hv").over(frame).alias("fp"),
-        )
-        .where(F.col("pos") <= F.greatest(F.col("n_sh") - window, F.lit(0)))
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    # explode_outer, NOT explode: fps always has ≥1 element (the sequence
+    # lower bound is 0), so the two are result-identical — but a bare
+    # explode makes InferFiltersFromGenerate inject a size(...)>0 Filter
+    # whose pushdown inlines this whole expression chain (with the shingle
+    # split re-inlined per element) into a per-row predicate, evaluating
+    # the pipeline twice and quadratically (measured 20 s vs 0.3 s at
+    # sf0.01).
+    return fps.select("doc_id", F.explode_outer("fps").alias("fp"))
 
 
 # ----------------------------------------------------------------------

@@ -65,10 +65,19 @@ def test_whole_stage_codegen_in_scalar_path(spark):
     assert "codegen id" in p
 
 
-def test_minhash_partial_aggregation(spark):
-    """The minhash agg must be partial (map-side combine before exchange)."""
-    p = plan_str(E._q_minhash_signatures(spark, SF))
-    assert "partial_min" in p or "partial" in p.lower()
+def test_minhash_zero_shuffle_projection(spark):
+    """r6: the signature is a per-doc ``array_min(transform(...))``
+    projection chain — no explode, no string-buffer SortAggregate, and the
+    only exchange is the query's small-file re-spread. The staged
+    projections keep ``split()`` out of the shingle lambda (each md5 seed
+    appears once, not once per comparison)."""
+    p = plan_str(E._q_minhash_signatures(spark, SF), "simple")
+    assert "array_min" in p
+    assert "SortAggregate" not in p and "HashAggregate" not in p
+    assert "Generate" not in p  # no shingle explode
+    assert p.count("Exchange") <= 1  # the _spread repartition only
+    # one md5 per hash seed in one projection — not re-inlined per window
+    assert p.count("md5") == 4
 
 
 def test_srp_bucket_prune_before_rerank(spark):
@@ -106,17 +115,19 @@ def test_pdf_query_filter_pushdown(spark):
 
 
 def test_winnowing_hash_once_shape(spark):
-    """Winnowing must hash each shingle ONCE: posexplode materializes the
-    hash stream, a sliding window frame takes the mins — no Python UDF, and
-    exactly the exchanges the window + distinct require. An array-expression
-    form would let CollapseProject re-inline the hash array per window
-    (O(n²) md5 per doc — measured 387 s at sf0.1)."""
+    """Winnowing must hash each shingle ONCE: the hash array lands in a
+    staged projection and the sliding min is an ``array_min(slice(...))``
+    per window position over that attribute — no Python UDF, no SQL window
+    (its full-stream exchange + sort are gone), and no global distinct
+    exchange (fps are deduped per doc before the explode). The explode must
+    be ``explode_outer`` so InferFiltersFromGenerate cannot inline the
+    whole chain into a per-row size()>0 predicate (measured 20 s vs 0.3 s
+    at sf0.01)."""
     p = plan_str(E._q_winnowing(spark, SF), "simple")
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
-    assert "Generate" in p  # the explode — hashes computed on scalar rows
-    assert "Window" in p
-    # window partition exchange + distinct agg exchange, nothing more
-    assert p.count("Exchange") <= 2
-    # each md5 appears once in the projection under the Generate, not inside
-    # a per-window lambda
-    assert p.count("md5") <= 2
+    assert "Generate" in p  # the final fps explode
+    assert "Window" not in p
+    assert p.count("Exchange") <= 1  # the _spread repartition only
+    # md5 appears once (one transform over the shingle attribute), not
+    # re-inlined into the per-window lambda or an inferred Generate filter
+    assert p.count("md5") == 1
