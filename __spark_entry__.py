@@ -3373,7 +3373,7 @@ def _q_dsir_sample(spark, sf):
     DuckDB."""
     from autoextract.operators.sampling import dsir_resample
 
-    raw = _t(spark, sf, "documents").select(
+    raw = _spread(_t(spark, sf, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text", "lang"
     )
     target = raw.where(F.col("lang") == "en")
