@@ -542,7 +542,7 @@ def _q_perplexity_buckets(spark, sf):
     AND the quantile_cont tertiles independently."""
     from autoextract.functions.text import perplexity_buckets
 
-    return perplexity_buckets(_t(spark, sf, "documents")).select(
+    return perplexity_buckets(_spread(_t(spark, sf, "documents"))).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
         "cross_entropy",
@@ -557,7 +557,7 @@ def _q_unigram_quality(spark, sf):
     doc_id); raw text never shuffles."""
     from autoextract.functions.text import unigram_cross_entropy
 
-    return unigram_cross_entropy(_t(spark, sf, "documents")).select(
+    return unigram_cross_entropy(_spread(_t(spark, sf, "documents"))).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_tokens",
         "cross_entropy",
@@ -610,7 +610,7 @@ def _q_bigram_quality(spark, sf):
     keys only. DuckDB replays the identical interpolation chain."""
     from autoextract.functions.text import bigram_cross_entropy
 
-    return bigram_cross_entropy(_t(spark, sf, "documents"))
+    return bigram_cross_entropy(_spread(_t(spark, sf, "documents")))
 
 
 def _q_dedup_incremental(spark, sf):

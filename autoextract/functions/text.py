@@ -354,24 +354,39 @@ def unigram_cross_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
     Returns ``(doc_id, n_tokens, cross_entropy)`` with the score rounded
     to 6 dp (a float-sum-order guard for the engine-parity oracle).
     """
-    tok_rows = docs.select(
-        id_col,
-        F.explode(F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))).alias(
-            "tok"
-        ),
+    from pyspark.sql import Window
+
+    # r6 one-pass shape. The previous lazy plan evaluated the corpus
+    # explode twice (count table + score join) and shuffled the full token
+    # stream through a token-key join. Now: the grand total is an EAGER
+    # narrow pass (sum of per-doc sizes — no explode, no shuffle; a
+    # bounded scalar, computed within the query like the DSIR censuses),
+    # tokens explode ONCE into per-(doc, token) counts, the global count
+    # attaches via a window sum over the token partition (compact rows,
+    # one exchange), and the per-doc score is a weighted mean. Σc·ln(p)/Σc
+    # equals the former avg-over-occurrences up to float sum order — the
+    # 6-dp round absorbs it (verified old-vs-new at sf0.001–1.0).
+    tokf = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
+    total = float(
+        docs.select(F.sum(F.size(tokf)).alias("t")).first()["t"] or 0
     )
-    counts = tok_rows.groupBy("tok").agg(F.count("*").cast("double").alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("total"))
-    return (
-        tok_rows.join(counts, "tok")
-        .join(F.broadcast(total))
-        .groupBy(id_col)
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
-            F.round(-F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
-                "cross_entropy"
-            ),
-        )
+    # explode_outer + isNotNull, not bare explode: a bare explode lets
+    # InferFiltersFromGenerate inline the tokenize chain into a per-row
+    # size()>0 predicate (one extra tokenize per row); the null filter on
+    # the generated attribute is free
+    tok_rows = docs.select(
+        id_col, F.explode_outer(tokf).alias("tok")
+    ).where(F.col("tok").isNotNull())
+    tokc = tok_rows.groupBy(id_col, "tok").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    cnt = F.sum("c").over(Window.partitionBy("tok"))
+    scored = tokc.withColumn("lp", F.log(cnt / F.lit(total)))
+    return scored.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(
+            -(F.sum(F.col("c") * F.col("lp")) / F.sum("c")), 6
+        ).alias("cross_entropy"),
     )
 
 
@@ -397,36 +412,72 @@ def bigram_cross_entropy(
     never of the corpus; the score join carries token keys only. Rounded
     to 6 dp (float-sum-order guard, same as the unigram oracle).
     """
-    toks = F.filter(tokens(F.col(text_col)), lambda x: x != F.lit(""))
-    n = F.size(toks)
-    pairs = F.arrays_zip(
-        F.slice(toks, F.lit(1), n - 1).alias("prev"),
-        F.slice(toks, F.lit(2), n - 1).alias("cur"),
+    from pyspark.sql import Window
+
+    # r6 one-pass-per-stream shape. The previous lazy plan evaluated the
+    # bigram explode three times (pair census, context re-agg, score join)
+    # and the token explode twice, then shuffled the full bigram stream
+    # through three joins. Now: tokens land in a column once; the grand
+    # total is an eager narrow pass (no explode — same bounded-scalar
+    # pattern as the DSIR censuses); bigrams explode ONCE into per-(doc,
+    # prev, cur) counts; cnt2 and ctx attach via two window sums over the
+    # same exchange (hash(prev) satisfies both partitionings, so the
+    # second window adds no shuffle); only cnt1 needs the token stream,
+    # as a compact (token, count) census joined on ``cur``. The per-doc
+    # score is the weighted mean Σc·ln(p)/Σc — equal to the former
+    # avg-over-occurrences up to float sum order, absorbed by the 6-dp
+    # round (verified old-vs-new at sf0.001–1.0).
+    tk = docs.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)), lambda x: x != F.lit("")).alias(
+            "_tk"
+        ),
     )
-    big_rows = (
-        docs.where(n >= 2)
-        .select(id_col, F.explode(pairs).alias("z"))
-        .select(id_col, F.col("z.prev").alias("prev"), F.col("z.cur").alias("cur"))
+    total = float(tk.select(F.sum(F.size("_tk"))).first()[0] or 0)
+    bg = tk.where(F.size("_tk") >= 2).select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("_tk"), i).alias("prev"),
+                F.element_at(F.col("_tk"), i + 1).alias("cur"),
+            ),
+        ).alias("_bg"),
     )
-    tok_rows = docs.select(id_col, F.explode(toks).alias("tok"))
-    cnt2 = big_rows.groupBy("prev", "cur").agg(
-        F.count("*").cast("double").alias("cnt2")
+    # explode_outer: _bg is never empty for n ≥ 2 rows, and a bare explode
+    # triggers the InferFiltersFromGenerate chain-inlining trap
+    big_rows = bg.select(id_col, F.explode_outer("_bg").alias("z")).select(
+        id_col, F.col("z.prev").alias("prev"), F.col("z.cur").alias("cur")
     )
-    ctx = cnt2.groupBy("prev").agg(F.sum("cnt2").alias("ctx"))
-    cnt1 = tok_rows.groupBy("tok").agg(F.count("*").cast("double").alias("cnt1"))
-    total = cnt1.agg(F.sum("cnt1").alias("total"))
+    bigc = big_rows.groupBy(id_col, "prev", "cur").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    w_p = Window.partitionBy("prev")
+    w_pc = Window.partitionBy("prev", "cur")
+    attached = bigc.select(
+        id_col,
+        "cur",
+        "c",
+        F.sum("c").over(w_pc).alias("cnt2"),
+        F.sum("c").over(w_p).alias("ctx"),
+    )
+    tok_rows = tk.select(
+        id_col, F.explode_outer("_tk").alias("tok")
+    ).where(F.col("tok").isNotNull())
+    cnt1 = tok_rows.groupBy("tok").agg(
+        F.count("*").cast("double").alias("cnt1")
+    )
     p = F.lit(float(lam)) * F.col("cnt2") / F.col("ctx") + F.lit(
         1.0 - float(lam)
-    ) * F.col("cnt1") / F.col("total")
+    ) * F.col("cnt1") / F.lit(total)
     return (
-        big_rows.join(cnt2, ["prev", "cur"])
-        .join(ctx, "prev")
-        .join(cnt1, F.col("cur") == F.col("tok"))
-        .join(F.broadcast(total))
+        attached.join(cnt1, F.col("cur") == F.col("tok"))
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.round(-F.avg(F.log(p)), 6).alias("cross_entropy"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.round(-(F.sum(F.col("c") * F.log(p)) / F.sum("c")), 6).alias(
+                "cross_entropy"
+            ),
         )
     )
 
@@ -1235,6 +1286,8 @@ def perplexity_buckets(
     precedent) or ``approx_percentile`` at 100 TB (``approx=True``, same
     plan shape, bounded memory). Thresholds AND scores round to 6 dp
     before comparison so the bucket edges are engine-portable."""
+    from pyspark.sql import Window
+
     pct = (
         (lambda c, p: F.approx_percentile(c, F.lit(p)))
         if approx
@@ -1243,20 +1296,31 @@ def perplexity_buckets(
     ce = unigram_cross_entropy(docs, id_col=id_col, text_col=text_col)
     langs = docs.select(id_col, lang_guess(F.col(text_col)).alias("lang"))
     j = ce.join(langs, id_col)
-    th = j.groupBy("lang").agg(
-        F.round(pct(F.col("cross_entropy"), 1.0 / 3.0), 6).alias("t1"),
-        F.round(pct(F.col("cross_entropy"), 2.0 / 3.0), 6).alias("t2"),
-    )
+    # r6: tertiles as window aggregates over the lang partition instead of
+    # a groupBy + broadcast join-back — the join-back consumed ``j`` twice,
+    # re-evaluating the whole cross-entropy chain (same percentile over the
+    # same partition set, so thresholds are identical). Rows-per-language
+    # is the window's buffering unit; at 100 TB use approx=True (same
+    # plan, bounded memory).
+    w = Window.partitionBy("lang")
     bucket = (
         F.when(F.col("cross_entropy") <= F.col("t1"), "head")
         .when(F.col("cross_entropy") <= F.col("t2"), "middle")
         .otherwise("tail")
     )
-    return j.join(F.broadcast(th), "lang").select(
-        id_col,
-        "lang",
-        "cross_entropy",
-        bucket.alias("bucket"),
+    return (
+        j.select(
+            id_col,
+            "lang",
+            "cross_entropy",
+            F.round(pct(F.col("cross_entropy"), 1.0 / 3.0).over(w), 6).alias(
+                "t1"
+            ),
+            F.round(pct(F.col("cross_entropy"), 2.0 / 3.0).over(w), 6).alias(
+                "t2"
+            ),
+        )
+        .select(id_col, "lang", "cross_entropy", bucket.alias("bucket"))
     )
 
 
