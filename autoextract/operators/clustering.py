@@ -54,16 +54,30 @@ def kmeans_fit(
 ) -> np.ndarray:
     """Distributed Lloyd's: returns the (k, dim) centroid array after
     ``n_rounds`` synchronous rounds. Init = the k lowest-id vectors."""
-    init_rows = (
-        embeddings.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    )
+    # r6 (ADVICE): persist the pruned source for the round loop — every
+    # Lloyd round otherwise re-evaluates the full upstream lineage of
+    # ``embeddings`` (assignment + explode + collect per round), and
+    # convergence assumes the recomputed source is stable across rounds.
+    # Unpersisted before returning, so nothing leaks across queries/runs.
+    # Partitioning is scale-adaptive (~4k vectors per task, capped at the
+    # cluster width): every round launches one Arrow batch stage over
+    # these partitions, so a tiny input on a wide session would otherwise
+    # pay rounds × width empty-task/worker overhead (measured: the
+    # 240-row verdict fixture ran 32 Arrow tasks per round).
+    emb = embeddings.select(id_col, vec_col)
+    n_rows = emb.count()
+    sc = embeddings.sparkSession.sparkContext
+    parts = max(1, min(sc.defaultParallelism, -(-n_rows // 4096)))
+    emb = emb.repartition(parts, id_col).persist()
+    init_rows = emb.orderBy(id_col).limit(k).collect()
     if len(init_rows) < k:
+        emb.unpersist(blocking=False)
         raise ValueError(f"corpus has fewer than k={k} rows")
     centroids = np.array(
         [list(r[vec_col]) for r in init_rows], dtype=np.float64
     )
     for _ in range(n_rounds):
-        assigned = kmeans_assign(embeddings, centroids, vec_col)
+        assigned = kmeans_assign(emb, centroids, vec_col)
         sums = (
             assigned.select(
                 "cluster_id",
@@ -86,6 +100,7 @@ def kmeans_fit(
         if np.allclose(nxt, centroids):
             break
         centroids = nxt
+    emb.unpersist(blocking=False)
     return centroids
 
 
