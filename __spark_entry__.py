@@ -259,11 +259,11 @@ def _q_scalar_surface(spark, sf):
 
 
 def _q_dedup_exact(spark, sf):
-    return DD.exact_duplicate_groups(_t(spark, sf, "documents"))
+    return DD.exact_duplicate_groups(_spread(_t(spark, sf, "documents")))
 
 
 def _q_dedup_normalized(spark, sf):
-    return DD.normalized_duplicate_groups(_t(spark, sf, "documents"))
+    return DD.normalized_duplicate_groups(_spread(_t(spark, sf, "documents")))
 
 
 def _q_minhash_signatures(spark, sf):
@@ -573,7 +573,7 @@ def _q_url_domain_filter(spark, sf):
     The DuckDB oracle replays the identical Java∩RE2 regex chain."""
     from autoextract.functions import urls as U
 
-    d = _t(spark, sf, "documents").select("doc_id", "source")
+    d = _spread(_t(spark, sf, "documents")).select("doc_id", "source")
     url = F.concat(
         F.lit("HTTPS://WWW."),
         F.col("source"),
@@ -791,7 +791,7 @@ def _q_bm25_topk(spark, sf):
     so ranking is float-sum-order-proof across engines."""
     from autoextract.operators import retrieval as RET
 
-    d = _t(spark, sf, "documents")
+    d = _spread(_t(spark, sf, "documents"))
     qt = spark.createDataFrame(
         [
             (1, "table"),
@@ -830,7 +830,7 @@ def _q_exact_substring_dedup(spark, sf):
 def _q_ngram_jaccard_topk(spark, sf):
     # doc_id bound keeps the deliberately-quadratic verify demo O(constant)
     # as sf grows — the scale path is minhash_candidates -> verified pairs
-    d = _t(spark, sf, "documents").where(F.col("doc_id") < 2000)
+    d = _spread(_t(spark, sf, "documents").where(F.col("doc_id") < 2000))
     pairs = DD.ngram_jaccard_pairs(d, block_col="source", k=3)
     return pairs.orderBy(
         F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")
@@ -2247,7 +2247,7 @@ def _q_heavy_hitters(spark, sf):
     answer, so the DuckDB oracle is the plain exact census."""
     from autoextract.operators.sketches import heavy_hitters
 
-    return heavy_hitters(_t(spark, sf, "documents"),
+    return heavy_hitters(_spread(_t(spark, sf, "documents")),
                          min_frac=0.03, width=4096, depth=4)
 
 
@@ -2821,7 +2821,7 @@ def _q_mojibake_repair(spark, sf):
     documents table with the same replace() arithmetic."""
     from autoextract.functions.encoding import repair_mojibake
 
-    docs = _t(spark, sf, "documents").select(
+    docs = _spread(_t(spark, sf, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     clean = (
@@ -2953,7 +2953,7 @@ def _q_sentence_chunking(spark, sf):
     under the driver hash."""
     from autoextract.functions.text import sentence_chunks, split_sentences
 
-    docs = (
+    docs = _spread(
         _t(spark, sf, "documents")
         .select(F.col("doc_id").cast("long").alias("doc_id"))
     )
@@ -3012,7 +3012,7 @@ def _q_sentence_split(spark, sf):
     split. Oracle regenerates the four expected sentences arithmetically."""
     from autoextract.functions.text import split_sentences
 
-    docs = (
+    docs = _spread(
         _t(spark, sf, "documents")
         .select(F.col("doc_id").cast("long").alias("doc_id"))
     )
@@ -3061,7 +3061,7 @@ def _q_unicode_nfc(spark, sf):
     cross-engine equivalence check, not a replay of our own code."""
     from autoextract.functions.encoding import normalize_unicode
 
-    docs = _t(spark, sf, "documents").select(
+    docs = _spread(_t(spark, sf, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     staged = (

@@ -72,7 +72,11 @@ def bpe_train(
             ),
             "cnt",
         )
-        .localCheckpoint()
+        # lazy checkpoint (r6): lineage still truncates at first
+        # materialization, but the checkpoint job fuses into the next
+        # round's argmax collect — one job per round instead of two
+        # (per-round fixed cost dominates: the vocab is Heaps-law small)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -103,7 +107,7 @@ def bpe_train(
             vocab.select(_apply_merge(F.col("syms"), left, right).alias("syms"), "cnt")
             .groupBy("syms")
             .agg(F.sum("cnt").alias("cnt"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return merges
 
