@@ -61,13 +61,15 @@ def _projection_gaps(lo: np.ndarray, hi: np.ndarray, min_gap: float) -> list[flo
     [lo, hi] intervals. Sorted ascending — deterministic."""
     order = np.argsort(lo, kind="stable")
     lo, hi = lo[order], hi[order]
-    gaps: list[float] = []
-    cover_end = hi[0]
-    for i in range(1, len(lo)):
-        if lo[i] - cover_end >= min_gap:
-            gaps.append(float((lo[i] + cover_end) / 2.0))
-        cover_end = max(cover_end, hi[i])
-    return gaps
+    if len(lo) < 2:
+        return []
+    # r6: vectorized — cover_end before element i is the running max of
+    # hi[0..i-1] (float max is exact, so this is bit-identical to the
+    # former per-element loop; this function is called twice per xy_cut
+    # region and dominated the recursion's profile)
+    cover = np.maximum.accumulate(hi)[:-1]
+    mask = (lo[1:] - cover) >= min_gap
+    return ((lo[1:][mask] + cover[mask]) / 2.0).tolist()
 
 
 def xy_cut(
@@ -121,20 +123,140 @@ def cluster_lines(boxes: np.ndarray) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     yc = (boxes[:, 1] + boxes[:, 3]) / 2.0
     order = np.argsort(yc, kind="stable")
-    line_ids = np.zeros(n, dtype=np.int64)
+    # r6: the sweep runs on plain Python floats — per-element numpy scalar
+    # indexing boxed ~1.3M np.float64s per 5k pages and dominated the
+    # kernel profile; .tolist() floats are the same IEEE doubles, and
+    # min/max/± on them is the identical arithmetic (verified equal)
+    y0s = boxes[:, 1].tolist()
+    y1s = boxes[:, 3].tolist()
+    line_ids = [0] * n
     cur = 0
-    band_y0, band_y1 = boxes[order[0], 1], boxes[order[0], 3]
-    for j in order[1:]:
-        y0, y1 = boxes[j, 1], boxes[j, 3]
+    ordl = order.tolist()
+    j0 = ordl[0]
+    band_y0, band_y1 = y0s[j0], y1s[j0]
+    for j in ordl[1:]:
+        y0, y1 = y0s[j], y1s[j]
         overlap = min(band_y1, y1) - max(band_y0, y0)
         min_h = max(min(band_y1 - band_y0, y1 - y0), 1e-9)
         if overlap >= LINE_OVERLAP * min_h:
-            band_y0, band_y1 = min(band_y0, y0), max(band_y1, y1)
+            band_y0 = min(band_y0, y0)
+            band_y1 = max(band_y1, y1)
         else:
             cur += 1
             band_y0, band_y1 = y0, y1
         line_ids[j] = cur
-    return line_ids
+    return np.array(line_ids, dtype=np.int64)
+
+
+def _page_reading_order_py(
+    x0: list, y0: list, x1: list, y1: list, tb: list
+) -> tuple[list, list, list]:
+    """Pure-Python twin of :func:`page_reading_order` for typical pages.
+
+    Bit-identical by construction: ``.tolist()`` floats are the same IEEE
+    doubles and every comparison/±/÷ mirrors the numpy path — but small
+    pages (tens to hundreds of words) pay ~100 µs of per-tiny-array numpy
+    dispatch in the array path, which dominated the span-kernel profile
+    at 100 µs/doc. Returns (perm, block_id, line_id) as lists.
+    """
+    n = len(x0)
+    heights = sorted(y1[i] - y0[i] for i in range(n))
+    mid = n // 2
+    med_h = heights[mid] if n % 2 else (heights[mid - 1] + heights[mid]) / 2.0
+    med_h = max(med_h, 1e-9)
+    y_gap = Y_GAP_FACTOR * med_h
+    x_gap = X_GAP_FACTOR * med_h
+    min_x_extent = X_MIN_EXTENT * med_h
+
+    def gaps_of(idx, lo, hi, min_gap):
+        order = sorted(idx, key=lo.__getitem__)  # stable, same as argsort
+        out = []
+        cover_end = hi[order[0]]
+        for j in order[1:]:
+            lj = lo[j]
+            if lj - cover_end >= min_gap:
+                out.append((lj + cover_end) / 2.0)
+            hj = hi[j]
+            if hj > cover_end:
+                cover_end = hj
+        return out
+
+    def rec(idx):
+        if len(idx) <= 1:
+            return [idx]
+        cuts = gaps_of(idx, y0, y1, y_gap)
+        lo, hi = y0, y1
+        if not cuts and (
+            max(map(y1.__getitem__, idx)) - min(map(y0.__getitem__, idx))
+        ) > min_x_extent:
+            cuts = gaps_of(idx, x0, x1, x_gap)
+            lo, hi = x0, x1
+        if not cuts:
+            return [idx]
+        bounds = cuts + [float("inf")]
+        nseg = len(bounds)
+        segs = [[] for _ in range(nseg)]
+        for j in idx:
+            c = (lo[j] + hi[j]) / 2.0
+            # linear scan: cut counts are tiny, and this mirrors the
+            # numpy masks exactly (first bound with c < bound wins)
+            for k in range(nseg):
+                if c < bounds[k]:
+                    segs[k].append(j)
+                    break
+        out = []
+        for sub in segs:
+            if sub:
+                out.extend(rec(sub))
+        return out
+
+    blocks = rec(list(range(n)))
+    block_id = [0] * n
+    line_id = [0] * n
+    perm: list = []
+    for b_i, idx in enumerate(blocks):
+        m = len(idx)
+        # greedy line sweep — same arithmetic as cluster_lines
+        yc = [(y0[j] + y1[j]) / 2.0 for j in idx]
+        order = sorted(range(m), key=yc.__getitem__)
+        lines = [0] * m
+        cur = 0
+        j0 = idx[order[0]]
+        band_y0, band_y1 = y0[j0], y1[j0]
+        for k in order[1:]:
+            j = idx[k]
+            by0 = y0[j]
+            by1 = y1[j]
+            # conditional expressions, not min()/max() builtins: the sweep
+            # runs 3-4 of them per word and the call overhead dominates
+            overlap = (band_y1 if band_y1 < by1 else by1) - (
+                band_y0 if band_y0 > by0 else by0
+            )
+            bh = band_y1 - band_y0
+            h = by1 - by0
+            min_h = bh if bh < h else h
+            if min_h < 1e-9:
+                min_h = 1e-9
+            if overlap >= LINE_OVERLAP * min_h:
+                if by0 < band_y0:
+                    band_y0 = by0
+                if by1 > band_y1:
+                    band_y1 = by1
+            else:
+                cur += 1
+                band_y0, band_y1 = by0, by1
+            lines[k] = cur
+        for b_j, ln in zip(idx, lines):
+            block_id[b_j] = b_i
+            line_id[b_j] = ln
+        # tuple sort ≡ np.lexsort((tb, x0, lines)): ties beyond the three
+        # keys fall back to the within-block position k, which is exactly
+        # lexsort's stability
+        keyed = sorted(
+            zip(lines, (x0[j] for j in idx), (tb[j] for j in idx), range(m))
+        )
+        perm.extend(idx[t[3]] for t in keyed)
+    return perm, block_id, line_id
 
 
 def page_reading_order(
@@ -151,8 +273,31 @@ def page_reading_order(
         return z, z, z
     if tiebreak is None:
         tiebreak = np.arange(n)
-    heights = boxes[:, 3] - boxes[:, 1]
-    med_h = float(np.median(heights)) if n else 1.0
+    if n <= 4096:
+        # typical pages: the pure-Python twin (identical arithmetic, see
+        # its docstring) avoids per-tiny-array numpy dispatch overhead
+        p, b, ln = _page_reading_order_py(
+            boxes[:, 0].tolist(),
+            boxes[:, 1].tolist(),
+            boxes[:, 2].tolist(),
+            boxes[:, 3].tolist(),
+            np.asarray(tiebreak).tolist(),
+        )
+        return (
+            np.array(p, dtype=np.int64),
+            np.array(b, dtype=np.int64),
+            np.array(ln, dtype=np.int64),
+        )
+    heights = np.sort(boxes[:, 3] - boxes[:, 1])
+    # direct middle pick ≡ np.median (even n: (a+b)/2 is exactly what
+    # np.mean of the two middles computes) without its ~15 µs of wrapper
+    # overhead per page
+    mid = n // 2
+    med_h = (
+        float(heights[mid])
+        if n % 2
+        else float((heights[mid - 1] + heights[mid]) / 2.0)
+    )
     med_h = max(med_h, 1e-9)
     blocks = xy_cut(
         boxes, Y_GAP_FACTOR * med_h, X_GAP_FACTOR * med_h, X_MIN_EXTENT * med_h
