@@ -50,6 +50,17 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
+        # Input split size: the sandbox's test tables are single files of
+        # 2-130 MB with few row groups, so the 128 MB default packs a whole
+        # table into 1-2 scan tasks (tpch lineitem: 2 tasks on 32 cores).
+        # 16 MB locally splits every multi-row-group file across the box;
+        # at cluster scale set AUTOEXTRACT_MAX_PARTITION_BYTES to 512m-1g
+        # (guide §6: big sequential scans want large splits — split size
+        # should track per-task data volume, not a constant).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("AUTOEXTRACT_MAX_PARTITION_BYTES", "16m"),
+        )
         # Idempotent partition-granular re-writes (resume path).
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Keep timestamps deterministic across JVM/duckdb comparisons.
