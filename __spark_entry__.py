@@ -3612,7 +3612,7 @@ def _q_pdf_ingest_spans(spark, sf):
     must reconstruct each document's leading tokens exactly."""
     from autoextract.sources.pdf import pdf_words_table, render_docs_to_pdf
 
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
+    docs = _spread(_t(spark, sf, "documents").where(F.col("doc_id") < 300))
     raw = render_docs_to_pdf(
         docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     )
@@ -3640,7 +3640,7 @@ def _q_pdf_modern_ingest(spark, sf):
     parser to the same real-world envelope."""
     from autoextract.sources.pdf import pdf_words_table, render_docs_to_pdf
 
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    docs = _spread(_t(spark, sf, "documents").where(F.col("doc_id") < 200))
     raw = render_docs_to_pdf(
         docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
         compress="mixed",
@@ -3673,7 +3673,7 @@ def _q_pdf_encrypted_ingest(spark, sf):
     instead (test_encrypted_pdf_aes256_roundtrip)."""
     from autoextract.sources.pdf import pdf_words_table, render_docs_to_pdf
 
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 150)
+    docs = _spread(_t(spark, sf, "documents").where(F.col("doc_id") < 150))
     raw = render_docs_to_pdf(
         docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
         encrypt="mixed",
