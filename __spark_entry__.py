@@ -4151,56 +4151,12 @@ def _q_batch_ann_knn(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "spans_token_offsets": _q_token_offsets,
-        "spans_reassemble": _q_reassemble,
-        "word_count": _q_word_count,
-        "status_rollup": _q_status_rollup,
-        "pending_anti_join": _q_pending_anti_join,
-        "word_id_dereference": _q_word_id_dereference,
-        "dim_broadcast_join": _q_dim_broadcast_join,
-        "latest_first_topk": _q_latest_first_topk,
-        "tpch_q1": _q_tpch_q1,
-        "tpch_q3": _q_tpch_q3,
-        "scalar_surface": _q_scalar_surface,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_normalized": _q_dedup_normalized,
-        "minhash_signatures": _q_minhash_signatures,
-        "minhash_band_buckets": _q_minhash_band_buckets,
-        "dedup_components": _q_dedup_components,
-        "dedup_canonical_keep": _q_dedup_canonical_keep,
-        "common_line_removal": _q_common_line_removal,
-        "contamination_flags": _q_contamination_flags,
-        "sequence_packing": _q_sequence_packing,
-        "doc_chunking": _q_doc_chunking,
-        "train_val_split": _q_train_val_split,
-        "source_quota_sample": _q_source_quota_sample,
-        "host_cap_topk": _q_host_cap_topk,
-        "pagerank": _q_pagerank,
-        "shard_assignment": _q_shard_assignment,
-        "exact_substring_dedup": _q_exact_substring_dedup,
-        "temperature_mixture_sample": _q_temperature_mixture_sample,
-        "unigram_quality": _q_unigram_quality,
-        "perplexity_buckets": _q_perplexity_buckets,
-        "readability": _q_readability,
-        "bigram_quality": _q_bigram_quality,
-        "bpe_train": _q_bpe_train,
-        "bpe_encode": _q_bpe_encode,
-        "dedup_incremental": _q_dedup_incremental,
-        "dedup_incremental_bloom": _q_dedup_incremental_bloom,
-        "fuzzy_title_pairs": _q_fuzzy_title_pairs,
-        "bm25_topk": _q_bm25_topk,
-        "url_domain_filter": _q_url_domain_filter,
-        "corpus_stats": _q_corpus_stats,
-        "quality_classifier": _q_quality_classifier,
-        "ngram_jaccard_topk": _q_ngram_jaccard_topk,
-        "embedding_cosine_topk": _q_embedding_cosine_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        "embedding_neardup_blas": _q_embedding_neardup_blas,
-        "lang_id": _q_lang_id,
-        "quality_metrics": _q_quality,
-        "bpe_token_count": _q_bpe_tokens,
-        "fingerprint": _q_fingerprint,
-        "pii_redaction": _q_pii_redaction,
+        # r6 ordering (VERDICT r5 next-round #1b): entries the driver's
+        # 50-query correctness sample has never covered enumerate FIRST,
+        # so a prefix sample reaches the families CORRECTNESS_r05 missed
+        # (ANN verdicts, r5 ingest legs, layout_reading_order,
+        # extraction_oracle). Pure dict-order change - names, callables
+        # and oracle SQL untouched.
         "repetition_metrics": _q_repetition_metrics,
         "document_filter": _q_document_filter,
         "blocklist_terms": _q_blocklist_terms,
@@ -4292,6 +4248,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "semantic_dedup": _q_semantic_dedup,
         "batch_ann_knn": _q_batch_ann_knn,
+        # --- queries below have driver CORRECTNESS_r05 rows ---
+        "spans_token_offsets": _q_token_offsets,
+        "spans_reassemble": _q_reassemble,
+        "word_count": _q_word_count,
+        "status_rollup": _q_status_rollup,
+        "pending_anti_join": _q_pending_anti_join,
+        "word_id_dereference": _q_word_id_dereference,
+        "dim_broadcast_join": _q_dim_broadcast_join,
+        "latest_first_topk": _q_latest_first_topk,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
+        "scalar_surface": _q_scalar_surface,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_normalized": _q_dedup_normalized,
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_band_buckets": _q_minhash_band_buckets,
+        "dedup_components": _q_dedup_components,
+        "dedup_canonical_keep": _q_dedup_canonical_keep,
+        "common_line_removal": _q_common_line_removal,
+        "contamination_flags": _q_contamination_flags,
+        "sequence_packing": _q_sequence_packing,
+        "doc_chunking": _q_doc_chunking,
+        "train_val_split": _q_train_val_split,
+        "source_quota_sample": _q_source_quota_sample,
+        "host_cap_topk": _q_host_cap_topk,
+        "pagerank": _q_pagerank,
+        "shard_assignment": _q_shard_assignment,
+        "exact_substring_dedup": _q_exact_substring_dedup,
+        "temperature_mixture_sample": _q_temperature_mixture_sample,
+        "unigram_quality": _q_unigram_quality,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "readability": _q_readability,
+        "bigram_quality": _q_bigram_quality,
+        "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
+        "dedup_incremental": _q_dedup_incremental,
+        "dedup_incremental_bloom": _q_dedup_incremental_bloom,
+        "fuzzy_title_pairs": _q_fuzzy_title_pairs,
+        "bm25_topk": _q_bm25_topk,
+        "url_domain_filter": _q_url_domain_filter,
+        "corpus_stats": _q_corpus_stats,
+        "quality_classifier": _q_quality_classifier,
+        "ngram_jaccard_topk": _q_ngram_jaccard_topk,
+        "embedding_cosine_topk": _q_embedding_cosine_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_blas": _q_embedding_neardup_blas,
+        "lang_id": _q_lang_id,
+        "quality_metrics": _q_quality,
+        "bpe_token_count": _q_bpe_tokens,
+        "fingerprint": _q_fingerprint,
+        "pii_redaction": _q_pii_redaction,
     }
 
 
