@@ -186,6 +186,16 @@ def detect_and_decode(
     prefix/strict-decode rules (no ML, engine-portable); O6 containment —
     a torn BOM'd file yields valid=false, never a task failure."""
 
+    # output schema follows id_col and its INPUT type (ADVICE r5: the
+    # kernel used to emit a hardcoded 'doc_id long', silently renaming and
+    # int-coercing any caller-supplied id column)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {id_type}, encoding string, had_bom boolean, "
+        "valid boolean, text string"
+    )
+    cols = [id_col, "encoding", "had_bom", "valid", "text"]
+
     def kernel(batches):
         for pdf in batches:
             rows = []
@@ -193,11 +203,9 @@ def detect_and_decode(
                 b = bytes(payload) if payload is not None else None
                 enc, bom, valid, text = detect_decode_bytes(b)
                 rows.append({
-                    "doc_id": int(did), "encoding": enc, "had_bom": bom,
+                    id_col: did, "encoding": enc, "had_bom": bom,
                     "valid": valid, "text": text,
                 })
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "encoding", "had_bom", "valid", "text"]
-            )
+            yield pd.DataFrame(rows, columns=cols)
 
-    return docs.mapInPandas(kernel, schema=DETECT_SCHEMA)
+    return docs.mapInPandas(kernel, schema=schema)

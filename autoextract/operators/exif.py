@@ -271,8 +271,12 @@ def strip_jpeg_metadata(jpeg: bytes) -> tuple[bytes, bool]:
         (seg_len,) = struct.unpack_from(">H", jpeg, i + 2)
         seg = jpeg[i : i + 2 + seg_len]
         # APP1..APP15 (0xE1-0xEF) and COM (0xFE) are metadata; APP0/JFIF
-        # stays — decoders expect it
-        if 0xE1 <= marker <= 0xEF or marker == 0xFE:
+        # stays — decoders expect it. APP14 (0xEE) also stays (ADVICE r5):
+        # the Adobe segment carries the color-transform flag (YCbCr/YCCK/
+        # RGB), so dropping it changes how decoders interpret the pixel
+        # data — only APP1/EXIF-XMP, other APPn and COM carry the
+        # privacy-sensitive fields.
+        if (0xE1 <= marker <= 0xEF and marker != 0xEE) or marker == 0xFE:
             changed = True
         else:
             out += seg

@@ -129,8 +129,11 @@ def parse_mp4_meta(data: bytes) -> dict:
                 tk_v = data[ks]
                 # after version+flags: v0 → 4+4+4+4+4 then 8+2+2+2+2+36,
                 # v1 → 8+8+4+4+8 then the same trailer; width/height are
-                # the final two 16.16 fixed-point u32s of the box
-                need = (4 + 32 + 52) if tk_v == 1 else (4 + 20 + 52)
+                # the final two 16.16 fixed-point u32s of the box — the
+                # trailer is 52+8 bytes, so a well-formed v0 tkhd is 84
+                # bytes (v1: 96), not 76/88 (ADVICE r5: the short bound
+                # let a truncated box read garbage dims from matrix bytes)
+                need = (4 + 32 + 60) if tk_v == 1 else (4 + 20 + 60)
                 if ke - ks >= need:
                     (w_fx,) = struct.unpack_from(">I", data, ke - 8)
                     (h_fx,) = struct.unpack_from(">I", data, ke - 4)

@@ -105,10 +105,17 @@ def parse_sqldump(sql: str, table: str | None = None) -> list[dict]:
     ``row_idx`` counts per table across statements."""
     rows: list[dict] = []
     idx: dict[str, int] = {}
+    consumed_until = 0
     for m in _INSERT_RE.finditer(sql):
-        tbl = m.group(1)
-        if table is not None and tbl != table:
+        if m.start() < consumed_until:
+            # the match sits inside a statement we already walked with the
+            # quote-aware tuple scanner — i.e. an INSERT-looking fragment
+            # INSIDE a string value (wiki page text/titles contain these);
+            # treating it as a real statement emitted phantom rows with
+            # corrupted values (ADVICE r5)
             continue
+        tbl = m.group(1)
+        keep = table is None or tbl == table
         i = m.end()
         n = len(sql)
         while i < n:
@@ -117,15 +124,17 @@ def parse_sqldump(sql: str, table: str | None = None) -> list[dict]:
             if i >= n or sql[i] != "(":
                 break
             vals, i = _scan_tuple(sql, i)
-            k = idx.get(tbl, 0)
-            rows.append({"table": tbl, "row_idx": k, "values": vals})
-            idx[tbl] = k + 1
+            if keep:
+                k = idx.get(tbl, 0)
+                rows.append({"table": tbl, "row_idx": k, "values": vals})
+                idx[tbl] = k + 1
             while i < n and sql[i] in " \t\r\n":
                 i += 1
             if i < n and sql[i] == ",":
                 i += 1
                 continue
             break  # ';' or anything else ends the statement
+        consumed_until = i
     return rows
 
 

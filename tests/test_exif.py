@@ -114,3 +114,20 @@ def test_strip_media_metadata_kernel(spark):
     assert out["a"]["stripped"] and bytes(out["a"]["payload"]) == b"\xff\xd8\xff\xd9"
     assert not out["b"]["stripped"] and bytes(out["b"]["payload"]) == b"junk"
     assert not out["c"]["stripped"]
+
+
+def test_strip_keeps_adobe_app14():
+    """ADVICE r5: APP14 carries the Adobe color-transform flag — stripping
+    it changes pixel interpretation, violating the pixels-untouched
+    contract."""
+    import struct
+    from autoextract.operators.exif import strip_jpeg_metadata
+
+    app14 = b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + bytes(7)
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    sos = b"\xff\xda" + struct.pack(">H", 2) + b"\x00" * 4
+    jpeg = b"\xff\xd8" + app1 + app14 + sos
+    out, changed = strip_jpeg_metadata(jpeg)
+    assert changed
+    assert b"\xff\xee" in out  # APP14 kept
+    assert b"\xff\xe1" not in out  # EXIF stripped

@@ -67,3 +67,21 @@ def test_kernel_tsv_contract(spark):
     r = out[0]
     assert r["values_tsv"] == "1\t\\N\ta\tb"
     assert r["n_values"] == 3 and r["table_name"] == "t"
+
+
+def test_insert_inside_string_value_ignored():
+    """ADVICE r5: an INSERT-looking fragment inside a string value must not
+    be parsed as a statement (wiki page text/titles can contain them)."""
+    from autoextract.sources.sqldump import parse_sqldump
+
+    sql = (
+        "INSERT INTO `page` VALUES "
+        "(1,'real'),(2,'contains INSERT INTO `evil` VALUES (99,\\'x\\'); done');\n"
+        "INSERT INTO `page` VALUES (3,'after');\n"
+    )
+    rows = parse_sqldump(sql)
+    assert [r["table"] for r in rows] == ["page", "page", "page"]
+    assert [r["values"][0] for r in rows] == ["1", "2", "3"]
+    assert "INSERT INTO `evil`" in rows[1]["values"][1]
+    # filtering by the embedded name must find nothing
+    assert parse_sqldump(sql, table="evil") == []
