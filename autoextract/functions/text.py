@@ -978,35 +978,44 @@ def filter_report(docs, id_col: str = "doc_id", text_col: str = "text",
     sources get NULL) — the rollup a corpus owner reads after every
     filter-rule change.
 
-    Plan: the filter verdicts (codegen'd) join back to the source column
-    on the id key, then two short-key aggregates; the reason argmax is a
-    per-source window over the tiny (source × 4 reasons) table.
+    Plan (r6): the filter verdicts (codegen'd) join back to the source
+    column on the id key, then ONE short-key aggregate into the tiny
+    (source × keep × reason) cell table; doc/keep totals and the dominant
+    reason all derive from that intermediate in a second aggregate, the
+    argmax via ``min_by`` over ``struct(-count, reason)`` (count desc,
+    reason asc — NULL keys for keep rows are skipped by the aggregate, so
+    all-keep sources come out NULL).  The verdict chain used to be
+    evaluated twice (one lineage per consumer) and re-joined through a
+    window + sort-merge outer join; now it runs once with zero joins past
+    the verdict attach.
     """
-    from pyspark.sql import Window
-
     verdicts = document_filter(docs, id_col=id_col, text_col=text_col)
     d = verdicts.join(docs.select(id_col, source_col), id_col)
-    agg = d.groupBy(source_col).agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+    cell = d.groupBy(source_col, "keep", "reject_reason").agg(
+        F.count("*").alias("__c")
     )
-    reasons = (
-        d.where(~F.col("keep"))
-        .groupBy(source_col, "reject_reason")
-        .agg(F.count("*").alias("__c"))
-    )
-    w = Window.partitionBy(source_col).orderBy(
-        F.col("__c").desc(), F.col("reject_reason").asc()
-    )
-    top = (
-        reasons.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
-        .select(source_col, F.col("reject_reason").alias("top_reject_reason"))
-    )
-    return agg.join(top, source_col, "left").select(
-        source_col, "n_docs", "n_keep",
-        F.round(F.col("n_keep") / F.col("n_docs"), 6).alias("keep_rate"),
-        "top_reject_reason",
+    return (
+        cell.groupBy(source_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), F.col("__c")).otherwise(0))
+            .cast("long").alias("n_keep"),
+            F.min_by(
+                "reject_reason",
+                F.when(
+                    ~F.col("keep"),
+                    F.struct(
+                        (-F.col("__c")).alias("nc"),
+                        F.col("reject_reason").alias("r"),
+                    ),
+                ),
+            ).alias("top_reject_reason"),
+        )
+        .select(
+            source_col, "n_docs", "n_keep",
+            F.round(F.col("n_keep") / F.col("n_docs"), 6).alias("keep_rate"),
+            "top_reject_reason",
+        )
     )
 
 
