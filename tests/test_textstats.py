@@ -526,6 +526,28 @@ def test_filter_report_rollup(spark):
     assert s2["n_keep"] == 1 and s2["top_reject_reason"] is None
 
 
+def test_filter_report_reason_tie_breaks_alphabetically(spark):
+    """One 'lang' reject and one 'pii' reject in the same source: counts
+    tie at 1, so the dominant reason must be the alphabetically first
+    ('lang') — pins the min_by(struct(-count, reason)) argmax ordering
+    that replaced the window rank."""
+    from autoextract.functions.text import filter_report
+
+    good = ("the cat and the dog is one of the best friends to walk "
+            "around the garden and to see the morning sun rise slowly")
+    df = spark.createDataFrame(
+        [(1, "s1", "und kurz der das"),                      # lang reject
+         (2, "s1", good + " mail me at jane@example.com ok"),  # pii reject
+         (3, "s1", good)],                                   # keep
+        "doc_id long, source string, text string",
+    )
+    rows = filter_report(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 3 and r["n_keep"] == 1
+    assert r["top_reject_reason"] == "lang"
+
+
 def test_blocklist_term_hits(spark):
     from autoextract.functions.text import blocklist_term_hits
 
