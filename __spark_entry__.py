@@ -63,12 +63,23 @@ def _docs_to_word_boxes(docs: DataFrame) -> DataFrame:
     The doc table is re-spread across the cluster first: the testdata
     parquet is a single file (= one input split), and exploding 40×
     words-per-doc from one task would serialize the whole generation stage
-    (a real corpus arrives in thousands of splits)."""
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    (a real corpus arrives in thousands of splits).
+
+    The spread key is the STRING doc_id and the count is
+    ``spark.sql.shuffle.partitions`` — exactly the partitioning
+    ``spans_table`` requires downstream, so its repartition is elided
+    (EnsureRequirements sees hashpartitioning(doc_id, n) preserved through
+    the explode) and the 40×-wider word rows NEVER cross an exchange: the
+    only shuffle in the span pipeline carries one narrow row per document
+    (guide §8 — move heavy derived rows zero times, decide placement on
+    the light proxy)."""
+    spark = docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).repartition(n_part, "doc_id")
     toks = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
+        "doc_id",
         F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "content"),
     )
     line = (F.col("pos") / _WORDS_PER_LINE).cast("int")
