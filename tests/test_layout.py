@@ -100,3 +100,109 @@ class TestSparkLayout:
         spans = assemble_spans(order_words(df)).collect()[0]["spans"]
         assert len(spans) == 6
         assert all(s["text"].strip() for s in spans)
+
+
+class TestGeometryMemo:
+    """The per-chunk geometry memo in the Arrow kernels must be pure CSE:
+    identical (boxes, tiebreak) bytes reuse the permutation, ANY byte
+    difference — including tiebreak-only differences — recomputes."""
+
+    def _chunk(self, layouts):
+        """Build a sorted (doc, page, word_seq) arrow table from
+        [(doc_id, [(x0,y0,x1,y1), ...], seqs), ...]."""
+        import pyarrow as pa
+
+        cols = {k: [] for k in ("doc_id", "page", "word_seq", "kind",
+                                "content", "media_ref", "rec_score",
+                                "x0", "y0", "x1", "y1")}
+        for doc_id, boxes, seqs in layouts:
+            for (bx, by, ex, ey), sq in zip(boxes, seqs):
+                cols["doc_id"].append(doc_id)
+                cols["page"].append(1)
+                cols["word_seq"].append(sq)
+                cols["kind"].append("text")
+                cols["content"].append(f"{doc_id}w{sq}")
+                cols["media_ref"].append(None)
+                cols["rec_score"].append(1.0)
+                cols["x0"].append(bx)
+                cols["y0"].append(by)
+                cols["x1"].append(ex)
+                cols["y1"].append(ey)
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": pa.array(cols["doc_id"]),
+                "page": pa.array(cols["page"], pa.int32()),
+                "word_seq": pa.array(cols["word_seq"], pa.int32()),
+                "kind": pa.array(cols["kind"]),
+                "content": pa.array(cols["content"]),
+                "media_ref": pa.array(cols["media_ref"], pa.string()),
+                "rec_score": pa.array(cols["rec_score"]),
+                "x0": pa.array(cols["x0"]),
+                "y0": pa.array(cols["y0"]),
+                "x1": pa.array(cols["x1"]),
+                "y1": pa.array(cols["y1"]),
+            }
+        )
+
+    def test_repeated_and_distinct_layouts_match_direct(self):
+        import numpy as np
+
+        from autoextract.operators.layout import (
+            _spans_chunk_arrow,
+            page_reading_order,
+        )
+
+        grid = [(40.0 + 70.0 * (i % 3), 40.0 + 32.0 * (i // 3),
+                 100.0 + 70.0 * (i % 3), 52.0 + 32.0 * (i // 3))
+                for i in range(7)]
+        scatter = [(10.0 * i, 500.0 - 13.0 * i, 10.0 * i + 40.0,
+                    512.0 - 13.0 * i) for i in range(5)]
+        # d1/d2 share the grid (memo hit), d3 differs (miss), d4 repeats
+        # the grid boxes but with REVERSED tiebreak seqs (must miss)
+        layouts = [
+            ("d1", grid, list(range(7))),
+            ("d2", grid, list(range(7))),
+            ("d3", scatter, list(range(5))),
+            ("d4", grid, list(range(6, -1, -1))),
+        ]
+        out = _spans_chunk_arrow(self._chunk(layouts))
+        got = {
+            d: [s["text"] for s in spans]
+            for d, spans in zip(out.column("doc_id").to_pylist(),
+                                out.column("spans").to_pylist())
+        }
+        for doc_id, boxes, seqs in layouts:
+            p, _, _ = page_reading_order(
+                np.array(boxes, dtype=np.float64),
+                tiebreak=np.array(seqs),
+            )
+            expect = [f"{doc_id}w{seqs[j]}" for j in p]
+            assert got[doc_id] == expect, doc_id
+        # the tiebreak-reversed doc must NOT equal the straight-grid order
+        assert got["d4"] != [t.replace("d1", "d4") for t in got["d1"]]
+
+    def test_order_kernel_memo_matches_direct(self):
+        import numpy as np
+
+        from autoextract.operators.layout import (
+            _order_chunk_arrow,
+            page_reading_order,
+        )
+
+        grid = [(40.0 + 70.0 * (i % 3), 40.0 + 32.0 * (i // 3),
+                 100.0 + 70.0 * (i % 3), 52.0 + 32.0 * (i // 3))
+                for i in range(6)]
+        layouts = [("a", grid, list(range(6))), ("b", grid, list(range(6)))]
+        out = _order_chunk_arrow(self._chunk(layouts))
+        p, b, l = page_reading_order(
+            np.array(grid, dtype=np.float64), tiebreak=np.arange(6)
+        )
+        contents = out.column("content").to_pylist()
+        blocks = out.column("block_id").to_pylist()
+        lines = out.column("line_id").to_pylist()
+        for start, doc in ((0, "a"), (6, "b")):
+            assert contents[start:start + 6] == [f"{doc}w{j}" for j in p]
+            assert blocks[start:start + 6] == list(b[p])
+            assert lines[start:start + 6] == list(l[p])
