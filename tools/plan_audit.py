@@ -113,8 +113,9 @@ AUDITED = {
     "sentence_split": "protect/mark/restore chain + posexplode in one "
     "projection — zero exchanges, zero Python",
     "filter_report": "verdict projection (codegen'd) joined back on the "
-    "id key, two short-key aggregates, window argmax over the tiny "
-    "(source × reason) table; raw text never shuffles",
+    "id key, ONE (source × keep × reason) cell aggregate then a tiny "
+    "second aggregate with a min_by argmax — single verdict-chain "
+    "evaluation, no window, no outer join; raw text never shuffles",
     "pagerank": "per-round: edges⋈ranks shuffle on src + partial-agg on "
     "dst, both over (long,long,double) rows; dangling mass is a 1-row "
     "broadcast; localCheckpoint truncates lineage between rounds — so "
